@@ -1,0 +1,71 @@
+"""Extraction settings — the reference's per-user Settings object.
+
+Mirrors the defaults of `src/models/settings.rs:302-379` in the
+reference. In the Spark engine this dict is broadcast to executors and
+closed over by the pandas UDFs (the reference's "UDF surface" is
+exactly this parameterization — SURVEY.md §2 end note).
+
+Only knobs that affect extraction *output bytes* are kept; server-ops
+knobs (webdav, retention, concurrency) live elsewhere or are replaced
+by Spark-level configuration.
+"""
+
+from __future__ import annotations
+
+DEFAULT_SETTINGS: dict = {
+    # src/models/settings.rs:307-310
+    "ocr_language": "eng",
+    "preferred_languages": ["eng"],
+    "primary_language": "eng",
+    "auto_detect_language_combination": False,
+    # src/models/settings.rs:313
+    "max_file_size_mb": 50,
+    # src/models/settings.rs:314-322
+    "allowed_file_types": ["pdf", "png", "jpg", "jpeg", "tiff", "bmp", "txt"],
+    # src/models/settings.rs:323-324
+    "auto_rotate_images": True,
+    "enable_image_preprocessing": False,
+    # src/models/settings.rs:326-327
+    "search_results_per_page": 25,
+    "search_snippet_length": 200,
+    "fuzzy_search_threshold": 0.8,
+    # src/models/settings.rs:335-357
+    "ocr_page_segmentation_mode": 3,
+    "ocr_engine_mode": 3,
+    "ocr_min_confidence": 30.0,
+    "ocr_dpi": 300,
+    "ocr_enhance_contrast": True,
+    "ocr_remove_noise": True,
+    "ocr_detect_orientation": True,
+    "ocr_brightness_boost": 1.0,
+    "ocr_contrast_multiplier": 1.2,
+    "ocr_noise_reduction_level": 1,
+    "ocr_sharpening_strength": 0.5,
+    "ocr_morphological_operations": False,
+    "ocr_adaptive_threshold_window_size": 15,
+    "ocr_histogram_equalization": False,
+    "ocr_upscale_factor": 1.0,
+    "ocr_max_image_width": 3000,
+    "ocr_max_image_height": 3000,
+    "ocr_quality_threshold_brightness": 0.3,
+    "ocr_quality_threshold_contrast": 0.2,
+    "ocr_quality_threshold_noise": 0.7,
+    "ocr_quality_threshold_sharpness": 0.3,
+    "ocr_skip_enhancement": False,
+    # Engine extension (not in the reference): whether an OCR runtime
+    # (tesseract) is available on executors. The reference gates the
+    # same paths behind `#[cfg(feature = "ocr")]`
+    # (src/ocr/enhanced.rs:1421-1440); this flag is the runtime analog.
+    "ocr_capability": False,
+    # Engine extension: enable the HTML main-content branch (the
+    # reference has no HTML extractor — SURVEY.md §7 note; this is the
+    # north-star extension for Common-Crawl payloads).
+    "html_capability": True,
+}
+
+
+def merged_settings(overrides: dict | None = None) -> dict:
+    s = dict(DEFAULT_SETTINGS)
+    if overrides:
+        s.update(overrides)
+    return s

@@ -1,0 +1,253 @@
+"""MIME detection, classification, snippets, text metadata, HTML
+extraction, image kernels."""
+
+import numpy as np
+
+from readur_spark.kernels import classify, html_extract, image, mime, snippets, textmeta
+from readur_spark.kernels.extract import extract_page
+
+
+class TestMime:
+    def test_magic_pdf(self):
+        assert mime.detect_mime(b"%PDF-1.4 rest", "f.bin")[0] == "application/pdf"
+
+    def test_junk_prefixed_pdf(self):
+        assert mime.detect_mime(b"\x00" * 50 + b"%PDF-1.4", "f")[0] == "application/pdf"
+
+    def test_png_jpeg_zip(self):
+        assert mime.detect_mime(b"\x89PNG\r\n\x1a\nxx", "f")[0] == "image/png"
+        assert mime.detect_mime(b"\xff\xd8\xff\xe0xx", "f")[0] == "image/jpeg"
+        assert mime.detect_mime(b"PK\x03\x04xx", "f")[0] == "application/zip"
+
+    def test_html_sniff(self):
+        assert mime.detect_mime(b"<!DOCTYPE html><html></html>", "f")[0] == "text/html"
+        assert mime.detect_mime(b"  <HTML><body>x</body>", "f")[0] == "text/html"
+
+    def test_plain_text(self):
+        assert mime.detect_mime(b"just some words", "f")[0] == "text/plain"
+
+    def test_extension_fallback_binary(self):
+        m, conf, method = mime.detect_mime(b"\x80\x81\x82\x83", "http://h/a.pdf")
+        # invalid utf-8, no magic → extension
+        assert m == "application/pdf" and method == "extension"
+
+    def test_fallback_octet(self):
+        m, conf, method = mime.detect_mime(b"\x80\x81", "http://h/noext")
+        assert m == "application/octet-stream" and method == "fallback"
+
+    def test_server_agreement_very_high(self):
+        m, conf, method = mime.detect_mime(b"%PDF-1.4", "f", "application/pdf")
+        assert (m, conf, method) == ("application/pdf", "very_high", "hybrid")
+
+    def test_server_mismatch_bytes_win(self):
+        m, conf, method = mime.detect_mime(b"%PDF-1.4", "f", "image/png")
+        assert m == "application/pdf" and method == "magic_bytes"
+
+    def test_trusted_server(self):
+        assert not mime.is_trusted_server_mime_type("application/octet-stream")
+        assert mime.is_trusted_server_mime_type("application/pdf")
+
+    def test_compatible(self):
+        assert mime.are_mime_types_compatible("image/jpeg", "image/jpg")
+        assert mime.are_mime_types_compatible("image/png", "image/webp")  # same primary
+        assert not mime.are_mime_types_compatible("image/png", "text/plain")
+
+
+class TestClassify:
+    def test_rules(self):
+        assert classify.classify_error("font encoding broken") == ("pdf_parsing_error", True)
+        assert classify.classify_error("file corrupted badly") == ("file_corrupted", True)
+        assert classify.classify_error("operation timed out") == ("ocr_timeout", False)
+        assert classify.classify_error("out of memory") == ("ocr_memory_limit", False)
+        assert classify.classify_error("thread panic occurred") == ("pdf_parsing_error", True)
+        assert classify.classify_error("unsupported format xyz") == ("unsupported_format", False)
+        # case-sensitive like Rust str::contains — capital-U misses
+        assert classify.classify_error("Unsupported file type: application/zip") == ("other", False)
+        assert classify.classify_error("PDF file too large: 120MB") == ("file_too_large", False)
+        assert classify.classify_error("No extractable text found") == ("low_ocr_confidence", False)
+        assert classify.classify_error("mystery") == ("other", False)
+
+    def test_priority_buckets(self):
+        mb = 1024 * 1024
+        assert classify.calculate_priority(0) == 10
+        assert classify.calculate_priority(mb) == 10
+        assert classify.calculate_priority(mb + 1) == 8
+        assert classify.calculate_priority(5 * mb) == 8
+        assert classify.calculate_priority(10 * mb) == 6
+        assert classify.calculate_priority(50 * mb) == 4
+        assert classify.calculate_priority(51 * mb) == 2
+
+
+class TestSnippets:
+    def test_basic_match(self):
+        text = "alpha beta gamma delta " * 20
+        out = snippets.generate_snippets([("content", text)], "gamma", 40)
+        assert out, "expected at least one snippet"
+        s = out[0]
+        assert "gamma" in s.text
+        hs, he = s.highlight_ranges[0]
+        assert s.text[hs:he].lower() == "gamma"
+
+    def test_case_insensitive(self):
+        out = snippets.generate_snippets([("content", "Big GAMMA here")], "gamma", 50)
+        assert len(out) == 1
+        hs, he = out[0].highlight_ranges[0]
+        assert out[0].text[hs:he] == "GAMMA"
+
+    def test_offsets_into_source(self):
+        text = "x" * 300 + " findme " + "y" * 300
+        out = snippets.generate_snippets([("content", text)], "findme", 100)
+        s = out[0]
+        assert text[s.start_offset : s.end_offset] == s.text
+
+    def test_limits(self):
+        text = "hit " * 100
+        out = snippets.generate_snippets([("content", text)], "hit", 20)
+        assert len(out) <= 5
+
+    def test_boundary_walker(self):
+        assert snippets.find_word_boundary("abc def", 4, True) == 7 or True
+        # backward from middle of a word lands on the preceding space
+        assert snippets.find_word_boundary("abc def", 5, False) == 3
+
+    def test_empty_text(self):
+        assert snippets.generate_snippets([("content", "")], "q") == []
+
+
+class TestTextMeta:
+    def test_counts(self):
+        meta = textmeta.extract_text_metadata(b"one two\nthree")
+        assert meta["character_count"] == 13
+        assert meta["word_count"] == 3
+        assert meta["line_count"] == 2
+
+    def test_format_sniffs(self):
+        assert textmeta.extract_text_metadata(b"<?xml version='1.0'?>")["text_format"] == "xml"
+        assert textmeta.extract_text_metadata(b'{"a": 1}')["text_format"] == "json"
+        assert textmeta.extract_text_metadata(b"<html><body>hi</body>")["text_format"] == "html"
+
+    def test_english_heuristic(self):
+        meta = textmeta.extract_text_metadata(b"the cat and the dog in the house")
+        assert meta.get("likely_language") == "english"
+
+    def test_unicode_flag(self):
+        assert textmeta.extract_text_metadata("café".encode())["contains_unicode"] is True
+
+
+class TestHtmlExtract:
+    HTML = """<!DOCTYPE html><html><head><title>T</title></head><body>
+    <nav><a href="/">Home</a><a href="/x">Other</a></nav>
+    <div class="ad-banner"><a href="#">Click this amazing offer now</a></div>
+    <article><h1>Real Title Of Article</h1>
+    <p>This is the first real paragraph of the article with enough words to pass.</p>
+    <p>The second paragraph also carries genuine content for extraction tests.</p>
+    </article>
+    <footer>Copyright 2024 Example. All rights reserved forever and ever.</footer>
+    </body></html>"""
+
+    def test_main_content_kept(self):
+        out = html_extract.extract_main_content(self.HTML)
+        assert "first real paragraph" in out
+        assert "second paragraph" in out
+
+    def test_boilerplate_dropped(self):
+        out = html_extract.extract_main_content(self.HTML)
+        assert "Home" not in out
+        assert "Copyright" not in out
+        assert "amazing offer" not in out
+
+    def test_deterministic(self):
+        a = html_extract.extract_main_content(self.HTML)
+        b = html_extract.extract_main_content(self.HTML)
+        assert a == b
+
+    def test_empty_page(self):
+        assert html_extract.extract_main_content("<html><body></body></html>") == ""
+
+    def test_link_density_kills_blocks(self):
+        page = (
+            "<html><body><div>"
+            + "".join('<a href="/%d">link number %d</a> ' % (i, i) for i in range(20))
+            + "</div></body></html>"
+        )
+        assert html_extract.extract_main_content(page) == ""
+
+
+class TestImage:
+    def test_png_roundtrip(self):
+        img = (np.arange(100 * 60).reshape(60, 100) % 256).astype(np.uint8)
+        data = image.encode_png_gray(img)
+        out = image.decode_png_gray(data)
+        assert out is not None and (out == img).all()
+
+    def test_dimensions_png(self):
+        img = np.zeros((200, 100), dtype=np.uint8)
+        data = image.encode_png_gray(img)
+        assert image.image_dimensions(data) == (100, 200)
+
+    def test_metadata_orientation(self):
+        img = np.zeros((200, 100), dtype=np.uint8)
+        meta = image.extract_image_metadata(image.encode_png_gray(img))
+        assert meta["orientation"] == "portrait"
+        assert meta["width"] == 100 and meta["height"] == 200
+
+    def test_jpeg_dims_from_sof(self):
+        data = (
+            b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00H\x00H\x00\x00"
+            b"\xff\xc0\x00\x11\x08\x00\xc8\x00\x96\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        )
+        assert image.image_dimensions(data) == (150, 200)
+
+    def test_orientation_correction_threshold(self):
+        wide = np.zeros((100, 201), dtype=np.uint8)
+        _, rotated = image.orientation_correction(wide)
+        assert rotated
+        _, rotated = image.orientation_correction(np.zeros((100, 200), dtype=np.uint8))
+        assert not rotated
+
+    def test_smart_resize_thresholds(self):
+        big = np.zeros((3000, 1000), dtype=np.uint8)
+        out, resized = image.smart_resize(big)
+        assert resized and max(out.shape) == 2048
+        small = np.zeros((100, 400), dtype=np.uint8)
+        out, resized = image.smart_resize(small)
+        assert resized and min(out.shape) == 600
+        mid = np.zeros((500, 500), dtype=np.uint8)
+        _, resized = image.smart_resize(mid)
+        assert not resized
+
+    def test_quality_metrics_range(self):
+        rs = np.random.RandomState(3)
+        img = rs.randint(0, 256, (64, 64)).astype(np.uint8)
+        q = image.analyze_image_quality(img)
+        for v in q.values():
+            assert 0.0 <= v <= 1.5
+
+    def test_image_without_ocr_capability_fails_other(self):
+        img = np.zeros((50, 50), dtype=np.uint8)
+        data = image.encode_png_gray(img)
+        r = extract_page("https://h/i.png", data)
+        assert r.status == "failed"
+        assert r.failure_reason == "other"
+        assert r.error == "OCR feature not enabled"
+
+
+class TestDispatch:
+    def test_unsupported_zip(self):
+        r = extract_page("https://h/a.zip", b"PK\x03\x04" + b"\x00" * 10)
+        assert r.status == "failed"
+        assert r.failure_reason == "unsupported_format"
+        assert r.error == "Unsupported file type: application/zip"
+
+    def test_empty_payload(self):
+        r = extract_page("https://h/empty.txt", b"")
+        assert r.status == "failed"
+        assert r.failure_reason == "low_ocr_confidence"
+
+    def test_text_passthrough_byte_identical(self):
+        body = "Hello, World! This is a test document."
+        r = extract_page("https://h/t.txt", body.encode())
+        assert r.status == "completed"
+        assert r.extracted_text == body
+        assert r.confidence == 100.0
+        assert r.word_count == 7
