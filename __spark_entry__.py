@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship extraction pipeline on sf0.001 + synthetic
+                mixed-branch corpus → per-(status, mime_type) rollup.
+queries()     — one entry per implemented operator (SURVEY.md §2);
+                each callable (spark, sf_dir) → DataFrame.
+oracle_sql()  — DuckDB-equivalent SQL per query key (same column
+                aliases — the driver hash-compares values).
 """
 
 from __future__ import annotations
@@ -13,26 +14,37 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages (documents-derived + synthetic mixed corpus) →
+    dedup → url-hash partition → vectorized extraction → rollup."""
+    from pyspark.sql import functions as F
+
+    from readur_spark.corpus import flagship_pages
+    from readur_spark.pipeline import extract_corpus
+
+    pages = flagship_pages(spark, SF0001, n_synthetic=500)
+    extracted = extract_corpus(pages)
+    return (
+        extracted.groupBy("status", "mime_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("word_count").alias("total_words"),
+            F.avg("confidence").alias("avg_confidence"),
+        )
+        .orderBy("status", "mime_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from readur_spark.queries import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from readur_spark.queries import registry
+
+    return registry.oracle_sql()

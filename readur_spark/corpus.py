@@ -1,0 +1,66 @@
+"""Corpus assembly for the driver contract.
+
+The driver's tables (/root/testdata/sf*/) have no `pages` table, so the
+engine builds one deterministically (BASELINE.md: "synthesise it
+deterministically at small scale"):
+
+  - `pages_from_documents`: maps the driver's `documents` table
+    (doc_id, text, lang, source, n_chars) into the input_hint shape —
+    url/warc_ts derived from doc_id, html = utf-8 bytes of text. These
+    rows exercise the byte-identical text/plain backbone and are
+    oracle-checkable in DuckDB (the same mapping is expressible in SQL).
+  - `synthetic_pages`: the seeded mixed-branch corpus (datagen),
+    cached as parquet under .cache/ keyed by (n, seed).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.session import REPO_ROOT
+
+CACHE_DIR = os.path.join(REPO_ROOT, ".cache")
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc"),
+            F.col("doc_id").cast("string"), F.lit(".txt"),
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def synthetic_pages(
+    spark: SparkSession, n_docs: int, seed: int = 42
+) -> DataFrame:
+    """Seeded datagen corpus, cached as parquet (generation is pure
+    Python; cache makes repeated sessions cheap)."""
+    path = os.path.join(CACHE_DIR, "pages_n%d_s%d.parquet" % (n_docs, seed))
+    if not os.path.exists(path):
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        from readur_spark.datagen import write_pages_parquet
+
+        tmp = path + ".tmp"
+        write_pages_parquet(tmp, n_docs, seed=seed)
+        os.replace(tmp, path)
+    return spark.read.parquet(path)
+
+
+def flagship_pages(spark: SparkSession, sf_dir: str, n_synthetic: int = 500) -> DataFrame:
+    """The flagship input: driver documents mapped to pages, unioned
+    with the mixed-branch synthetic corpus."""
+    return pages_from_documents(spark, sf_dir).unionByName(
+        synthetic_pages(spark, n_synthetic)
+    )

@@ -1,0 +1,320 @@
+"""Deduplication families for training-data pipelines.
+
+Exact (hash groupBy), n-gram/unigram Jaccard via posting-list joins,
+MinHash+LSH (band/bucket-join), SimHash — the standard web-corpus
+dedup toolbox, each built shuffle-consciously:
+
+  - exact: one hash-agg on a uniform key (sha256/md5) — no skew.
+  - Jaccard posting join: explode tokens → self-join on token →
+    per-pair intersection counts → join doc sizes. Frequency cap on
+    tokens (stopword-like posting lists explode quadratically —
+    dropping tokens with df > cap bounds the join fanout; at 10^12
+    docs this cap is what keeps the operator feasible).
+  - MinHash/LSH: k permutations → b bands of r rows → exact-match
+    bucket join per band → candidate pairs → optional exact verify.
+    Permutation hashing is vectorized numpy inside a pandas UDF.
+  - SimHash: 64-bit fingerprint from token hashes ± weights; near-dup
+    = small Hamming distance; bucketable by bit-blocks (Charikar).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load
+
+# ---- exact ---------------------------------------------------------------
+
+
+def exact_duplicate_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("keeper"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(props) AS content_hash, count(*) AS n, min(event_id) AS keeper
+    FROM events
+    GROUP BY md5(props)
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicate_groups(load(spark, sf_dir, "events"), "props", "event_id")
+
+
+# ---- token-Jaccard via posting-list self-join ------------------------------
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """All pairs within the same block with unigram-set Jaccard ≥
+    threshold. Posting-list formulation: shuffle keys are
+    (block, token); the pair agg key is (id_a, id_b)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+    if df_cap is not None:
+        freq = toks.groupBy("token").count().filter(F.col("count") <= df_cap)
+        toks = toks.join(F.broadcast(freq.select("token")), "token", "left_semi")
+
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+
+    a = toks.alias("a")
+    b = toks.alias("b")
+    join_cond = [F.col("a.token") == F.col("b.token")] + [
+        F.col("a." + c) == F.col("b." + c) for c in block_cols
+    ]
+    pairs = (
+        a.join(b, join_cond)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 3).alias("jaccard_r")
+    )
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM toks GROUP BY id
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM toks a JOIN toks b
+        ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+      WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT p.id_a, p.id_b,
+           round(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 3) AS jaccard_r
+    FROM pairs p
+    JOIN sizes sa ON sa.id = p.id_a
+    JOIN sizes sb ON sb.id = p.id_b
+    WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.8
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", ["lang", "source"], threshold=0.8)
+
+
+# ---- MinHash + LSH ----------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, _MERSENNE, size=n_perm, dtype=np.int64)
+    b = rs.randint(0, _MERSENNE, size=n_perm, dtype=np.int64)
+    return a, b
+
+
+def _token_hashes(text: str, n_shingle: int) -> np.ndarray:
+    toks = text.split()
+    if n_shingle > 1:
+        items = [
+            " ".join(toks[i : i + n_shingle])
+            for i in range(max(len(toks) - n_shingle + 1, 0))
+        ]
+    else:
+        items = toks
+    if not items:
+        return np.zeros(1, dtype=np.uint64)
+    # stable 64-bit FNV-1a, vectorizable enough at batch level
+    out = np.empty(len(items), dtype=np.uint64)
+    for i, it in enumerate(items):
+        h = np.uint64(0xCBF29CE484222325)
+        for ch in it.encode("utf-8"):
+            h = np.uint64((int(h) ^ ch) * 0x100000001B3 % (1 << 64))
+        out[i] = h
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 64,
+    n_shingle: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """doc → minhash signature array<long>, computed batch-at-a-time
+    (numpy (a*h+b) mod p min-reduce over the shingle-hash vector)."""
+    a, b = _perm_params(n_perm, seed)
+
+    def sig_batches(batches):
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                hs = _token_hashes(text or "", n_shingle).astype(np.float64)
+                # (a*h + b) mod p, min over shingles — outer product form
+                vals = (
+                    a[:, None].astype(np.float64) * hs[None, :] + b[:, None]
+                ) % _MERSENNE
+                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"id": pdf[id_col], "signature": sigs})
+
+    return docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        sig_batches, schema=f"id long, signature array<long>"
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and bucket-join: docs agreeing on all rows
+    of any band become candidates. The join key (band_id, band_hash)
+    is uniform — no skew; fanout is bounded by bucket sizes."""
+    bands = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda band: F.slice(
+                    "signature", band * rows_per_band + 1, rows_per_band
+                ),
+            )
+        ).alias("band_id", "band_sig"),
+    ).select("id", "band_id", F.hash("band_sig").alias("band_hash"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    n_shingle: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    sigs = minhash_signatures(docs, id_col, text_col, n_perm, n_shingle, seed)
+    return lsh_candidate_pairs(sigs, n_bands, n_perm // n_bands)
+
+
+@register("dedup_minhash_lsh")  # non-SQL: algorithmic; pytest-verified vs exact Jaccard
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_perm=64, n_bands=16, n_shingle=1)
+    return pairs.groupBy().agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.countDistinct("id_a").alias("n_docs_with_candidates"),
+    )
+
+
+# ---- SimHash ---------------------------------------------------------------
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Charikar 64-bit simhash over unigram FNV hashes."""
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for text in pdf[text_col]:
+                hs = _token_hashes(text or "", 1)
+                if len(hs) == 0:
+                    out.append(0)
+                    continue
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                    np.int64
+                )
+                v = (2 * bits - 1).sum(axis=0)
+                sh = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
+
+    return docs.select(F.col(id_col), text_col).mapInPandas(
+        batches, schema="id long, simhash long"
+    )
+
+
+def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Block on 4 × 16-bit chunks (any pair within Hamming ≤3 of a
+    64-bit key agrees exactly on ≥1 of 4 chunks) → verify distance."""
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftrightunsigned("simhash", k * 16).bitwiseAND(F.lit(0xFFFF)))
+                    for k in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+@register("dedup_simhash")  # non-SQL: algorithmic; pytest-verified
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs, "doc_id", "text")
+    pairs = simhash_near_pairs(sigs, max_hamming=8)
+    return pairs.groupBy().agg(F.count("*").alias("n_near_pairs"))

@@ -1,0 +1,135 @@
+"""Text QC for training-data pipelines: token counting, quality
+scoring, language heuristics, fingerprinting.
+
+All four are Catalyst expressions (JVM-side; no Python) — the
+reference's A18/A31 semantics generalized to corpus QC
+(src/metadata_extraction.rs:139-178, src/ocr/enhanced.rs:1487-1558).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.kernels.textmeta import ENGLISH_WORDS
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (A31 main path) as an expression."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+@register(
+    "qc_token_count",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def qc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "qc_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             length(replace(text, ' ', '')) AS alpha_chars,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(CAST(len(list_filter(toks,
+                 x -> list_contains(['the','and','or','but','in','on','at','to','for','of','with','by'], x)))
+                 AS DOUBLE) / len(toks), 3) AS stopword_ratio,
+           round(CAST(alpha_chars AS DOUBLE) / len(toks), 3) AS avg_token_len,
+           round(CAST(alpha_chars AS DOUBLE) / n_chars, 3) AS density
+    FROM t
+    """,
+)
+def qc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: stopword ratio (the reference's 12-word English
+    list), mean token length, non-space density."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in ENGLISH_WORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    alpha_chars = F.length(F.regexp_replace("text", " ", ""))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(n_stop.cast("double") / F.size(toks), 3).alias("stopword_ratio"),
+        F.round(alpha_chars.cast("double") / F.size(toks), 3).alias("avg_token_len"),
+        F.round(alpha_chars.cast("double") / F.length("text"), 3).alias("density"),
+    )
+
+
+@register(
+    "qc_langid_english",
+    oracle="""
+    SELECT doc_id, lang,
+           (len(string_split(lower(text), 'the')) - 1
+          + len(string_split(lower(text), 'and')) - 1
+          + len(string_split(lower(text), 'or')) - 1
+          + len(string_split(lower(text), 'but')) - 1
+          + len(string_split(lower(text), 'in')) - 1
+          + len(string_split(lower(text), 'on')) - 1
+          + len(string_split(lower(text), 'at')) - 1
+          + len(string_split(lower(text), 'to')) - 1
+          + len(string_split(lower(text), 'for')) - 1
+          + len(string_split(lower(text), 'of')) - 1
+          + len(string_split(lower(text), 'with')) - 1
+          + len(string_split(lower(text), 'by')) - 1)
+           > len(string_split(text, ' ')) // 20 AS likely_english
+    FROM documents
+    """,
+)
+def qc_langid_english(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18's language heuristic verbatim
+    (src/metadata_extraction.rs:168-175): *substring* occurrences of 12
+    common English words > word_count/20."""
+    docs = load(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    counts = None
+    for w in ENGLISH_WORDS:
+        c = F.size(F.split(lowered, w, -1)) - 1
+        counts = c if counts is None else counts + c
+    word_count = F.size(F.split(F.col("text"), " "))
+    return docs.select(
+        "doc_id",
+        "lang",
+        (counts > F.floor(word_count / F.lit(20)).cast("int")).alias("likely_english"),
+    )
+
+
+@register(
+    "qc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def qc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text (the exact-dup key after normalization; rolling-hash winnowing
+    lives in ml/dedup simhash)."""
+    docs = load(spark, sf_dir, "documents")
+    normed = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select("doc_id", F.md5(normed).alias("fingerprint"))

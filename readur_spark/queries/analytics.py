@@ -1,0 +1,191 @@
+"""Analytics rollups, joins, anti-joins, system metrics
+(SURVEY.md §2 B16, B18, B20, B22, B25, B29, B30).
+
+Join-strategy notes (SURVEY.md §4): dimension tables (region, nation,
+supplier at these scales) are broadcast — `F.broadcast` forces the
+plan Catalyst would pick with fresh stats, and at 100 TB the dims stay
+broadcastable while facts shuffle only when an agg key demands it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load
+
+
+@register(
+    "daily_analytics_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) AS n_events,
+           round(avg(value), 2) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           count(CASE WHEN value < 50 THEN 1 END) AS n_low,
+           count(CASE WHEN value >= 80 THEN 1 END) AS n_high,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_failed
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def daily_analytics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 — the ocr_analytics daily view
+    (migrations/20250620100005_create_ocr_analytics_view.sql:1-19):
+    GROUP BY day with avg/min/max + FILTER-style conditional counts."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.when(F.col("value") < 50, 1)).alias("n_low"),
+        F.count(F.when(F.col("value") >= 80, 1)).alias("n_high"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_failed"),
+    )
+
+
+@register(
+    "label_join_counts",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_suppliers,
+           round(sum(s.s_acctbal), 2) AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def label_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 label-join shape (src/db/documents/management.rs:12-84):
+    fact ⋈ broadcast(dims) → grouped counts. nation/region are the
+    labels; broadcast keeps the join shuffle-free."""
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "low_confidence_finder",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS sort_key
+    FROM events
+    WHERE value <= 30
+    """,
+)
+def low_confidence_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20 low-confidence/failed finder
+    (src/db/documents/operations.rs:57-108): threshold filter + the
+    failed-first CASE sort key."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("value") <= 30).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", 0).otherwise(1).alias("sort_key"),
+    )
+
+
+@register(
+    "requeue_antijoin",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def requeue_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22/B25 anti-join shape (src/ocr/queue.rs:978-1082 requeue;
+    db_guardrails_simple.rs:180-212 orphan check): rows with no
+    counterpart — left_anti join."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "system_metrics",
+    oracle="""
+    SELECT count(*) AS n_lineitems,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_suppkey) AS n_active_suppliers,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(avg(l_quantity), 3) AS avg_qty
+    FROM lineitem
+    """,
+)
+def system_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 system-metrics multi-agg (src/routes/metrics.rs:121-268):
+    one pass, several aggregates incl. COUNT(DISTINCT …)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_lineitems"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_active_suppliers"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.round(F.avg("l_quantity"), 3).alias("avg_qty"),
+    )
+
+
+@register(
+    "queue_stats",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) AS n,
+           round(avg(o_totalprice), 2) AS avg_price,
+           min(o_orderdate) AS oldest,
+           max(o_orderdate) AS newest
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def queue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 queue statistics shape (src/ocr/queue.rs:804-975): per-status
+    counts, averages, oldest/newest."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.min("o_orderdate").alias("oldest"),
+        F.max("o_orderdate").alias("newest"),
+    )
+
+
+@register(
+    "rbac_filter",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    WHERE user_id = 13
+    GROUP BY user_id
+    """,
+)
+def rbac_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 role filter (src/db/documents/helpers.rs:55-69): non-admin
+    sees only their rows."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") == 13)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Extraction queries over the driver's `documents` table (the
+oracle-checkable face of the byte-identical contract).
+
+The documents table stands in for the text/plain backbone: mapping it
+to pages (corpus.pages_from_documents) and running the full vectorized
+extraction operator must reproduce, byte-for-byte, what trivial SQL
+(trim + whitespace split) predicts — because that is exactly what the
+reference's text path does (src/ocr/enhanced.rs:1441-1480).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.corpus import pages_from_documents
+from readur_spark.operators.extract import extract_pages
+from readur_spark.queries.registry import register
+
+_URL_SQL = "'https://' || source || '.example/doc' || doc_id || '.txt'"
+
+
+@register(
+    "extract_text_passthrough",
+    oracle=f"""
+    SELECT {_URL_SQL} AS url,
+           trim(text) AS extracted_text,
+           len(string_split(trim(text), ' ')) AS word_count,
+           100 AS confidence_i,
+           'completed' AS status
+    FROM documents
+    """,
+)
+def extract_text_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30 passthrough through the full Spark operator (mapInPandas) —
+    the north-rule invariant, oracle-checked."""
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = extract_pages(pages)
+    return extracted.select(
+        "url",
+        "extracted_text",
+        "word_count",
+        F.col("confidence").cast("int").alias("confidence_i"),
+        "status",
+    )
+
+
+@register(
+    "extract_wordcount_by_lang",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(string_split(trim(text), ' '))) AS total_words
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def extract_wordcount_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction output joined back to page language → per-lang word
+    totals (the flagship rollup shape, oracle-checked)."""
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = extract_pages(pages)
+    joined = extracted.join(pages.select("url", "lang"), "url")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("word_count").alias("total_words"),
+    )
+
+
+@register("extract_mixed_corpus_rollup")  # non-SQL: exercises PDF/HTML/image branches
+def extract_mixed_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mixed-branch corpus rollup (synthetic pages): rows-only
+    driver check; branch-level correctness is pinned by the golden
+    pytest suite (tests/test_pipeline_e2e.py)."""
+    from readur_spark.corpus import synthetic_pages
+    from readur_spark.pipeline import extract_corpus
+
+    pages = synthetic_pages(spark, 500)
+    extracted = extract_corpus(pages)
+    return (
+        extracted.groupBy("status", "mime_type", "failure_reason")
+        .agg(F.count("*").alias("n_docs"), F.sum("word_count").alias("total_words"))
+        .orderBy("status", "mime_type", "failure_reason")
+    )

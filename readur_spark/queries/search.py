@@ -1,0 +1,213 @@
+"""Search operators (SURVEY.md §2 B4-B6, B9-B10, B19).
+
+The reference's Postgres FTS (tsvector @@ tsquery, pg_trgm) becomes
+token-array predicates and trigram-set Jaccard — all expressible as
+Catalyst expressions (JVM-side, codegen'd); only snippet generation
+(B10, complex struct output) uses a pandas UDF.
+
+Scale notes: token predicates are scan+filter (pushdown-friendly,
+no shuffle). For repeated interactive search at 10^12 rows one would
+materialize a posting-list table (SURVEY.md §4); for batch analytics
+the full scan is the right plan — Parquet min/max pruning doesn't help
+on text, but column pruning keeps the scan to the text column only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load
+
+# ---- B4: simple mode = AND of terms over the token set --------------------
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def match_all_terms(text_col: Column, terms: list[str]) -> Column:
+    """plainto_tsquery-style: every term present as a token
+    (src/db/documents/search.rs:100-106, simple mode)."""
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.array_contains(tokens(text_col), t)
+    return cond
+
+
+@register(
+    "search_simple_and",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE list_contains(string_split(text, ' '), 'spark')
+      AND list_contains(string_split(text, ' '), 'join')
+    """,
+)
+def search_simple_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(match_all_terms(F.col("text"), ["spark", "join"])).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# ---- B4: phrase mode -------------------------------------------------------
+
+
+@register(
+    "search_phrase",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE strpos(text, 'window vector') > 0
+    """,
+)
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phraseto_tsquery analog: exact substring on normalized text
+    (search.rs:108-113)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").contains("window vector")).select("doc_id", "lang")
+
+
+# ---- B5: ranking -----------------------------------------------------------
+
+
+@register(
+    "search_rank_tf",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS rank_tf
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), x -> x = 'spark')) > 0
+    """,
+)
+def search_rank_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_rank approximation documented in SURVEY.md §2 B5: term
+    frequency over the token array (JVM-side higher-order function)."""
+    docs = load(spark, sf_dir, "documents")
+    tf = F.size(F.filter(tokens(F.col("text")), lambda x: x == F.lit("spark")))
+    return docs.select("doc_id", tf.alias("rank_tf")).filter(F.col("rank_tf") > 0)
+
+
+# ---- B6: fuzzy trigram similarity ------------------------------------------
+
+
+def trigram_set(col: Column) -> Column:
+    """Distinct character trigrams of a string, as a Catalyst
+    expression (no UDF): substring windows over 1..len-2."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - 2, F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(3))))
+
+
+def trigram_similarity(a: Column, b: Column) -> Column:
+    """pg_trgm formula |∩| / |∪| over trigram sets
+    (src/db/documents/search.rs:85-89; threshold 0.3 at :123-127).
+    Note: unpadded trigrams (pg_trgm pads with 2 leading + 1 trailing
+    space) — documented deviation, pinned by tests."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+@register(
+    "search_fuzzy_trigram",
+    oracle="""
+    WITH trg AS (
+      SELECT doc_id,
+             list_distinct([text[i:i+2] FOR i IN range(1, greatest(len(text)-2,0)+1)]) AS tg
+      FROM documents
+    ), q AS (
+      SELECT list_distinct(['spa'[i:i+2] FOR i IN range(1, 2)]) AS qt
+    )
+    SELECT doc_id,
+           round(CAST(len(list_intersect(tg, qt)) AS DOUBLE) /
+                 (len(tg) + len(qt) - len(list_intersect(tg, qt))), 3) AS sim
+    FROM trg, q
+    WHERE CAST(len(list_intersect(tg, qt)) AS DOUBLE) /
+          (len(tg) + len(qt) - len(list_intersect(tg, qt))) > 0.3
+    """,
+)
+def search_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy match of the query token 'spa' (typo'd 'spark') against
+    document trigram sets, threshold 0.3."""
+    docs = load(spark, sf_dir, "documents")
+    doc_tg = trigram_set(F.col("text"))
+    q_tg = trigram_set(F.lit("spa"))
+    inter = F.size(F.array_intersect(doc_tg, q_tg))
+    union = F.size(doc_tg) + F.size(q_tg) - inter
+    sim = inter.cast("double") / union
+    return (
+        docs.select("doc_id", F.round(sim, 3).alias("sim"), sim.alias("_raw"))
+        .filter(F.col("_raw") > 0.3)
+        .drop("_raw")
+    )
+
+
+# ---- B19: filename / url search --------------------------------------------
+
+
+@register(
+    "search_filename",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE contains('https://' || source || '.example/doc' || doc_id || '.txt', 'src1')
+    """,
+)
+def search_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ILIKE-on-filename analog (src/db/documents/crud.rs:136-160) over
+    the derived url."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/doc"),
+        F.col("doc_id").cast("string"), F.lit(".txt"),
+    )
+    return docs.filter(url.contains("src1")).select("doc_id", "source")
+
+
+# ---- B10: snippets (pandas UDF, rows-only driver check) --------------------
+
+
+@register("search_snippets")
+def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet generation with highlight offsets — kernel semantics
+    (src/db/documents/search.rs:188-258) over matching documents.
+    Struct-typed output: non-SQL-expressible → rows-only check; exact
+    offsets are pinned by tests/test_kernels_misc.py."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    matched = docs.filter(match_all_terms(F.col("text"), ["spark"]))
+
+    def gen(batches):
+        from readur_spark.kernels.snippets import generate_snippets
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                snips = generate_snippets([("content", text)], "spark", 60)
+                for s in snips:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "snippet": s.text,
+                            "start_offset": s.start_offset,
+                            "end_offset": s.end_offset,
+                            "hl_start": s.highlight_ranges[0][0],
+                            "hl_end": s.highlight_ranges[0][1],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "snippet", "start_offset", "end_offset",
+                    "hl_start", "hl_end",
+                ],
+            )
+
+    return matched.select("doc_id", "text").mapInPandas(
+        gen,
+        schema="doc_id long, snippet string, start_offset int, end_offset int,"
+        " hl_start int, hl_end int",
+    )

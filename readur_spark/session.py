@@ -1,0 +1,56 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Local-mode testing stands in for a multi-executor cluster; every knob
+here is chosen to survive a 1000-executor / 100 TB deployment:
+  - AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+  - Arrow enabled with bounded batch size (pandas-UDF memory ceiling is
+    maxRecordsPerBatch × avg row width — html payloads are KB-MB scale,
+    so 512 rows/batch keeps executor memory flat)
+  - shuffle partitions sized to cores locally; on a real cluster set
+    spark.sql.shuffle.partitions ≈ 2-3× total cores or rely on AQE
+    coalescing from a higher initial number
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def get_spark(
+    cpus: int | None = None,
+    app_name: str = "readur_spark",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # executors (local-mode python workers) must import readur_spark
+    os.environ.setdefault("PYTHONPATH", REPO_ROOT)
+    if REPO_ROOT not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = REPO_ROOT + os.pathsep + os.environ["PYTHONPATH"]
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.default.parallelism", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # binary payloads can be MB-scale: keep scan partitions bounded
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
