@@ -58,6 +58,58 @@ def synthetic_pages(
     return spark.read.parquet(path)
 
 
+def scaling_pages(
+    spark: SparkSession, n_base: int = 2000, replicas: int = 32, seed: int = 43
+) -> DataFrame:
+    """CPU-representative corpus for scaling-efficiency runs: heavy
+    CC-size pages (datagen.generate_scaling_pages, cached once) fanned
+    out ×replicas JVM-side. Each replica gets a salted url AND payload
+    suffix so sha256 dedup keeps every row — replication measures
+    throughput, it must not be deduplicated away."""
+    base_path = os.path.join(CACHE_DIR, "scaling_n%d_s%d.parquet" % (n_base, seed))
+    if not os.path.exists(base_path):
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        from readur_spark.datagen import generate_scaling_pages
+
+        tmp = base_path + ".tmp"
+        pq.write_table(generate_scaling_pages(n_base, seed=seed), tmp)
+        os.replace(tmp, base_path)
+    if replicas <= 1:
+        return spark.read.parquet(base_path)
+
+    # Materialize the replicated corpus ONCE as a 64-file parquet dir:
+    # bench runs then scan a realistic multi-file input with full scan
+    # parallelism — no runtime crossJoin/repartition whose 5-split base
+    # scan serialized the whole job.
+    full_path = os.path.join(
+        CACHE_DIR, "scaling_n%d_s%d_x%d" % (n_base, seed, replicas)
+    )
+    if not os.path.exists(os.path.join(full_path, "_SUCCESS")):
+        base = spark.read.parquet(base_path).repartition(8)
+        reps = spark.range(replicas).withColumnRenamed("id", "replica")
+        full = (
+            base.crossJoin(reps)
+            .withColumn(
+                "url", F.concat("url", F.lit("#"), F.col("replica").cast("string"))
+            )
+            .withColumn(
+                "html",
+                F.concat(
+                    "html",
+                    F.encode(
+                        F.concat(F.lit(" r"), F.col("replica").cast("string")), "utf-8"
+                    ),
+                ),
+            )
+            .drop("replica")
+            .repartition(64)
+        )
+        full.write.mode("overwrite").parquet(full_path)
+    return spark.read.parquet(full_path)
+
+
 def flagship_pages(spark: SparkSession, sf_dir: str, n_synthetic: int = 500) -> DataFrame:
     """The flagship input: driver documents mapped to pages, unioned
     with the mixed-branch synthetic corpus."""

@@ -324,6 +324,48 @@ def generate_pages(
     )
 
 
+def generate_scaling_pages(n_docs: int, seed: int = 43) -> "pyarrow.Table":  # noqa: F821
+    """Throughput-measurement corpus: realistic Common-Crawl page sizes
+    (median real-web HTML is tens of KB with deep boilerplate), where
+    extraction is CPU-bound (~5 MB/s/core measured) rather than
+    transfer-bound. The tiny-page mixed corpus (generate_pages) stays
+    the correctness corpus; this one exists so scaling-efficiency
+    numbers measure compute scaling, not one box's disk bandwidth."""
+    import pyarrow as pa
+
+    rng = random.Random(seed)
+    base_ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for i in range(n_docs):
+        host = _zipf_host(rng)
+        r = rng.random()
+        if r < 0.8:
+            payload, _ = build_html(rng, rng.randint(1000, 6000))
+            ext = "html"
+            text_col = None
+        elif r < 0.9:
+            body = _paragraphs(rng, rng.randint(500, 3000))
+            payload, text_col, ext = body.encode("utf-8"), body, "txt"
+        else:
+            lines = [_sentence(rng, rng.randint(6, 12)) for _ in range(rng.randint(40, 120))]
+            payload = build_pdf(lines, compress=rng.random() < 0.5)
+            ext, text_col = "pdf", None
+        urls.append("https://%s/p/%d.%s" % (host, i, ext))
+        tss.append(base_ts + dt.timedelta(seconds=i))
+        htmls.append(payload)
+        texts.append(text_col)
+        langs.append(rng.choice(_LANGS))
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(tss, type=pa.timestamp("us", tz="UTC")),
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+
+
 def write_pages_parquet(path: str, n_docs: int, seed: int = 42) -> str:
     import pyarrow.parquet as pq
 

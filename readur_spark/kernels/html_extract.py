@@ -171,9 +171,23 @@ class _ContentParser(HTMLParser):
             return
         if self._kill_depth:
             return
-        stripped = _WS_RE.sub(" ", data)
-        if not stripped.strip():
+        # most inter-tag chunks are pure indentation — cheap C-level
+        # strip rejects them before any regex runs
+        if not data.strip():
             return
+        # exact fast path: an ASCII chunk with no newline/tab/CR and no
+        # double space has nothing for \s+ to collapse (non-ASCII
+        # whitespace like \xa0 from &nbsp; forces the regex path)
+        if (
+            data.isascii()
+            and "\n" not in data
+            and "\t" not in data
+            and "\r" not in data
+            and "  " not in data
+        ):
+            stripped = data
+        else:
+            stripped = _WS_RE.sub(" ", data)
         if self._current is None:
             self._open_block(self._stack[-1] if self._stack else "body")
         b = self._current
@@ -220,8 +234,10 @@ def extract_main_content(html: str) -> str:
 
     blocks = parser.blocks
     accepted = []
+    norm_texts = []  # normalized once, reused by the output loop
     for b in blocks:
         text = _WS_RE.sub(" ", "".join(b.texts)).strip()
+        norm_texts.append(text)
         if not text:
             accepted.append(False)
             continue
@@ -248,11 +264,8 @@ def extract_main_content(html: str) -> str:
                 accepted[i] = True
 
     out: list[str] = []
-    for b, ok in zip(blocks, accepted):
-        if not ok:
-            continue
-        text = _WS_RE.sub(" ", "".join(b.texts)).strip()
-        if text:
+    for text, ok in zip(norm_texts, accepted):
+        if ok and text:
             out.append(text)
     return "\n".join(out)
 

@@ -36,8 +36,21 @@ def is_alnum_char(c: str) -> bool:
     return c.isalpha() or c.isnumeric()
 
 
+# C-speed counting: str.translate deletes at native speed. ASCII alnum
+# ([A-Za-z0-9]: exactly the ASCII chars where isalpha()/isnumeric() is
+# true) is counted by length difference; only the (rare) non-ASCII
+# residue is checked per-char. Was 54% of HTML-path CPU as a genexpr.
+_DEL_ASCII_ALNUM = {c: None for c in range(128) if chr(c).isalpha() or chr(c).isnumeric()}
+_DEL_ALL_ASCII = {c: None for c in range(128)}
+
+
 def count_alnum_chars(text: str) -> int:
-    return sum(1 for c in text if c.isalpha() or c.isnumeric())
+    stripped = text.translate(_DEL_ASCII_ALNUM)
+    n = len(text) - len(stripped)
+    rest = stripped.translate(_DEL_ALL_ASCII)  # non-ASCII chars only
+    if rest:
+        n += sum(1 for c in rest if c.isalpha() or c.isnumeric())
+    return n
 
 
 def utf8_len(text: str) -> int:

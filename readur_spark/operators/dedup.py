@@ -17,12 +17,21 @@ set-at-a-time operator —
   against-existing   → left_anti join on sha256 vs the already-
                        extracted table (incremental runs)
 
-Scale notes: dedup keys are uniform SHA-256 values → no key skew by
-construction; the shuffle is unavoidable (global property) but AQE
-coalesces post-shuffle partitions. `dedup_skip` uses min(url)-per-hash
-agg + semi-join rather than a window: a window sorts every partition
-by (hash, ts, url) while the agg is a partial-aggregatable hash-agg —
-cheaper at 10^12 rows, same result.
+Scale notes (measured: payload shuffles, not kernel CPU, bound the
+pipeline at sf0.1×64 replicas): dedup is structured so the MB-scale
+`html` payload crosses the wire AT MOST ONCE —
+
+  1. winner selection runs on a slim projection (sha256, warc_ts, url)
+     ≈ 100 B/row: a partial-aggregatable hash-agg (not a window, which
+     would sort whole partitions), shuffling ~1% of the table's bytes.
+  2. the winner set joins back on `url` with a shuffle-hash hint (the
+     slim side builds the hash table; no sort of the payload side).
+     That one full-payload shuffle is hash(url) — exactly the url-hash
+     partitioning the north rule requires for the extraction stage —
+     so the pipeline reuses it and never repartitions again.
+
+SHA-256 keys are uniform → no key skew by construction; AQE coalesces
+post-shuffle partitions.
 """
 
 from __future__ import annotations
@@ -42,24 +51,34 @@ def with_sha256(pages: DataFrame) -> DataFrame:
 
 
 def _first_per_hash(pages: DataFrame) -> DataFrame:
-    """One winner per sha256: earliest (warc_ts, url). Expressed as a
-    map-side-combinable agg (min of a sortable struct), not a window."""
-    winners = pages.groupBy("sha256").agg(
+    """One winner per sha256: earliest (warc_ts, url). Runs on the slim
+    key projection only (Catalyst prunes, but the explicit select is
+    self-documenting); map-side-combinable agg (min of a sortable
+    struct), not a window."""
+    winners = pages.select("sha256", "warc_ts", "url").groupBy("sha256").agg(
         F.min(F.struct("warc_ts", "url")).alias("w")
-    ).select("sha256", F.col("w.url").alias("_winner_url"))
+    ).select(
+        F.col("sha256").alias("_winner_hash"), F.col("w.url").alias("_winner_url")
+    )
     return winners
 
 
 def dedup_skip(pages: DataFrame) -> DataFrame:
-    """Skip policy: drop all but the first occurrence of each payload."""
+    """Skip policy: drop all but the first occurrence of each payload.
+
+    Semi-join on `url` alone (winner urls are unique: one per hash, and
+    the corpus key is url per input_hint). No join hint: AQE sees the
+    winner agg's runtime size and broadcasts it when it fits — then the
+    payload side never shuffles and extraction stays narrow over scan
+    splits (the Iceberg-bucketed storage-partitioned-join analog). When
+    the winner set is too big, AQE falls back to a shuffle join whose
+    hash(url) output partitioning the extraction stage consumes
+    directly — either way the payload crosses the wire at most once."""
     pages = with_sha256(pages)
-    winners = _first_per_hash(pages)
-    return pages.join(
-        winners,
-        (pages["sha256"] == winners["sha256"])
-        & (pages["url"] == winners["_winner_url"]),
-        "left_semi",
+    winners = _first_per_hash(pages).select(
+        F.col("_winner_url").alias("url")
     )
+    return pages.join(winners, "url", "left_semi")
 
 
 def dedup_track(pages: DataFrame) -> DataFrame:
@@ -69,11 +88,23 @@ def dedup_track(pages: DataFrame) -> DataFrame:
     reference's TrackedAsDuplicate ingestion result —
     document_ingestion.rs:31-41)."""
     pages = with_sha256(pages)
-    winners = _first_per_hash(pages)
-    joined = pages.join(winners, "sha256", "left")
+    # slim-side work: (url → duplicate_of) mapping, built from the key
+    # projection so the payload is not shuffled to compute it
+    keys = pages.select("sha256", "warc_ts", "url")
+    winners = _first_per_hash(keys)
+    url_map = keys.join(
+        winners, F.col("sha256") == F.col("_winner_hash"), "left"
+    ).select(
+        F.col("url").alias("_map_url"), F.col("_winner_url").alias("duplicate_of")
+    )
+    # payload-side join on url: AQE broadcasts url_map when it fits,
+    # else shuffle join (hash(url) == extraction partitioning)
+    joined = pages.join(
+        url_map, F.col("url") == F.col("_map_url")
+    ).drop("_map_url")
     return joined.withColumn(
-        "is_duplicate", F.col("url") != F.col("_winner_url")
-    ).withColumnRenamed("_winner_url", "duplicate_of")
+        "is_duplicate", F.col("url") != F.col("duplicate_of")
+    )
 
 
 def dedup_against_existing(pages: DataFrame, existing: DataFrame) -> DataFrame:

@@ -46,7 +46,8 @@ from readur_spark.kernels.settings import DEFAULT_SETTINGS
 # recomputed in Python) so the output table is self-contained without
 # a post-extraction join.
 _INPUT_COLS = ["url", "html"]
-_PASSTHROUGH_COLS = ["sha256", "priority"]
+_PASSTHROUGH_COLS = ["sha256", "priority", "warc_ts"]
+_PASSTHROUGH_TYPES = {"sha256": "string", "priority": "int", "warc_ts": "timestamp"}
 
 
 def _extract_batch(batch: pd.DataFrame, settings: dict) -> pd.DataFrame:
@@ -113,7 +114,7 @@ def extract_pages(df: DataFrame, settings: dict | None = None) -> DataFrame:
     passthrough = [c for c in _PASSTHROUGH_COLS if c in df.columns]
     out_fields = _OUTPUT_FIELDS + passthrough
     schema = _EXTRACT_SCHEMA + "".join(
-        ", %s %s" % (c, "string" if c == "sha256" else "int") for c in passthrough
+        ", %s %s" % (c, _PASSTHROUGH_TYPES[c]) for c in passthrough
     )
 
     def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

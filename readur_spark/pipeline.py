@@ -36,22 +36,48 @@ def extract_corpus(
     settings: dict | None = None,
     num_partitions: int | None = None,
     dedup_policy: str = dedup_ops.POLICY_SKIP,
+    dedup_stage: str = "post",
 ) -> DataFrame:
-    """pages → extracted DataFrame (lazy; caller writes or aggregates)."""
+    """pages → extracted DataFrame (lazy; caller writes or aggregates).
+
+    Shuffle budget (the scale-limiting resource — payloads are MB-scale
+    while kernel CPU is ms-scale/doc):
+
+    dedup_stage='post' (default, the single-pass scale path): ONE
+    payload pass — the scan projection computes sha256 (JVM F.sha2)
+    and feeds extraction directly; dedup runs downstream on the slim
+    extracted output (winner agg over (sha256, warc_ts, url) + semi
+    join, AQE-broadcast when the winner set fits). Identical output to
+    pre-extraction Skip dedup: duplicate payloads extract to identical
+    bytes, and the winner rule min(warc_ts, url) only consults echoed
+    columns. Costs extraction CPU on duplicate rows (~dup-rate %);
+    saves an entire payload read+hash pass — the right trade for
+    CC-style corpora (dups are minority) at 100 TB, where the payload
+    pass, not kernel CPU, is the bottleneck.
+
+    dedup_stage='pre' (the high-dup-rate path): winner set from a
+    payload-hashing pass, then a second payload pass semi-joined on
+    url (AQE-broadcast when small; shuffle join otherwise, whose
+    hash(url) output partitioning extraction consumes directly).
+    Never extracts duplicates; reads the payload twice."""
     pages = with_relational_columns(pages)
 
+    if dedup_policy == dedup_ops.POLICY_ALLOW:
+        if num_partitions is not None:
+            pages = repartition_by_url_hash(pages, num_partitions)
+        return extract_pages(pages, settings)
+
+    if dedup_stage == "pre":
+        if dedup_policy == dedup_ops.POLICY_SKIP:
+            pages = dedup_ops.dedup_skip(pages)
+        else:
+            pages = dedup_ops.dedup_track(pages)
+        return extract_pages(pages, settings)
+
+    extracted = extract_pages(pages, settings)
     if dedup_policy == dedup_ops.POLICY_SKIP:
-        pages = dedup_ops.dedup_skip(pages)
-    elif dedup_policy == dedup_ops.POLICY_TRACK:
-        pages = dedup_ops.dedup_track(pages)
-    # POLICY_ALLOW: no dedup stage at all
-
-    if num_partitions is None:
-        sc = pages.sparkSession.sparkContext
-        num_partitions = max(sc.defaultParallelism, 8)
-    pages = repartition_by_url_hash(pages, num_partitions)
-
-    return extract_pages(pages, settings)
+        return dedup_ops.dedup_skip(extracted)
+    return dedup_ops.dedup_track(extracted)
 
 
 def run(

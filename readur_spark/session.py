@@ -43,7 +43,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM hosts every task — size heap to the
+        # box, not to a cluster-driver default. 32 concurrent tasks over
+        # MB-scale binary rows at 8g = ~250MB/task → GC thrash; 48g
+        # keeps task working sets + shuffle buffers off the GC cliff.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         # binary payloads can be MB-scale: keep scan partitions bounded
