@@ -1,0 +1,95 @@
+"""Continuous ingestion — the reference's folder watcher on Spark.
+
+Reference semantics (yonasBSD/readur): a filesystem watcher feeds new
+files into the same ingest→extract path as uploads — notify events or
+30 s polling with hybrid strategy selection
+(src/scheduling/watcher.rs:22-125), plus periodic source sync with
+per-file change detection (src/scheduling/source_sync.rs). There are
+no watermarks, windows, or stream joins in the reference; "late data"
+is simply the next incremental batch (SURVEY.md §2 streaming note).
+
+Spark mapping: Structured Streaming file source discovers new page
+files (the watcher), and each micro-batch runs the *batch* extraction
+pipeline via foreachBatch, deduplicating against the snapshot store
+and committing one snapshot per batch:
+
+  - Trigger.AvailableNow  → "catch up on the backlog, then stop" (the
+    reference's startup sync, src/main.rs:289-310)
+  - processingTime trigger → the 30 s polling watcher
+  - restart safety: the streaming checkpoint replays an unacknowledged
+    batch; commits are idempotent because the snapshot manifest is
+    keyed by batch id — a replayed batch finds its manifest and skips
+    (readur needed conditional UPDATEs for the same guarantee,
+    src/db_guardrails_simple.rs:26-137)
+
+At 100 TB the same topology holds: the file source scales via listing
+parallelism, each micro-batch is a full parallel batch job, and the
+store commit becomes an Iceberg MERGE/append.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from readur_spark import schemas
+from readur_spark.operators.checkpoint import SnapshotStore
+from readur_spark.operators.dedup import dedup_against_existing, with_sha256
+from readur_spark.pipeline import extract_corpus
+
+
+def read_pages_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of pages (explicit schema — never infer)."""
+    reader = spark.readStream.schema(schemas.PAGES)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    store: SnapshotStore,
+    checkpoint_dir: str,
+    settings: dict | None = None,
+    available_now: bool = True,
+    processing_interval: str = "30 seconds",
+    max_files_per_trigger: int | None = None,
+):
+    """Start the watcher→extract stream; returns the StreamingQuery.
+
+    Each micro-batch: dedup against everything already committed
+    (content-hash anti-join — the reference's per-file hash lookup,
+    src/db/documents/crud.rs:117-134) → batch extraction pipeline →
+    one atomic snapshot commit keyed by batch id (idempotent replay).
+    """
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        run_id = "stream-batch-%d" % batch_id
+        if any(s["run_id"] == run_id for s in store.snapshots()):
+            return  # replayed batch after restart — already committed
+        fresh = batch_df
+        done = store.read(spark)
+        if done is not None:
+            fresh = dedup_against_existing(
+                with_sha256(batch_df), done.select("sha256")
+            )
+        if not fresh.take(1):
+            return
+        extracted = extract_corpus(fresh, settings)
+        store.commit(extracted, run_id=run_id, meta={"batch_id": batch_id})
+
+    writer = (
+        pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()
