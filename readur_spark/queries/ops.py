@@ -1,0 +1,175 @@
+"""Operational queries: boolean search, consistency audits, bulk-retry
+planning, skew-salted host aggregation (SURVEY.md §2 B4, B25, B27-B28;
+partitioning §4).
+
+All stock Catalyst plans — predicates/joins/aggregations; the salted
+aggregation is the explicit two-phase pattern the north rule requires
+for Zipf-skewed hosts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.search import tokens
+from readur_spark.queries.tables import load
+
+
+# ---- B4 boolean mode -------------------------------------------------------
+
+
+def term(text_col: Column, t: str) -> Column:
+    return F.array_contains(tokens(text_col), t)
+
+
+@register(
+    "search_boolean",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (list_contains(string_split(text, ' '), 'spark')
+           AND list_contains(string_split(text, ' '), 'join'))
+       OR (list_contains(string_split(text, ' '), 'vector')
+           AND NOT list_contains(string_split(text, ' '), 'stream'))
+    """,
+)
+def search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_tsquery boolean mode (src/db/documents/search.rs:115-121):
+    the query's AND/OR/NOT tree compiled to a Catalyst boolean
+    expression — ('spark' & 'join') | ('vector' & !'stream')."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    cond = (term(t, "spark") & term(t, "join")) | (
+        term(t, "vector") & ~term(t, "stream")
+    )
+    return docs.filter(cond).select("doc_id", "lang")
+
+
+# ---- B25 consistency audits ------------------------------------------------
+
+
+@register(
+    "consistency_orphan_events",
+    oracle="""
+    SELECT e.user_id, count(*) AS n_events
+    FROM events e
+    WHERE e.user_id NOT IN (SELECT c_custkey FROM customer)
+    GROUP BY e.user_id
+    """,
+)
+def consistency_orphan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphaned-row audit (src/db_guardrails_simple.rs:180-212: LEFT
+    JOIN ... WHERE d.id IS NULL) as a left-anti join + rollup. The
+    dimension side is broadcast; zero rows on consistent data is the
+    correct result."""
+    events = load(spark, sf_dir, "events")
+    customers = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return (
+        events.join(F.broadcast(customers), "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "consistency_stale_inflight",
+    oracle="""
+    SELECT count(*) AS n_stale
+    FROM events
+    WHERE event_type = 'login'
+      AND ts < (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+    """,
+)
+def consistency_stale_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale-item sweep shape (src/ocr/queue.rs:1101-1121: processing
+    older than N minutes): a threshold relative to the corpus'
+    high-water mark, not wall clock — deterministic and cluster-safe."""
+    events = load(spark, sf_dir, "events")
+    hwm = events.agg(F.max("ts").alias("m"))
+    return (
+        events.crossJoin(F.broadcast(hwm))
+        .filter(
+            (F.col("event_type") == "login")
+            & (F.col("ts") < F.col("m") - F.expr("INTERVAL 7 DAY"))
+        )
+        .agg(F.count("*").alias("n_stale"))
+    )
+
+
+# ---- B27/B28 bulk operations ----------------------------------------------
+
+
+@register(
+    "bulk_retry_preview",
+    oracle="""
+    SELECT event_type AS reason,
+           count(*) AS n_matched,
+           CAST(least(greatest(avg(value) / 10, 1), 20) AS INT) AS priority_override
+    FROM events
+    WHERE event_type IN ('error', 'logout') AND value < 150
+    GROUP BY event_type
+    """,
+)
+def bulk_retry_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28 preview mode (src/routes/documents_ocr_retry.rs:24-200):
+    filter-mode selection + per-reason counts + clamped 1-20 priority
+    override, without mutating anything."""
+    events = load(spark, sf_dir, "events")
+    sel = events.filter(
+        F.col("event_type").isin("error", "logout") & (F.col("value") < 150)
+    )
+    prio = F.least(F.greatest(F.avg("value") / 10, F.lit(1)), F.lit(20))
+    return sel.groupBy(F.col("event_type").alias("reason")).agg(
+        F.count("*").alias("n_matched"),
+        prio.cast("int").alias("priority_override"),
+    )
+
+
+@register(
+    "bulk_delete_accounting",
+    oracle="""
+    SELECT
+      count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS n_deleted,
+      count(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS n_kept,
+      sum(CASE WHEN doc_id % 7 = 0 THEN n_chars ELSE 0 END) AS bytes_freed
+    FROM documents
+    """,
+)
+def bulk_delete_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27 bulk delete (src/db/documents/operations.rs:22-54) as
+    set-at-a-time accounting: the per-id DELETE RETURNING loop becomes
+    one conditional aggregation over the target set."""
+    docs = load(spark, sf_dir, "documents")
+    is_target = F.col("doc_id") % 7 == 0
+    return docs.agg(
+        F.count(F.when(is_target, 1)).alias("n_deleted"),
+        F.count(F.when(~is_target, 1)).alias("n_kept"),
+        F.sum(F.when(is_target, F.col("n_chars")).otherwise(0)).alias("bytes_freed"),
+    )
+
+
+# ---- skew-salted host aggregation (north rule) -----------------------------
+
+
+@register(
+    "host_counts_salted",
+    oracle="""
+    SELECT source || '.example' AS host, count(*) AS n_pages
+    FROM documents
+    GROUP BY source || '.example'
+    """,
+)
+def host_counts_salted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host counts through the explicit two-phase salted aggregate
+    (operators.partitioning.host_counts_salted): heavy hosts fan out
+    to salted subkeys, partials merge per host. Result is identical to
+    a plain GROUP BY — the oracle proves it."""
+    from readur_spark.corpus import pages_from_documents
+    from readur_spark.operators.partitioning import host_counts_salted
+
+    pages = pages_from_documents(spark, sf_dir)
+    return host_counts_salted(pages, n_salts=8, threshold=0.05)

@@ -44,9 +44,9 @@ def _load_all() -> None:
     if _LOADED:
         return
     # import for registration side effects
-    from readur_spark.queries import analytics, facets, search  # noqa: F401
+    from readur_spark.queries import analytics, facets, ops, search  # noqa: F401
     from readur_spark.ml import dedup as ml_dedup  # noqa: F401
-    from readur_spark.ml import similarity, textqc  # noqa: F401
+    from readur_spark.ml import multimodal, similarity, textqc  # noqa: F401
     from readur_spark.queries import extraction  # noqa: F401
 
     _LOADED = True

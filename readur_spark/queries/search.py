@@ -166,6 +166,29 @@ def search_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(url.contains("src1")).select("doc_id", "source")
 
 
+# ---- B12: search suggestions (driver-side pure function) -------------------
+
+
+def search_suggestions(query: str) -> list[str]:
+    """src/routes/search.rs:144-165 — quoted-phrase, wildcard, and
+    refinement rewrites; at most 3. Pure driver-side (no table scan),
+    matching the reference's in-handler computation."""
+    q = query.strip()
+    if not q:
+        return []
+    out: list[str] = []
+    words = q.split()
+    if len(words) > 1 and not (q.startswith('"') and q.endswith('"')):
+        out.append('"%s"' % q)  # exact phrase
+    if len(words) == 1 and len(q) > 2 and not q.endswith("*"):
+        out.append(q + "*")  # prefix wildcard
+    if len(words) == 1:
+        out.append(q + " document")  # refinement
+    else:
+        out.append(words[0])  # broaden to first term
+    return out[:3]
+
+
 # ---- B10: snippets (pandas UDF, rows-only driver check) --------------------
 
 

@@ -42,7 +42,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # Arrow batch sizing is the dominant UDF-throughput knob
+        # (measured: 512-row batches cost 2.5× wall vs 8192 on CC-size
+        # pages — per-batch serialization overhead dominates). Records
+        # cap serves tiny rows; the byte cap bounds executor/worker
+        # memory when MB-scale payloads appear in a batch.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         # local mode: the driver JVM hosts every task — size heap to the
         # box, not to a cluster-driver default. 32 concurrent tasks over
         # MB-scale binary rows at 8g = ~250MB/task → GC thrash; 48g

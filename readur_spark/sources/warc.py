@@ -1,0 +1,155 @@
+"""WARC source — Common-Crawl's native archive format as a pages table.
+
+The reference ingests from filesystem walks and WebDAV sync
+(src/ingestion/batch_ingest.rs:47-130, src/services/webdav/); the
+Common-Crawl-scale equivalent input is WARC (ISO 28500): length-
+prefixed records of HTTP responses. This module reads WARC files into
+the engine's canonical pages schema (url, warc_ts, html, text, lang)
+with no external dependencies:
+
+  - discovery: Spark's binaryFile source lists and reads whole files
+    in parallel (one task per file — WARC members are not splittable
+    without an index; Common Crawl ships ~1 GB files by design, so
+    file-level parallelism is the intended unit);
+  - parsing: a pure-Python WARC record walker inside mapInPandas —
+    header parse, Content-Length framed payload, HTTP header/body
+    split; response records only;
+  - gzip: .warc.gz is a concatenation of per-record gzip members
+    (the CC convention) — handled by decompressing the multi-member
+    stream.
+
+At 100 TB: 100k × 1 GB files → 100k parallel tasks; lang/text stay
+null at ingest (they are extraction outputs, not inputs). A real
+deployment would register the resulting frame as the Iceberg input
+table this engine's pipeline reads.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CRLF = b"\r\n"
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1", "replace"
+            )
+    return headers
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """(warc_headers, payload) per record. Tolerant walker: a malformed
+    record ends the file (same stance as CC tooling) rather than
+    raising — at 10^5 files one truncated archive must not kill a job."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)  # multi-member streams supported
+    pos, n = 0, len(data)
+    while pos < n:
+        if not data.startswith(b"WARC/", pos):
+            break
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            break
+        headers = _parse_headers(data[pos:head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = head_end + 4
+        payload = data[body_start : body_start + length]
+        yield headers, payload
+        pos = body_start + length
+        # record terminator: two CRLFs
+        while data.startswith(_CRLF, pos):
+            pos += 2
+
+
+def _http_body(payload: bytes) -> bytes:
+    """Split the HTTP response head from the body (response records
+    carry the full HTTP message)."""
+    if payload[:5] in (b"HTTP/",):
+        split = payload.find(_CRLF + _CRLF)
+        if split >= 0:
+            return payload[split + 4 :]
+    return payload
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """WARC file bytes → pages rows (response records only)."""
+    rows = []
+    for headers, payload in iter_warc_records(data):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        ts = headers.get("warc-date")
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": pd.Timestamp(ts) if ts else None,
+                "html": _http_body(payload),
+                "text": None,
+                "lang": None,
+            }
+        )
+    return rows
+
+
+def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file(s)/glob → pages DataFrame (canonical schema)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        for pdf in batches:
+            rows: list[dict] = []
+            for content in pdf["content"]:
+                rows.extend(parse_warc_bytes(bytes(content)))
+            out = pd.DataFrame(rows, columns=cols)
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True)
+            yield out
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(
+        run,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+# -- writer (tests / fixtures; also documents the format we accept) --------
+
+
+def write_warc(rows: list[tuple[str, str, bytes]], compress: bool = False) -> bytes:
+    """Build a WARC file from (url, iso_ts, body) triples, wrapping
+    each body in a minimal HTTP/1.1 200 response — the shape CC
+    produces and `read_warc_pages` consumes."""
+    out = io.BytesIO()
+    for url, ts, body in rows:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+            + str(len(body)).encode()
+            + _CRLF + _CRLF
+            + body
+        )
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url.encode() + _CRLF +
+            b"WARC-Date: " + ts.encode() + _CRLF +
+            b"Content-Type: application/http;msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode() + _CRLF + _CRLF
+        )
+        rec = head + http + _CRLF + _CRLF
+        out.write(gzip.compress(rec) if compress else rec)
+    return out.getvalue()

@@ -1,0 +1,130 @@
+"""Operational queries (boolean search, audits, bulk ops, salted agg),
+search suggestions, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import oracle_sql, queries
+from readur_spark.queries.search import search_suggestions
+
+NEW_ORACLE_KEYS = [
+    "search_boolean",
+    "consistency_orphan_events",
+    "consistency_stale_inflight",
+    "bulk_retry_preview",
+    "bulk_delete_accounting",
+    "host_counts_salted",
+]
+
+
+def _duckdb_run(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            "CREATE VIEW %s AS SELECT * FROM read_parquet('%s/%s.parquet')"
+            % (t, sf_dir, t)
+        )
+    return con.execute(sql).df()
+
+
+@pytest.mark.parametrize("key", NEW_ORACLE_KEYS)
+def test_new_queries_match_duckdb(spark, sf_dir, key):
+    """Mirror of the driver's correctness gate: row count + sorted
+    values must match the DuckDB oracle."""
+    df = queries()[key](spark, sf_dir)
+    got = df.toPandas()
+    exp = _duckdb_run(oracle_sql()[key], sf_dir)
+    assert sorted(got.columns) == sorted(exp.columns), (got.columns, exp.columns)
+    got = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    exp = exp[sorted(exp.columns)].sort_values(sorted(exp.columns)).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if g.dtype.kind in "fc" or e.dtype.kind in "fc":
+            assert ((g - e).abs().fillna(0) < 1e-6).all(), c
+        else:
+            assert (g.astype(str).fillna("") == e.astype(str).fillna("")).all(), c
+
+
+def test_salted_host_counts_match_plain_groupby(spark, sf_dir):
+    """The salted two-phase aggregate must equal a plain GROUP BY."""
+    from readur_spark.corpus import pages_from_documents
+    from readur_spark.operators.partitioning import host_counts_salted, with_host
+
+    pages = pages_from_documents(spark, sf_dir)
+    salted = {
+        r.host: r.n_pages for r in host_counts_salted(pages, n_salts=8).collect()
+    }
+    plain = {
+        r.host: r["count"]
+        for r in with_host(pages).groupBy("host").count().collect()
+    }
+    assert salted == plain
+
+
+def test_search_suggestions_rules():
+    assert search_suggestions("") == []
+    s = search_suggestions("spark")
+    assert "spark*" in s and "spark document" in s and len(s) <= 3
+    s2 = search_suggestions("spark join plan")
+    assert '"spark join plan"' in s2 and "spark" in s2
+    assert search_suggestions('"already quoted"')[:1] != ['""already quoted""']
+
+
+def test_image_metadata_table_decodes_engine_pngs(spark):
+    from readur_spark.corpus import synthetic_pages
+    from readur_spark.ml.multimodal import image_metadata_table
+
+    pages = synthetic_pages(spark, 400).filter(F.col("url").endswith(".png"))
+    meta = image_metadata_table(pages).toPandas()
+    assert len(meta) == pages.count()
+    decoded = meta[meta.decode_status == "decoded"]
+    assert len(decoded) > 0
+    # every decoded row has dims + pixel stats; orientation consistent
+    assert decoded.width.notna().all() and decoded.mean_brightness.notna().all()
+    land = decoded[decoded.width > decoded.height]
+    assert (land.orientation == "landscape").all()
+
+
+def test_image_metadata_unknown_format(spark):
+    from readur_spark.ml.multimodal import image_metadata_table
+
+    rows = [("u1", bytearray(b"not an image")), ("u2", None)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    meta = {r.url: r for r in image_metadata_table(df).collect()}
+    assert meta["u1"].decode_status == "unknown_format"
+    assert meta["u2"].decode_status == "unknown_format"
+    assert meta["u2"].byte_size == 0
+
+
+def test_frame_sampler_deterministic_and_complete(spark):
+    from readur_spark.ml.multimodal import frame_sample_table, sample_frames_bytes
+
+    data = bytes(range(256)) * 8  # 2048 bytes
+    frames = sample_frames_bytes(data, 4, frame_size=64)
+    assert [f[0] for f in frames] == [0, 512, 1024, 1536]
+    assert all(len(f[1]) == 64 for f in frames)
+    assert frames == sample_frames_bytes(data, 4, frame_size=64)
+
+    df = spark.createDataFrame(
+        [("u1", bytearray(data)), ("u2", bytearray(b"xy")), ("u3", None)],
+        "url string, html binary",
+    )
+    out = {r.url: r for r in frame_sample_table(df, n_frames=4).collect()}
+    assert out["u1"].n_frames == 4
+    assert list(out["u1"].frame_offsets) == [0, 512, 1024, 1536]
+    assert out["u2"].n_frames == 2  # short payload → fewer windows
+    assert out["u3"].n_frames == 0
+
+
+def test_audio_decode_is_capability_gated():
+    from readur_spark.ml.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF....WAVE")

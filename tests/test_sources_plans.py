@@ -1,0 +1,85 @@
+"""WARC source round-trips and physical-plan audits."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from readur_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+)
+from readur_spark.sources.warc import parse_warc_bytes, read_warc_pages, write_warc
+
+ROWS = [
+    ("https://a.example/x.html", "2024-01-01T00:00:00Z", b"<html><body><p>hello world one</p></body></html>"),
+    ("https://b.example/y.txt", "2024-01-02T12:30:00Z", b"plain text body"),
+    ("https://a.example/z.html", "2024-01-03T06:00:00Z", "café naïve".encode("utf-8")),
+]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_warc_roundtrip_bytes(compress):
+    data = write_warc(ROWS, compress=compress)
+    rows = parse_warc_bytes(data)
+    assert [(r["url"], bytes(r["html"])) for r in rows] == [
+        (u, b) for u, _, b in ROWS
+    ]
+    assert rows[0]["warc_ts"].isoformat().startswith("2024-01-01T00:00:00")
+
+
+def test_warc_tolerates_truncation():
+    data = write_warc(ROWS)
+    rows = parse_warc_bytes(data[: len(data) - 30])  # cut mid-record
+    assert 0 < len(rows) <= len(ROWS)  # no exception, prefix parsed
+
+
+def test_read_warc_pages_spark(spark, tmp_path):
+    p1 = tmp_path / "a.warc"
+    p2 = tmp_path / "b.warc.gz"
+    p1.write_bytes(write_warc(ROWS[:2]))
+    p2.write_bytes(write_warc(ROWS[2:], compress=True))
+
+    df = read_warc_pages(spark, str(tmp_path))
+    got = {r.url: r for r in df.collect()}
+    assert set(got) == {u for u, _, _ in ROWS}
+    assert bytes(got["https://b.example/y.txt"].html) == b"plain text body"
+    assert got["https://a.example/x.html"].warc_ts is not None
+
+    # and it feeds the pipeline directly
+    from readur_spark.pipeline import extract_corpus
+
+    extracted = {r.url: r for r in extract_corpus(df).collect()}
+    assert extracted["https://b.example/y.txt"].extracted_text == "plain text body"
+
+
+def test_plan_pushdown_and_pruning(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    q = docs.filter(F.col("n_chars") > 100).select("doc_id", "lang")
+    pf = pushed_filters(q)
+    assert any("n_chars" in f for f in pf), pf
+    cols = scan_columns(q)
+    assert cols and set(cols[0]) <= {"doc_id", "lang", "n_chars"}, cols
+
+
+def test_plan_narrow_extraction_no_shuffle(spark, sf_dir):
+    """POLICY_ALLOW extraction must stay a scan→UDF narrow pipeline."""
+    from readur_spark.corpus import pages_from_documents
+    from readur_spark.operators import dedup as dd
+    from readur_spark.pipeline import extract_corpus
+
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = extract_corpus(pages, dedup_policy=dd.POLICY_ALLOW)
+    assert shuffle_count(extracted) == 0
+
+
+def test_plan_label_join_broadcasts(spark, sf_dir):
+    """The labels-style dimension join (B18) must broadcast."""
+    from readur_spark.queries.registry import queries
+
+    df = queries()["label_join_counts"](spark, sf_dir)
+    assert has_broadcast_join(df)
