@@ -132,17 +132,27 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- MinHash + LSH ----------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
 
 def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Multiply-shift universal family h_i(x) = a_i*x + b_i (mod 2^64,
+    a odd) — exact in uint64 wraparound arithmetic, unlike a Mersenne
+    modulus pushed through float64 (53-bit mantissa loses the low bits
+    of 61-bit products)."""
     rs = np.random.RandomState(seed)
-    a = rs.randint(1, _MERSENNE, size=n_perm, dtype=np.int64)
-    b = rs.randint(0, _MERSENNE, size=n_perm, dtype=np.int64)
+    a = (rs.randint(1, 1 << 62, size=n_perm, dtype=np.int64).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rs.randint(0, 1 << 62, size=n_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
-def _token_hashes(text: str, n_shingle: int) -> np.ndarray:
+def _token_hashes(
+    text: str, n_shingle: int, cache: dict | None = None
+) -> np.ndarray:
+    """Stable 64-bit shingle hashes via blake2b (C speed; the previous
+    per-character FNV in numpy scalars was the profile's top cost).
+    `cache` memoizes across a batch — natural-language token/shingle
+    vocabularies repeat heavily."""
+    from hashlib import blake2b
+
     toks = text.split()
     if n_shingle > 1:
         items = [
@@ -153,14 +163,17 @@ def _token_hashes(text: str, n_shingle: int) -> np.ndarray:
         items = toks
     if not items:
         return np.zeros(1, dtype=np.uint64)
-    # stable 64-bit FNV-1a, vectorizable enough at batch level
-    out = np.empty(len(items), dtype=np.uint64)
-    for i, it in enumerate(items):
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in it.encode("utf-8"):
-            h = np.uint64((int(h) ^ ch) * 0x100000001B3 % (1 << 64))
-        out[i] = h
-    return out
+    if cache is None:
+        cache = {}
+
+    def h(it: str) -> int:
+        v = cache.get(it)
+        if v is None:
+            v = int.from_bytes(blake2b(it.encode(), digest_size=8).digest(), "little")
+            cache[it] = v
+        return v
+
+    return np.fromiter((h(it) for it in items), dtype=np.uint64, count=len(items))
 
 
 def minhash_signatures(
@@ -172,22 +185,27 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """doc → minhash signature array<long>, computed batch-at-a-time
-    (numpy (a*h+b) mod p min-reduce over the shingle-hash vector)."""
+    (uint64 (a*h+b) min-reduce over the shingle-hash vector, outer
+    product form)."""
     a, b = _perm_params(n_perm, seed)
 
     def sig_batches(batches):
         for pdf in batches:
+            cache: dict = {}
             sigs = []
             for text in pdf[text_col]:
-                hs = _token_hashes(text or "", n_shingle).astype(np.float64)
-                # (a*h + b) mod p, min over shingles — outer product form
-                vals = (
-                    a[:, None].astype(np.float64) * hs[None, :] + b[:, None]
-                ) % _MERSENNE
-                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+                hs = _token_hashes(text or "", n_shingle, cache)
+                vals = a[:, None] * hs[None, :] + b[:, None]  # uint64 wrap
+                sigs.append(vals.min(axis=1).view(np.int64).tolist())
             yield pd.DataFrame({"id": pdf[id_col], "signature": sigs})
 
-    return docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+    # a single-file table scans as one split; the signature stage is
+    # CPU-bound Python, so spread the slim (id, text) projection first
+    slim = docs.select(F.col(id_col).alias(id_col), text_col)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < par:
+        slim = slim.repartition(par)
+    return slim.mapInPandas(
         sig_batches, schema=f"id long, signature array<long>"
     )
 
@@ -257,8 +275,9 @@ def simhash_signatures(
     def batches(it):
         for pdf in it:
             out = []
+            cache: dict = {}
             for text in pdf[text_col]:
-                hs = _token_hashes(text or "", 1)
+                hs = _token_hashes(text or "", 1, cache)
                 if len(hs) == 0:
                     out.append(0)
                     continue
@@ -270,9 +289,11 @@ def simhash_signatures(
                 out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
             yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
 
-    return docs.select(F.col(id_col), text_col).mapInPandas(
-        batches, schema="id long, simhash long"
-    )
+    slim = docs.select(F.col(id_col), text_col)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < par:
+        slim = slim.repartition(par)
+    return slim.mapInPandas(batches, schema="id long, simhash long")
 
 
 def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -1,0 +1,70 @@
+"""Inverted posting-list index — index-accelerated search at scale.
+
+The reference's search rides Postgres GIN indexes over tsvector
+(migrations/20250620100000_initial_schema.sql:41-43); a batch engine
+scanning 10^12 rows per query needs the same idea materialized as a
+table (SURVEY.md §4: "build an explicit posting-list table"):
+
+    postings(token, doc_id, tf)   partitioned/bucketed by token
+
+Build is one explode + aggregate. Query-time, the planner inverts the
+work: instead of scanning every document's text, it scans the (tiny)
+posting slices for the query terms — a semi/inner join keyed by token
+that Catalyst turns into a broadcast of the term list. AND semantics =
+per-doc matched-term count equals the term count (the reference's
+plainto_tsquery conjunction, src/db/documents/search.rs:100-106);
+ranking = sum of tf (the ts_rank approximation of B5).
+
+Scale notes: postings are Zipf-distributed by token — a stop-word's
+posting list is ~corpus-sized. The build aggregates (token, doc_id)
+pairs (map-side combinable); the query side prunes to the searched
+tokens BEFORE any join, so stop-word skew only matters if you search
+for stop words. Bucketing the stored table by token makes repeated
+queries shuffle-free; df statistics live alongside for selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def build_postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """docs → postings(token, doc_id, tf). One shuffle (the agg)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def document_frequencies(postings: DataFrame) -> DataFrame:
+    """token → df (number of documents containing it)."""
+    return postings.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+
+
+def search_postings_and(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """AND-of-terms via the index: returns (doc_id, rank_tf) for docs
+    containing every term; rank = total tf over the query terms.
+
+    The literal term list is an in-plan array — the filter prunes the
+    postings scan to |terms| slices before the aggregate; no join, one
+    partial-aggregatable shuffle."""
+    hits = postings.filter(F.col("token").isin(terms))
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("token").alias("_n_terms"),
+            F.sum("tf").alias("rank_tf"),
+        )
+        .filter(F.col("_n_terms") == len(terms))
+        .select("doc_id", "rank_tf")
+    )

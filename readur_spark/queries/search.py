@@ -166,6 +166,51 @@ def search_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(url.contains("src1")).select("doc_id", "source")
 
 
+# ---- index-accelerated search (posting lists, SURVEY.md §4) ----------------
+
+
+@register(
+    "posting_df_top",
+    oracle="""
+    SELECT token, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    HAVING count(DISTINCT doc_id) > 300
+    """,
+)
+def posting_df_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list build + document-frequency statistics (the GIN
+    index's term dictionary, materialized)."""
+    from readur_spark.operators.posting import build_postings, document_frequencies
+
+    docs = load(spark, sf_dir, "documents")
+    dfreq = document_frequencies(build_postings(docs, "doc_id", "text"))
+    return dfreq.filter(F.col("df") > 300)
+
+
+@register(
+    "search_via_postings",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+         + len(list_filter(string_split(text, ' '), x -> x = 'join')) AS rank_tf
+    FROM documents
+    WHERE list_contains(string_split(text, ' '), 'spark')
+      AND list_contains(string_split(text, ' '), 'join')
+    """,
+)
+def search_via_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same AND query as search_simple_and answered from the
+    posting index instead of a text scan — the oracle proves the index
+    path returns identical results with tf ranking."""
+    from readur_spark.operators.posting import build_postings, search_postings_and
+
+    docs = load(spark, sf_dir, "documents")
+    postings = build_postings(docs, "doc_id", "text")
+    return search_postings_and(postings, ["spark", "join"])
+
+
 # ---- B12: search suggestions (driver-side pure function) -------------------
 
 
