@@ -183,3 +183,92 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in qrow["embedding"]]
     out = ann_lsh_topk(emb.filter("vec_id != 0"), qv, dim=len(qv), n_planes=6)
     return out
+
+
+# ---- IVF (inverted-file) ANN — the other scale path -------------------------
+
+
+def kmeans_centroids(
+    sample: np.ndarray, n_clusters: int, seed: int = 42, n_iter: int = 10
+) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side sample — IVF training.
+    At 10^9+ vectors one trains on a ~1M-row sample exactly like this
+    (centroid count ~sqrt(n)); the heavy work (assignment) stays
+    distributed."""
+    rs = np.random.RandomState(seed)
+    n = len(sample)
+    cent = sample[rs.choice(n, size=min(n_clusters, n), replace=False)].copy()
+    for _ in range(n_iter):
+        # cosine assignment: normalize then argmax dot
+        sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = (sn @ cn.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def with_ivf_cluster(
+    vectors: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment (vectorized matmul per Arrow batch;
+    centroids ride the closure — the broadcast-variable pattern)."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            out = pdf.copy()
+            if mat.size == 0:
+                out["cluster"] = pd.Series([], dtype="int64")
+            else:
+                mn = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+                out["cluster"] = (mn @ cn.T).argmax(axis=1).astype(np.int64)
+            yield out
+
+    fields = ", ".join(
+        "%s %s" % (f.name, f.dataType.simpleString()) for f in vectors.schema.fields
+    )
+    return vectors.mapInPandas(assign, schema=fields + ", cluster long")
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF probe: rerank only the n_probe clusters nearest the query.
+    Stored IVF tables partition by cluster so the probe prunes
+    partitions (Iceberg partition pruning at scale); here the filter
+    prunes after assignment. Recall pytest-verified vs brute force."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
+    clustered = with_ivf_cluster(vectors, centroids, vec_col)
+    cands = clustered.filter(F.col("cluster").isin([int(p) for p in probe]))
+    return brute_force_topk(cands, query_vec, id_col, vec_col, k)
+
+
+@register("ann_ivf_probe")  # non-SQL: algorithmic; pytest-verified recall
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [r["embedding"] for r in emb.limit(256).collect()], dtype=np.float64
+    )
+    cents = kmeans_centroids(sample, n_clusters=8)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    return ann_ivf_topk(emb.filter("vec_id != 0"), qv, cents, n_probe=3)

@@ -53,11 +53,11 @@ _PASSTHROUGH_TYPES = {"sha256": "string", "priority": "int", "warc_ts": "timesta
 def _extract_batch(batch: pd.DataFrame, settings: dict) -> pd.DataFrame:
     t0 = time.monotonic()
     n = len(batch)
-    urls = batch["url"]
-    htmls = batch["html"]
+    urls = batch["url"].tolist()  # plain lists: .iloc per row costs ~µs each
+    htmls = batch["html"].tolist()
 
     out = {
-        "url": urls.tolist(),
+        "url": urls,
         "mime_type": [None] * n,
         "file_size": [0] * n,
         "extracted_text": [None] * n,
@@ -71,9 +71,9 @@ def _extract_batch(batch: pd.DataFrame, settings: dict) -> pd.DataFrame:
     }
 
     for i in range(n):
-        data = htmls.iloc[i]
+        data = htmls[i]
         data = bytes(data) if data is not None else b""
-        r = extract_page(urls.iloc[i], data, settings)
+        r = extract_page(urls[i], data, settings)
         out["mime_type"][i] = r.mime_type
         out["file_size"][i] = r.file_size
         out["extracted_text"][i] = r.extracted_text

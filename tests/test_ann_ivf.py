@@ -1,0 +1,59 @@
+"""IVF ANN: centroid training determinism, probe recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from readur_spark.ml.similarity import (
+    ann_ivf_topk,
+    brute_force_topk,
+    kmeans_centroids,
+    with_ivf_cluster,
+)
+
+
+def _emb(spark, sf_dir):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_kmeans_deterministic():
+    rs = np.random.RandomState(0)
+    data = rs.normal(size=(500, 16))
+    c1 = kmeans_centroids(data, 8, seed=42)
+    c2 = kmeans_centroids(data, 8, seed=42)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 16)
+
+
+def test_cluster_assignment_covers_all(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    sample = np.array([r["embedding"] for r in emb.limit(200).collect()], dtype=np.float64)
+    cents = kmeans_centroids(sample, 8)
+    clustered = with_ivf_cluster(emb, cents)
+    assert clustered.count() == emb.count()
+    stats = clustered.agg(F.min("cluster"), F.max("cluster")).first()
+    assert 0 <= stats[0] and stats[1] < 8
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    sample = np.array([r["embedding"] for r in emb.limit(256).collect()], dtype=np.float64)
+    cents = kmeans_centroids(sample, 8)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    base = emb.filter("vec_id != 0")
+
+    exact = [r.vec_id for r in brute_force_topk(base, qv, k=10).collect()]
+    # probing ALL clusters must reproduce brute force exactly
+    full = [
+        r.vec_id
+        for r in ann_ivf_topk(base, qv, cents, k=10, n_probe=len(cents)).collect()
+    ]
+    assert full == exact
+
+    # partial probe: meaningful recall with a fraction of the scan
+    approx = [r.vec_id for r in ann_ivf_topk(base, qv, cents, k=10, n_probe=3).collect()]
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.5, recall
