@@ -1,0 +1,62 @@
+"""spark-submit job entry: end-to-end run, resume, packaging."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_job(args: list[str]) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "jobs", "run_extraction.py"), *args],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_job_run_and_resume(tmp_path, pages_parquet):
+    store = str(tmp_path / "store")
+    r1 = _run_job(["--input", pages_parquet, "--store", store,
+                   "--run-id", "r1", "--cpus", "8"])
+    assert r1["status"] == "committed"
+    assert r1["n_docs"] > 0
+    assert os.path.isdir(os.path.join(store, "metrics"))
+    assert os.path.isdir(os.path.join(store, "lineage"))
+
+    # re-run: everything committed → up_to_date, no second snapshot
+    r2 = _run_job(["--input", pages_parquet, "--store", store,
+                   "--run-id", "r2", "--cpus", "8"])
+    assert r2["status"] == "up_to_date"
+
+
+def test_package_zip_importable(tmp_path):
+    sys.path.insert(0, os.path.join(REPO_ROOT, "jobs"))
+    try:
+        import package as pkg_mod
+    finally:
+        sys.path.pop(0)
+    out = pkg_mod.build(str(tmp_path / "readur_spark.zip"))
+    with zipfile.ZipFile(out) as z:
+        names = z.namelist()
+    assert "readur_spark/__init__.py" in names
+    assert "readur_spark/kernels/extract.py" in names
+    assert not any("__pycache__" in n for n in names)
+    # the zip itself is importable (the --py-files contract)
+    sys.path.insert(0, out)
+    try:
+        import importlib
+
+        importlib.invalidate_caches()
+        spec = importlib.util.find_spec("readur_spark.kernels.text")
+        assert spec is not None
+    finally:
+        sys.path.pop(0)
