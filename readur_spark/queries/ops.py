@@ -152,6 +152,61 @@ def bulk_delete_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- streaming twins run as batch (oracle-checkable) -----------------------
+
+
+@register(
+    "windowed_event_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed rollup (streaming/windows.py) evaluated
+    in batch — one expression serves both engines, so the DuckDB
+    oracle transitively checks the streaming aggregation logic."""
+    from readur_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(load(spark, sf_dir, "events"))
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(count(*) AS INT) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def sessionize_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch twin of the stateful streaming
+    operator (streaming/windows.py sessionize)."""
+    from readur_spark.streaming.windows import sessionize_batch
+
+    return sessionize_batch(load(spark, sf_dir, "events"), gap_seconds=1800)
+
+
 # ---- skew-salted host aggregation (north rule) -----------------------------
 
 
