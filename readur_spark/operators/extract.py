@@ -46,8 +46,14 @@ from readur_spark.kernels.settings import DEFAULT_SETTINGS
 # recomputed in Python) so the output table is self-contained without
 # a post-extraction join.
 _INPUT_COLS = ["url", "html"]
-_PASSTHROUGH_COLS = ["sha256", "priority", "warc_ts"]
-_PASSTHROUGH_TYPES = {"sha256": "string", "priority": "int", "warc_ts": "timestamp"}
+_PASSTHROUGH_COLS = ["sha256", "priority", "warc_ts", "is_duplicate", "duplicate_of"]
+_PASSTHROUGH_TYPES = {
+    "sha256": "string",
+    "priority": "int",
+    "warc_ts": "timestamp",
+    "is_duplicate": "boolean",
+    "duplicate_of": "string",
+}
 
 
 def _extract_batch(batch: pd.DataFrame, settings: dict) -> pd.DataFrame:

@@ -36,30 +36,31 @@ def extract_corpus(
     settings: dict | None = None,
     num_partitions: int | None = None,
     dedup_policy: str = dedup_ops.POLICY_SKIP,
-    dedup_stage: str = "post",
+    dedup_stage: str = "pre",
 ) -> DataFrame:
     """pages → extracted DataFrame (lazy; caller writes or aggregates).
 
-    Shuffle budget (the scale-limiting resource — payloads are MB-scale
-    while kernel CPU is ms-scale/doc):
+    Shuffle/compute budget (payloads are MB-scale, kernel CPU
+    ms-scale/doc — both matter):
 
-    dedup_stage='post' (default, the single-pass scale path): ONE
-    payload pass — the scan projection computes sha256 (JVM F.sha2)
-    and feeds extraction directly; dedup runs downstream on the slim
-    extracted output (winner agg over (sha256, warc_ts, url) + semi
-    join, AQE-broadcast when the winner set fits). Identical output to
-    pre-extraction Skip dedup: duplicate payloads extract to identical
-    bytes, and the winner rule min(warc_ts, url) only consults echoed
-    columns. Costs extraction CPU on duplicate rows (~dup-rate %);
-    saves an entire payload read+hash pass — the right trade for
-    CC-style corpora (dups are minority) at 100 TB, where the payload
-    pass, not kernel CPU, is the bottleneck.
+    dedup_stage='pre' (default): the winner set is a JVM-only subtree
+    (scan → F.sha2 → slim (sha256, warc_ts, url) agg — no Python);
+    the payload side semi-joins on url (AQE broadcasts the winner set
+    when it fits, else a shuffle join whose hash(url) output
+    partitioning extraction consumes directly) and extraction runs
+    ONCE, on winners only. The payload is scanned twice, but the
+    second scan does no Python work — and any content dedup must hash
+    the payload anyway.
 
-    dedup_stage='pre' (the high-dup-rate path): winner set from a
-    payload-hashing pass, then a second payload pass semi-joined on
-    url (AQE-broadcast when small; shuffle join otherwise, whose
-    hash(url) output partitioning extraction consumes directly).
-    Never extracts duplicates; reads the payload twice."""
+    dedup_stage='post': extraction first, winner selection on the
+    extracted output's echoed (sha256, warc_ts, url). A lazy plan
+    would re-execute the extraction subtree for the winner agg
+    (measured: MapInPandas appeared twice in the physical plan), so
+    this mode persists the extracted frame first. Use it when the
+    extracted output is materialized anyway (e.g. committed to the
+    snapshot store and deduplicated on read-back — what
+    jobs/run_extraction.py does at scale); 'pre' is the right default
+    for a one-shot lazy pipeline."""
     pages = with_relational_columns(pages)
 
     if dedup_policy == dedup_ops.POLICY_ALLOW:
@@ -74,7 +75,11 @@ def extract_corpus(
             pages = dedup_ops.dedup_track(pages)
         return extract_pages(pages, settings)
 
-    extracted = extract_pages(pages, settings)
+    from pyspark import StorageLevel
+
+    extracted = extract_pages(pages, settings).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if dedup_policy == dedup_ops.POLICY_SKIP:
         return dedup_ops.dedup_skip(extracted)
     return dedup_ops.dedup_track(extracted)

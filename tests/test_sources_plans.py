@@ -77,6 +77,21 @@ def test_plan_narrow_extraction_no_shuffle(spark, sf_dir):
     assert shuffle_count(extracted) == 0
 
 
+def test_plan_flagship_single_extraction_pass(spark, sf_dir):
+    """The dedup'd pipeline must run MapInPandas exactly once — the
+    winner-selection subtree is JVM-only. (Regression: the post-stage
+    lazy plan re-executed the whole extraction for the winner agg.)"""
+    from readur_spark.corpus import pages_from_documents
+    from readur_spark.pipeline import extract_corpus
+    from readur_spark.plans import explain_str
+
+    pages = pages_from_documents(spark, sf_dir)
+    # simple mode: one line per operator (formatted repeats each node
+    # in the detail section)
+    plan = explain_str(extract_corpus(pages), mode="simple")
+    assert plan.count("MapInPandas") == 1, plan
+
+
 def test_plan_label_join_broadcasts(spark, sf_dir):
     """The labels-style dimension join (B18) must broadcast."""
     from readur_spark.queries.registry import queries
