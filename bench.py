@@ -136,35 +136,88 @@ def run_scaling_extraction(spark, n_base: int = 2000, replicas: int = 32) -> dic
     }
 
 
-def _scaling_subprocess(cpus: int, repeats: int = 3) -> dict | None:
-    """Run the scaling-corpus extraction at a given parallelism in a
-    fresh process (a SparkSession's master can't change in-process;
-    fresh processes keep the two levels symmetric). Best-of-N: the
-    sandbox VM shares a noisy host — observed up to 4× run-to-run
-    variance on identical plans — so peak sustained throughput is the
-    meaningful per-level number."""
+def _calibrate_raw(procs: int, n_docs_per_proc: int = 150) -> float | None:
+    """Raw kernel throughput (docs/sec) via a multiprocessing pool on
+    payloads from the scaling corpus — no Spark. Run adjacent to each
+    Spark measurement, it separates pipeline scaling from the shared
+    host's capacity drift (observed: identical Spark runs vary 2-4×
+    within minutes as co-tenant load changes)."""
+    try:
+        import multiprocessing as mp
+
+        import pyarrow.parquet as pq
+
+        from readur_spark.session import REPO_ROOT
+
+        base = os.path.join(REPO_ROOT, ".cache", "scaling_n2000_s43.parquet")
+        if not os.path.exists(base):
+            return None
+        tbl = pq.read_table(base, columns=["url", "html"])
+        rows = tbl.slice(0, procs * n_docs_per_proc).to_pylist()
+        chunks = [
+            rows[i * n_docs_per_proc : (i + 1) * n_docs_per_proc]
+            for i in range(procs)
+        ]
+        with mp.Pool(procs) as pool:
+            t0 = time.monotonic()
+            pool.map(_raw_worker, chunks)
+            wall = time.monotonic() - t0
+        n = sum(len(c) for c in chunks)
+        return round(n / wall, 1) if wall > 0 else None
+    except Exception:
+        return None
+
+
+def _raw_worker(rows: list) -> int:
+    from readur_spark.kernels.extract import extract_page
+    from readur_spark.kernels.settings import DEFAULT_SETTINGS
+
+    s = dict(DEFAULT_SETTINGS)
+    for r in rows:
+        data = r["html"]
+        extract_page(r["url"], bytes(data) if data is not None else b"", s)
+    return len(rows)
+
+
+def _scaling_subprocess_once(cpus: int) -> dict | None:
+    """One scaling-corpus extraction at a given parallelism in a fresh
+    process (a SparkSession's master can't change in-process; fresh
+    processes keep the two levels symmetric)."""
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SCALING"] = "0"
-    best = None
-    for _ in range(repeats):
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-run"],
-                env=env, capture_output=True, text=True, timeout=1800,
-            )
-            for line in reversed(out.stdout.strip().splitlines()):
-                line = line.strip()
-                if line.startswith("{"):
-                    res = json.loads(line)
-                    if res.get("docs_per_sec") and (
-                        best is None or res["docs_per_sec"] > best["docs_per_sec"]
-                    ):
-                        best = res
-                    break
-        except Exception:
-            pass
-    return best
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-run"],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                res = json.loads(line)
+                return res if res.get("docs_per_sec") else None
+    except Exception:
+        pass
+    return None
+
+
+def _scaling_measurements(lo: int, hi: int, rounds: int = 3):
+    """Interleave lo/hi runs (lo,hi,lo,hi,…) so shared-host capacity
+    drift — observed up to 4× on identical plans — biases neither
+    level; best-of per level is the sustained-capability number."""
+    best_lo = best_hi = None
+    for _ in range(rounds):
+        for cpus in (lo, hi):
+            res = _scaling_subprocess_once(cpus)
+            if res is None:
+                continue
+            if cpus == lo:
+                if best_lo is None or res["docs_per_sec"] > best_lo["docs_per_sec"]:
+                    best_lo = res
+            else:
+                if best_hi is None or res["docs_per_sec"] > best_hi["docs_per_sec"]:
+                    best_hi = res
+    return best_lo, best_hi
 
 
 def main() -> None:
@@ -202,11 +255,16 @@ def main() -> None:
 
     if do_scaling and cpus >= 4:
         lo = max(cpus // 4, 1)
-        lo_res = _scaling_subprocess(lo)
-        hi_res = _scaling_subprocess(cpus)
+        raw_lo_1 = _calibrate_raw(lo)
+        raw_hi_1 = _calibrate_raw(cpus)
+        lo_res, hi_res = _scaling_measurements(lo, cpus)
+        raw_lo_2 = _calibrate_raw(lo)
+        raw_hi_2 = _calibrate_raw(cpus)
         if lo_res and hi_res and lo_res.get("docs_per_sec") and hi_res.get("docs_per_sec"):
             thr_lo, thr_hi = lo_res["docs_per_sec"], hi_res["docs_per_sec"]
-            result["scaling"] = {
+            raws_lo = [x for x in (raw_lo_1, raw_lo_2) if x]
+            raws_hi = [x for x in (raw_hi_1, raw_hi_2) if x]
+            scaling = {
                 "corpus": "heavy CC-size pages (CPU-representative)",
                 "n_pages": hi_res["n_pages"],
                 "cpus_lo": lo,
@@ -217,6 +275,20 @@ def main() -> None:
                 "mb_per_sec_hi": hi_res["mb_per_sec"],
                 "efficiency": round((thr_hi / thr_lo) / (cpus / lo), 3),
             }
+            if raws_lo and raws_hi:
+                # host calibration: raw (Spark-free) kernel throughput at
+                # the same proc counts, bracketing the Spark runs. The
+                # raw curve captures the shared box's contention/noise;
+                # spark_fraction_* shows what the pipeline adds on top.
+                raw_lo, raw_hi = max(raws_lo), max(raws_hi)
+                scaling["raw_kernel_docs_per_sec_lo"] = raw_lo
+                scaling["raw_kernel_docs_per_sec_hi"] = raw_hi
+                scaling["raw_kernel_efficiency"] = round(
+                    (raw_hi / raw_lo) / (cpus / lo), 3
+                )
+                scaling["spark_fraction_of_raw_lo"] = round(thr_lo / raw_lo, 3)
+                scaling["spark_fraction_of_raw_hi"] = round(thr_hi / raw_hi, 3)
+            result["scaling"] = scaling
 
     spark.stop()
     print(json.dumps(result))

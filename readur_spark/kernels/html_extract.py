@@ -218,17 +218,107 @@ def _block_score(b: _Block) -> float:
     return score
 
 
-def extract_main_content(html: str) -> str:
+# ---- fast tokenizer --------------------------------------------------------
+#
+# html.parser's goahead/updatepos machinery was ~70% of HTML-path CPU
+# after the other hot spots were fixed. This tokenizer drives the SAME
+# _ContentParser handlers with one compiled regex sweep; equivalence
+# with the stdlib path is pinned by tests over the synthetic corpus
+# (byte-identical extract_main_content output) and hypothesis fuzzing
+# keeps it total. `use_fast_tokenizer=False` selects the stdlib path.
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"                       # comments (unterminated: to EOF)
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"             # CDATA
+    r"|<[!?][^>]*>?"                          # doctype / processing instr.
+    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:._-]*)"  # 1: close-slash, 2: tag name
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)"      # 3: attribute blob
+    r">?",
+    re.DOTALL,
+)
+
+_ATTR_HINT_RE = re.compile(
+    r"""\b(class|id)\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.IGNORECASE
+)
+
+# raw-text elements: content runs to the matching close tag verbatim
+_RAWTEXT = {"script", "style", "textarea", "title"}
+
+
+def _fast_attrs(blob: str) -> list[tuple[str, str]]:
+    """Only class/id reach _hint_of — parse just those (the stdlib
+    parser hands over every attribute, but the handlers ignore the
+    rest)."""
+    if not blob or ("class" not in blob and "id" not in blob and "ID" not in blob
+                    and "Class" not in blob and "CLASS" not in blob):
+        return []
+    out = []
+    for m in _ATTR_HINT_RE.finditer(blob):
+        val = m.group(3) or m.group(4) or m.group(5) or ""
+        out.append((m.group(1).lower(), val))
+    return out
+
+
+def _fast_feed(parser: "_ContentParser", html: str) -> None:
+    import html as html_mod
+
+    pos, n = 0, len(html)
+    unescape = html_mod.unescape
+    while pos < n:
+        lt = html.find("<", pos)
+        if lt < 0:
+            data = html[pos:]
+            if data:
+                parser.handle_data(unescape(data) if "&" in data else data)
+            break
+        if lt > pos:
+            data = html[pos:lt]
+            parser.handle_data(unescape(data) if "&" in data else data)
+        m = _TOKEN_RE.match(html, lt)
+        if m is None:
+            parser.handle_data("<")  # stray '<' is data (parser is tolerant)
+            pos = lt + 1
+            continue
+        tag = m.group(2)
+        if tag:
+            tag_l = tag.lower()
+            if m.group(1):  # close tag
+                parser.handle_endtag(tag_l)
+            else:
+                parser.handle_starttag(tag_l, _fast_attrs(m.group(3) or ""))
+                is_self_closing = (m.group(3) or "").rstrip().endswith("/")
+                if tag_l in _RAWTEXT and not is_self_closing:
+                    # verbatim until the matching close tag
+                    close = re.compile(
+                        r"<\s*/\s*%s[^>]*>" % re.escape(tag_l), re.IGNORECASE
+                    )
+                    cm = close.search(html, m.end())
+                    raw_end = cm.start() if cm else n
+                    raw = html[m.end():raw_end]
+                    if raw:
+                        parser.handle_data(
+                            unescape(raw) if "&" in raw else raw
+                        )
+                    parser.handle_endtag(tag_l)
+                    pos = cm.end() if cm else n
+                    continue
+        pos = m.end()
+
+
+def extract_main_content(html: str, use_fast_tokenizer: bool = True) -> str:
     """Boilerplate-stripped main content, blocks joined with '\\n'.
 
     Returns '' when no block passes (pure-boilerplate page).
     """
     parser = _ContentParser()
     try:
-        parser.feed(html)
-        parser.close()
+        if use_fast_tokenizer:
+            _fast_feed(parser, html)
+        else:
+            parser.feed(html)
+            parser.close()
     except Exception:
-        # tag-soup beyond HTMLParser's tolerance: fall back to tag-strip
+        # tag-soup beyond the tokenizer's tolerance: fall back to tag-strip
         return _WS_RE.sub(" ", re.sub(r"<[^>]*>", " ", html)).strip()
     parser._flush()
 
@@ -236,7 +326,19 @@ def extract_main_content(html: str) -> str:
     accepted = []
     norm_texts = []  # normalized once, reused by the output loop
     for b in blocks:
-        text = _WS_RE.sub(" ", "".join(b.texts)).strip()
+        joined = "".join(b.texts)
+        # same exact fast path as handle_data: nothing to collapse →
+        # skip the regex (most blocks are a single normalized chunk)
+        if (
+            joined.isascii()
+            and "\n" not in joined
+            and "\t" not in joined
+            and "\r" not in joined
+            and "  " not in joined
+        ):
+            text = joined.strip()
+        else:
+            text = _WS_RE.sub(" ", joined).strip()
         norm_texts.append(text)
         if not text:
             accepted.append(False)
