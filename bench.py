@@ -108,7 +108,7 @@ def run_queries(spark, sf_dir: str) -> dict:
     return timings
 
 
-def run_scaling_extraction(spark, n_base: int = 2000, replicas: int = 32) -> dict:
+def run_scaling_extraction(spark, n_base: int = 2000, replicas: int = 128) -> dict:
     """Full pipeline over the CPU-representative heavy-page corpus
     (realistic CC page sizes → extraction is CPU-bound at ~5 MB/s/core,
     so core-count scaling measures compute, not one box's disk

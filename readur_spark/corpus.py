@@ -59,13 +59,20 @@ def synthetic_pages(
 
 
 def scaling_pages(
-    spark: SparkSession, n_base: int = 2000, replicas: int = 32, seed: int = 43
+    spark: SparkSession, n_base: int = 2000, replicas: int = 128, seed: int = 43
 ) -> DataFrame:
     """CPU-representative corpus for scaling-efficiency runs: heavy
     CC-size pages (datagen.generate_scaling_pages, cached once) fanned
     out ×replicas JVM-side. Each replica gets a salted url AND payload
     suffix so sha256 dedup keeps every row — replication measures
-    throughput, it must not be deduplicated away."""
+    throughput, it must not be deduplicated away.
+
+    The materialized corpus carries sha256 as an ingest column (the
+    reference's documents.file_hash; an Iceberg column at 100 TB), so
+    the dedup winner subtree is a column-pruned slim scan. 128
+    replicas ≈ 256k docs / 6.3 GB: enough per-level compute that
+    fixed job costs (stage boundaries, broadcast, AQE planning) stop
+    dominating the N-vs-4N comparison."""
     base_path = os.path.join(CACHE_DIR, "scaling_n%d_s%d.parquet" % (n_base, seed))
     if not os.path.exists(base_path):
         os.makedirs(CACHE_DIR, exist_ok=True)
@@ -104,6 +111,7 @@ def scaling_pages(
                 ),
             )
             .drop("replica")
+            .withColumn("sha256", F.sha2(F.col("html"), 256))
             .repartition(64)
         )
         full.write.mode("overwrite").parquet(full_path)

@@ -141,10 +141,18 @@ def extract_pages(df: DataFrame, settings: dict | None = None) -> DataFrame:
 def with_relational_columns(pages: DataFrame) -> DataFrame:
     """JVM-side columns that never cross the Python boundary:
     sha256 dedup key (A5 — built-in F.sha2, no UDF), size, priority
-    bucket (A9 — src/ingestion/batch_ingest.rs:281-294)."""
+    bucket (A9 — src/ingestion/batch_ingest.rs:281-294).
+
+    An existing sha256 column is kept: tables that materialized the
+    hash at ingest (the reference's documents.file_hash — SURVEY §1.2;
+    an Iceberg column at scale) let the dedup winner subtree run as a
+    column-pruned slim scan instead of re-reading and re-hashing the
+    payload."""
     mb = 1024 * 1024
     size = F.coalesce(F.length("html"), F.lit(0)).cast("long")
-    return pages.withColumn("sha256", F.sha2(F.col("html"), 256)).withColumn(
+    if "sha256" not in pages.columns:
+        pages = pages.withColumn("sha256", F.sha2(F.col("html"), 256))
+    return pages.withColumn(
         "file_size", size
     ).withColumn(
         "priority",
