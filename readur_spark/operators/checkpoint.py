@@ -55,11 +55,34 @@ class SnapshotStore:
 
     # -- commit protocol ---------------------------------------------------
 
-    def commit(self, df: DataFrame, run_id: str, meta: dict | None = None) -> str:
-        """Write df as a new snapshot, publish atomically, return id."""
+    def commit(
+        self,
+        df: DataFrame,
+        run_id: str,
+        meta: dict | None = None,
+        url_buckets: int | None = None,
+    ) -> str:
+        """Write df as a new snapshot, publish atomically, return id.
+
+        url_buckets: when set, lay the snapshot out partitioned by
+        url_bucket = xxhash64(url) % N — the north-rule url-hash
+        partitioning at the storage level (Iceberg `bucket(N, url)`
+        transform's parquet analog). Downstream point lookups and
+        co-bucketed joins then prune to one directory per bucket.
+        Use ONE layout per store — `read` unions snapshot paths and
+        mixed schemas (with/without the partition column) won't merge."""
         snapshot_id = "%d-%s" % (int(time.time() * 1000), uuid.uuid4().hex[:8])
         data_path = os.path.join(self.snap_dir, snapshot_id)
-        df.write.mode("errorifexists").parquet(data_path)
+        if url_buckets:
+            bucketed = df.withColumn(
+                "url_bucket",
+                F.pmod(F.xxhash64("url"), F.lit(url_buckets)).cast("int"),
+            )
+            bucketed.write.mode("errorifexists").partitionBy("url_bucket").parquet(
+                data_path
+            )
+        else:
+            df.write.mode("errorifexists").parquet(data_path)
 
         manifest = {
             "snapshot_id": snapshot_id,

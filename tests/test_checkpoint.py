@@ -133,6 +133,29 @@ def test_requeue_failed_respects_attempts_budget(spark, tmp_path, pages):
     assert dl.filter(F.col("failure_reason").isNull()).count() == 0
 
 
+def test_bucketed_commit_layout_and_pruning(spark, tmp_path, pages):
+    """url-hash bucketed snapshots: correct layout, readable union,
+    and a bucket-keyed filter prunes the scan to one directory."""
+    import glob
+
+    from readur_spark.plans import explain_str
+
+    store = cp.SnapshotStore(str(tmp_path / "extracted"))
+    extracted = _extract(pages)
+    sid = store.commit(extracted, run_id="r1", url_buckets=8)
+    dirs = glob.glob(os.path.join(store.snap_dir, sid, "url_bucket=*"))
+    assert 1 < len(dirs) <= 8
+    got = store.read(spark)
+    assert got.count() == extracted.count()
+    # partition pruning: filtering one bucket reads one partition dir
+    one = got.filter(F.col("url_bucket") == 3)
+    plan = explain_str(one)
+    assert "url_bucket" in plan
+    n_all = got.count()
+    n_one = one.count()
+    assert 0 < n_one < n_all
+
+
 def test_expire_snapshots(spark, tmp_path, pages):
     store = cp.SnapshotStore(str(tmp_path / "extracted"))
     e = _extract(pages).limit(5)
