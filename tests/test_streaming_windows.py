@@ -39,7 +39,18 @@ def _events_table():
     )
 
 
-def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+@pytest.fixture()
+def few_shuffle_partitions(spark):
+    """Streaming state stores create one store per shuffle partition
+    per operator — 8 partitions over a 7-row test corpus is pure
+    overhead (~minutes). Scope the conf down for these tests."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path, few_shuffle_partitions):
     src = tmp_path / "events_in"
     os.makedirs(src)
     pq.write_table(_events_table(), str(src / "part0.parquet"))
@@ -85,7 +96,7 @@ def test_sessionize_batch_oracle(spark, tmp_path):
     assert sessions == {(1, 3), (1, 2), (2, 2)}
 
 
-def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
+def test_sessionize_stream_emits_closed_sessions(spark, tmp_path, few_shuffle_partitions):
     src = tmp_path / "ev_stream"
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(src)
