@@ -249,8 +249,10 @@ def _fast_attrs(blob: str) -> list[tuple[str, str]]:
     """Only class/id reach _hint_of — parse just those (the stdlib
     parser hands over every attribute, but the handlers ignore the
     rest)."""
-    if not blob or ("class" not in blob and "id" not in blob and "ID" not in blob
-                    and "Class" not in blob and "CLASS" not in blob):
+    if not blob:
+        return []
+    b = blob.lower()  # case-insensitive bail, matching _ATTR_HINT_RE
+    if "class" not in b and "id" not in b:
         return []
     out = []
     for m in _ATTR_HINT_RE.finditer(blob):

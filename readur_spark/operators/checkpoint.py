@@ -117,6 +117,25 @@ class SnapshotStore:
             return None
         return spark.read.parquet(*[s["data_path"] for s in snaps])
 
+    def read_with_commit_order(self, spark: SparkSession) -> DataFrame | None:
+        """Like read(), plus per-row snapshot provenance columns
+        (_snapshot_id, _commit_ms) so consumers can order rows by
+        commit time — the Iceberg `_snapshot_id` metadata-column
+        analog. Needed wherever 'latest attempt wins' matters
+        (dead_letter); plain read() suffices for order-free rollups."""
+        snaps = self.snapshots()
+        if not snaps:
+            return None
+        out = None
+        for s in snaps:
+            d = (
+                spark.read.parquet(s["data_path"])
+                .withColumn("_snapshot_id", F.lit(s["snapshot_id"]))
+                .withColumn("_commit_ms", F.lit(s["committed_at_ms"]).cast("long"))
+            )
+            out = d if out is None else out.unionByName(d)
+        return out
+
     def expire_snapshots(self, keep_last: int) -> int:
         """Retention (B24 — src/ocr/queue.rs:1085-1098): drop all but
         the most recent `keep_last` snapshots. Manifest removal first
@@ -223,19 +242,32 @@ def dead_letter(store: SnapshotStore, spark: SparkSession,
                 max_attempts: int = DEFAULT_MAX_ATTEMPTS) -> DataFrame | None:
     """failed_documents analog (src/models/document.rs:142-192): urls
     that exhausted the attempts budget without ever completing, with
-    their final failure classification."""
-    done = store.read(spark)
+    their final failure classification — 'final' = the latest committed
+    snapshot's row (max_by over commit order), deterministic across
+    runs, not an arbitrary dropDuplicates survivor."""
+    done = store.read_with_commit_order(spark)
     if done is None:
         return None
-    ledger = attempts_ledger(done)
+    ledger = attempts_ledger(done.drop("_snapshot_id", "_commit_ms"))
     exhausted = ledger.filter(
         (F.col("status") == "failed") & (F.col("attempts") >= max_attempts)
     ).select("url")
     latest_failure = (
         done.filter(F.col("status") == "failed")
         .join(exhausted, "url", "left_semi")
-        .select("url", "failure_reason", "failure_stage", "error")
-        .dropDuplicates(["url"])
+        .groupBy("url")
+        .agg(
+            F.max_by(
+                F.struct("failure_reason", "failure_stage", "error"),
+                F.struct("_commit_ms", "_snapshot_id"),
+            ).alias("f")
+        )
+        .select(
+            "url",
+            F.col("f.failure_reason").alias("failure_reason"),
+            F.col("f.failure_stage").alias("failure_stage"),
+            F.col("f.error").alias("error"),
+        )
     )
     return latest_failure
 

@@ -66,19 +66,25 @@ def _first_per_hash(pages: DataFrame) -> DataFrame:
 def dedup_skip(pages: DataFrame) -> DataFrame:
     """Skip policy: drop all but the first occurrence of each payload.
 
-    Semi-join on `url` alone (winner urls are unique: one per hash, and
-    the corpus key is url per input_hint). No join hint: AQE sees the
-    winner agg's runtime size and broadcasts it when it fits — then the
-    payload side never shuffles and extraction stays narrow over scan
-    splits (the Iceberg-bucketed storage-partitioned-join analog). When
-    the winner set is too big, AQE falls back to a shuffle join whose
-    hash(url) output partitioning the extraction stage consumes
-    directly — either way the payload crosses the wire at most once."""
+    Semi-join on (sha256, url) — not url alone — so a repeated url with
+    *different* content (a recrawl an ingest path failed to
+    canonicalize, cf. sources.warc.latest_per_url) can never ride a
+    winner url into the survivor set. url uniqueness is the corpus
+    contract (input_hint) and read_warc_pages enforces it by default;
+    the composite key makes this operator safe even when a caller
+    bypasses that. No join hint: AQE sees the winner agg's runtime size
+    and broadcasts it when it fits — then the payload side never
+    shuffles and extraction stays narrow over scan splits (the
+    Iceberg-bucketed storage-partitioned-join analog). When the winner
+    set is too big, AQE falls back to a shuffle join whose hash key the
+    extraction stage consumes directly — either way the payload crosses
+    the wire at most once."""
     pages = with_sha256(pages)
     winners = _first_per_hash(pages).select(
-        F.col("_winner_url").alias("url")
+        F.col("_winner_hash").alias("sha256"),
+        F.col("_winner_url").alias("url"),
     )
-    return pages.join(winners, "url", "left_semi")
+    return pages.join(winners, ["sha256", "url"], "left_semi")
 
 
 def dedup_track(pages: DataFrame) -> DataFrame:
@@ -88,20 +94,27 @@ def dedup_track(pages: DataFrame) -> DataFrame:
     reference's TrackedAsDuplicate ingestion result —
     document_ingestion.rs:31-41)."""
     pages = with_sha256(pages)
-    # slim-side work: (url → duplicate_of) mapping, built from the key
-    # projection so the payload is not shuffled to compute it
+    # slim-side work: ((url, sha256) → duplicate_of) mapping, built from
+    # the key projection so the payload is not shuffled to compute it.
+    # The map is deduped on its join key: a url that repeats in the
+    # input (un-canonicalized ingest) must not multiply payload rows.
     keys = pages.select("sha256", "warc_ts", "url")
     winners = _first_per_hash(keys)
-    url_map = keys.join(
-        winners, F.col("sha256") == F.col("_winner_hash"), "left"
-    ).select(
-        F.col("url").alias("_map_url"), F.col("_winner_url").alias("duplicate_of")
+    url_map = (
+        keys.join(winners, F.col("sha256") == F.col("_winner_hash"), "left")
+        .select(
+            F.col("url").alias("_map_url"),
+            F.col("sha256").alias("_map_sha"),
+            F.col("_winner_url").alias("duplicate_of"),
+        )
+        .dropDuplicates(["_map_url", "_map_sha"])
     )
-    # payload-side join on url: AQE broadcasts url_map when it fits,
-    # else shuffle join (hash(url) == extraction partitioning)
+    # payload-side join on (url, sha256): AQE broadcasts url_map when it
+    # fits, else shuffle join (hash key == extraction partitioning)
     joined = pages.join(
-        url_map, F.col("url") == F.col("_map_url")
-    ).drop("_map_url")
+        url_map,
+        (F.col("url") == F.col("_map_url")) & (F.col("sha256") == F.col("_map_sha")),
+    ).drop("_map_url", "_map_sha")
     return joined.withColumn(
         "is_duplicate", F.col("url") != F.col("duplicate_of")
     )

@@ -49,11 +49,15 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchange operators in the physical plan."""
+    """Number of distinct shuffle-exchange operators in the physical plan.
+
+    Counts tree entries `Exchange (<id>)` by node id, so the formatted
+    output's details section (which repeats every node as `(<id>) Exchange`)
+    is not double-counted, and `ReusedExchange`/`BroadcastExchange`
+    (no word boundary before `Exchange`) never match."""
     plan = explain_str(df)
-    return len(re.findall(r"\bExchange\b(?! hashpartitioning REUSED)", plan)) - len(
-        re.findall(r"ReusedExchange", plan)
-    )
+    ids = set(re.findall(r"(?<![A-Za-z])Exchange \((\d+)\)", plan))
+    return len(ids)
 
 
 def has_no_shuffle(df: DataFrame) -> bool:

@@ -50,7 +50,7 @@ def extract_text_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(string_split(trim(text), ' '))) AS total_words
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_words
     FROM documents
     GROUP BY lang
     """,

@@ -135,7 +135,7 @@ def bulk_retry_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS n_deleted,
       count(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS n_kept,
-      sum(CASE WHEN doc_id % 7 = 0 THEN n_chars ELSE 0 END) AS bytes_freed
+      CAST(sum(CASE WHEN doc_id % 7 = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS bytes_freed
     FROM documents
     """,
 )

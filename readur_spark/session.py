@@ -20,6 +20,23 @@ from pyspark.sql import SparkSession
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _default_driver_memory() -> str:
+    """Size the local-mode heap to the host, not to a fixed benchmark
+    box: half of physical RAM, clamped to [4g, 48g]. On a host with
+    less RAM than the old fixed 48g default the JVM would otherwise
+    grow past physical memory and get OOM-killed/swapped instead of
+    GC-ing. SPARK_DRIVER_MEMORY still overrides for bench runs."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return "%dg" % max(4, min(48, total_gb // 2))
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     cpus: int | None = None,
     app_name: str = "readur_spark",
@@ -51,9 +68,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         # local mode: the driver JVM hosts every task — size heap to the
         # box, not to a cluster-driver default. 32 concurrent tasks over
-        # MB-scale binary rows at 8g = ~250MB/task → GC thrash; 48g
-        # keeps task working sets + shuffle buffers off the GC cliff.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # MB-scale binary rows at 8g = ~250MB/task → GC thrash; half of
+        # host RAM (capped 48g) keeps task working sets + shuffle
+        # buffers off the GC cliff without outgrowing physical memory.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         # binary payloads can be MB-scale: keep scan partitions bounded

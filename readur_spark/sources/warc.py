@@ -107,8 +107,46 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
     return rows
 
 
-def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
-    """WARC file(s)/glob → pages DataFrame (canonical schema)."""
+def latest_per_url(pages: DataFrame) -> DataFrame:
+    """Enforce the corpus contract (input_hint: url is the table key):
+    keep the latest capture per url, tie-broken by payload sha256.
+
+    Scale shape: winner selection runs on a slim (url, ts, sha) key
+    projection (~100 B/row) as a map-side-combinable agg; the MB-scale
+    payload crosses the wire once, in the (url, ts, sha) semi-join.
+    Rows still tied after (warc_ts, sha256) are byte-identical captures,
+    so the final dropDuplicates on the same composite key is
+    content-deterministic (any survivor is the same bytes); AQE reuses
+    the semi-join's hash partitioning so it does not re-shuffle."""
+    from pyspark.sql import functions as F
+
+    hashed = pages.withColumn("_sha", F.sha2(F.col("html"), 256)).withColumn(
+        "_ts0", F.coalesce(F.col("warc_ts"), F.lit("1970-01-01").cast("timestamp"))
+    )
+    winners = (
+        hashed.select("url", "_ts0", "_sha")
+        .groupBy("url")
+        .agg(F.max(F.struct("_ts0", "_sha")).alias("w"))
+        .select("url", F.col("w._ts0").alias("_ts0"), F.col("w._sha").alias("_sha"))
+    )
+    return (
+        hashed.join(winners, ["url", "_ts0", "_sha"], "left_semi")
+        .dropDuplicates(["url", "_ts0", "_sha"])
+        .drop("_sha", "_ts0")
+    )
+
+
+def read_warc_pages(
+    spark: SparkSession, path: str, unique_urls: bool = True
+) -> DataFrame:
+    """WARC file(s)/glob → pages DataFrame (canonical schema).
+
+    WARC archives carry one record per *capture*, so a recrawled
+    WARC-Target-URI appears multiple times; the engine's pages table is
+    keyed by url (input_hint). With unique_urls=True (default) the
+    within-file duplicates are dropped in the parse batch (free) and
+    cross-file ones by latest_per_url (one slim-key agg + one payload
+    semi-join); pass False to see raw captures."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url", "warc_ts", "html", "text", "lang"]
@@ -118,13 +156,18 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
                 rows.extend(parse_warc_bytes(bytes(content)))
             out = pd.DataFrame(rows, columns=cols)
             out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True)
+            if unique_urls and len(out):
+                # within-file: keep the last capture per url (records are
+                # written in crawl order; the global pass handles ties)
+                out = out.drop_duplicates(subset=["url"], keep="last")
             yield out
 
     files = spark.read.format("binaryFile").load(path).select("content")
-    return files.mapInPandas(
+    pages = files.mapInPandas(
         run,
         schema="url string, warc_ts timestamp, html binary, text string, lang string",
     )
+    return latest_per_url(pages) if unique_urls else pages
 
 
 # -- writer (tests / fixtures; also documents the format we accept) --------
