@@ -62,14 +62,34 @@ def jaccard_pairs(
     block_cols: list[str],
     threshold: float = 0.8,
     df_cap: int | None = None,
+    n_shingle: int = 1,
 ) -> DataFrame:
-    """All pairs within the same block with unigram-set Jaccard ≥
+    """All pairs within the same block with token-set Jaccard ≥
     threshold. Posting-list formulation: shuffle keys are
-    (block, token); the pair agg key is (id_a, id_b)."""
+    (block, token); the pair agg key is (id_a, id_b).
+
+    n_shingle > 1 tokenizes into word n-grams (pure Catalyst:
+    transform over a sequence of slice starts) — shingles are far more
+    discriminative than unigrams and keep posting lists short, which is
+    what bounds the token self-join's fanout at corpus scale. df_cap
+    drops tokens whose posting list exceeds the cap (quadratic-fanout
+    guard; see module docstring)."""
+    t = F.split(F.col(text_col), " ")
+    if n_shingle > 1:
+        n_out = F.size(t) - (n_shingle - 1)
+        shingles = F.when(
+            n_out >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_out),
+                lambda i: F.array_join(F.slice(t, i, n_shingle), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        shingles = t
     toks = docs.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+        F.explode(F.array_distinct(shingles)).alias("token"),
     )
     if df_cap is not None:
         freq = toks.groupBy("token").count().filter(F.col("count") <= df_cap)
@@ -105,9 +125,20 @@ def jaccard_pairs(
 @register(
     "dedup_jaccard_pairs",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id AS id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS token
-      FROM documents
+    WITH t0 AS (
+      SELECT doc_id AS id, lang, source, string_split(text, ' ') AS t FROM documents
+    ), toks0 AS (
+      SELECT id, lang, source,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+             ))) AS token
+      FROM t0
+    ), capped AS (
+      SELECT token FROM (SELECT token, count(*) AS c FROM toks0 GROUP BY token)
+      WHERE c <= 1000
+    ), toks AS (
+      SELECT toks0.* FROM toks0 SEMI JOIN capped USING (token)
     ), sizes AS (
       SELECT id, count(*) AS sz FROM toks GROUP BY id
     ), pairs AS (
@@ -126,8 +157,16 @@ def jaccard_pairs(
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered with the scale-safe defaults the module docstring
+    promises: 3-word shingles (short, discriminative posting lists —
+    the synthetic corpus' 31-word unigram vocabulary makes unigram
+    posting lists near-full-corpus, the textbook join explosion) and a
+    df cap bounding any single posting list's self-join fanout."""
     docs = load(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, "doc_id", "text", ["lang", "source"], threshold=0.8)
+    return jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "source"],
+        threshold=0.8, df_cap=1000, n_shingle=3,
+    )
 
 
 # ---- MinHash + LSH ----------------------------------------------------------
@@ -335,7 +374,13 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 @register("dedup_simhash")  # non-SQL: algorithmic; pytest-verified
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered at max_hamming=3 — the regime where 4×16-bit chunk
+    blocking is provably complete (≤3 flipped bits leave ≥1 chunk
+    intact), pinned exact vs brute-force XOR popcount in
+    tests/test_lsh_recall.py. Beyond the bound, blocking recall decays
+    (~0.68 at h≤8 measured) and would need more chunks/permuted
+    tables."""
     docs = load(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs, "doc_id", "text")
-    pairs = simhash_near_pairs(sigs, max_hamming=8)
+    pairs = simhash_near_pairs(sigs, max_hamming=3)
     return pairs.groupBy().agg(F.count("*").alias("n_near_pairs"))

@@ -84,28 +84,71 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_neardup_pairs",
-    oracle="""
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rs = np.random.RandomState(seed)
+    return rs.normal(size=(n_planes, dim)).astype(np.float64)
+
+
+# Near-dup blocking parameters. The plane matrix is seeded and inlined
+# into the DuckDB oracle as literals, so both engines compute the SAME
+# buckets — the oracle checks the bucketed semantics, not a relaxation.
+_NEARDUP_DIM = 64  # embeddings table dim (TESTDATA.md)
+_NEARDUP_PLANES = 6
+_NEARDUP_SEED = 42
+_NEARDUP_THRESHOLD = 0.3  # max pairwise cosine in the corpus is ~0.51
+
+
+def _bucket_sql(vec_expr: str, planes) -> str:
+    """DuckDB expression for the signed-projection bucket of vec_expr
+    under a literal plane matrix (float64, full repr precision — the
+    exact doubles numpy uses)."""
+    terms = []
+    for p, row in enumerate(planes):
+        lits = "[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+        terms.append(
+            "(CASE WHEN list_dot_product(%s, %s) > 0 THEN %d ELSE 0 END)"
+            % (vec_expr, lits, 1 << p)
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _neardup_oracle() -> str:
+    planes = random_hyperplanes(_NEARDUP_DIM, _NEARDUP_PLANES, _NEARDUP_SEED)
+    bucket = _bucket_sql("v", planes)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), eb AS (
+      SELECT vec_id, v, {bucket} AS bucket FROM e
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding, b.embedding), 3) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE a.label = b.label
-      AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
-    """,
-)
+           round(list_cosine_similarity(a.v, b.v), 3) AS sim
+    FROM eb a JOIN eb b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+    WHERE list_cosine_similarity(a.v, b.v) >= {_NEARDUP_THRESHOLD}
+    """
+
+
+@register("embedding_neardup_pairs", oracle=_neardup_oracle())
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection, blocked by label (the
-    blocking column stands in for an LSH bucket at this scale)."""
+    """Embedding-cosine near-dup detection blocked on LSH buckets (the
+    scale path: bucket cardinality grows with 2^planes, so per-block
+    candidate sets stay bounded at 10^9 vectors — unlike a
+    low-cardinality label key, which degenerates to all-pairs per
+    label). The oracle recomputes the identical buckets from the same
+    literal plane matrix."""
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
+    bucketed = with_lsh_bucket(
+        emb.select("vec_id", "embedding"),
+        dim=_NEARDUP_DIM, n_planes=_NEARDUP_PLANES, seed=_NEARDUP_SEED,
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
     sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
             (F.col("a.vec_id") < F.col("b.vec_id"))
-            & (F.col("a.label") == F.col("b.label")),
+            & (F.col("a.bucket") == F.col("b.bucket")),
         )
         .select(
             F.col("a.vec_id").alias("id_a"),
@@ -113,17 +156,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim, 3).alias("sim"),
             sim.alias("_s"),
         )
-        .filter(F.col("_s") >= 0.9)
+        .filter(F.col("_s") >= _NEARDUP_THRESHOLD)
         .drop("_s")
     )
 
 
 # ---- LSH-bucketed ANN (scale path) ------------------------------------------
-
-
-def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    rs = np.random.RandomState(seed)
-    return rs.normal(size=(n_planes, dim)).astype(np.float64)
 
 
 def with_lsh_bucket(
@@ -156,6 +194,42 @@ def with_lsh_bucket(
     return vectors.mapInPandas(bucketize, schema=fields + ", bucket long")
 
 
+def with_lsh_buckets(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int,
+    seed: int,
+    n_tables: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """n_tables independent signed-projection buckets per vector (one
+    `buckets` array column), computed in a single vectorized matmul per
+    Arrow batch — the multi-table LSH recall knob: candidate recall
+    rises with table count while each table's bucket join stays
+    uniform."""
+    tables = np.stack(
+        [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )  # (T, P, dim)
+    flat = tables.reshape(n_tables * n_planes, dim)
+
+    def bucketize(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            out = pdf.copy()
+            if mat.size == 0:
+                out["buckets"] = pd.Series([], dtype="object")
+            else:
+                signs = (mat @ flat.T > 0).reshape(len(mat), n_tables, n_planes)
+                b = (signs.astype(np.int64) << np.arange(n_planes)).sum(axis=2)
+                out["buckets"] = list(b)
+            yield out
+
+    fields = ", ".join(
+        "%s %s" % (f.name, f.dataType.simpleString()) for f in vectors.schema.fields
+    )
+    return vectors.mapInPandas(bucketize, schema=fields + ", buckets array<long>")
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     query_vec: list[float],
@@ -165,24 +239,68 @@ def ann_lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """ANN: only vectors in the query's LSH bucket are reranked
-    exactly. Recall measured against brute force in pytest."""
-    planes = random_hyperplanes(dim, n_planes, seed)
+    """ANN: only vectors sharing the query's bucket in ≥1 of n_tables
+    LSH tables are reranked exactly. Recall is tuned by (n_planes down,
+    n_tables up); measured against brute force in pytest
+    (tests/test_lsh_recall.py)."""
     q = np.asarray(query_vec, dtype=np.float64)
-    q_bucket = int(((q @ planes.T > 0).astype(np.int64) << np.arange(n_planes)).sum())
-    bucketed = with_lsh_bucket(vectors, dim, n_planes, seed, vec_col)
-    cands = bucketed.filter(F.col("bucket") == q_bucket)
+    q_buckets = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + t)
+        q_buckets.append(
+            int(((q @ planes.T > 0).astype(np.int64) << np.arange(n_planes)).sum())
+        )
+    bucketed = with_lsh_buckets(vectors, dim, n_planes, seed, n_tables, vec_col)
+    cond = None
+    for t, qb in enumerate(q_buckets):
+        c = F.element_at(F.col("buckets"), t + 1) == qb
+        cond = c if cond is None else (cond | c)
+    cands = bucketed.filter(cond).drop("buckets")
     return brute_force_topk(cands, query_vec, id_col, vec_col, k)
 
 
-@register("ann_lsh_bucketed")  # non-SQL: algorithmic; pytest-verified recall
+_ANN_LSH_PLANES = 6
+_ANN_LSH_TABLES = 4
+_ANN_LSH_SEED = 42
+
+
+def _ann_lsh_oracle() -> str:
+    """The multi-table bucket filter + exact rerank, re-expressed in
+    DuckDB over the same literal plane matrices (so the oracle checks
+    the bucketed candidate semantics, not just 'some top-10')."""
+    conds = []
+    for t in range(_ANN_LSH_TABLES):
+        planes = random_hyperplanes(_NEARDUP_DIM, _ANN_LSH_PLANES, _ANN_LSH_SEED + t)
+        conds.append(
+            "%s = %s" % (_bucket_sql("e.v", planes), _bucket_sql("q.qv", planes))
+        )
+    any_table = " OR ".join(conds)
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 3) AS sim
+    FROM e, q
+    WHERE {any_table}
+    ORDER BY round(list_cosine_similarity(e.v, q.qv), 3) DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@register("ann_lsh_bucketed", oracle=_ann_lsh_oracle())
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in qrow["embedding"]]
-    out = ann_lsh_topk(emb.filter("vec_id != 0"), qv, dim=len(qv), n_planes=6)
-    return out
+    return ann_lsh_topk(
+        emb.filter("vec_id != 0").select("vec_id", "embedding"),
+        qv, dim=len(qv),
+        n_planes=_ANN_LSH_PLANES, seed=_ANN_LSH_SEED, n_tables=_ANN_LSH_TABLES,
+    )
 
 
 # ---- IVF (inverted-file) ANN — the other scale path -------------------------

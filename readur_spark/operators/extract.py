@@ -46,13 +46,20 @@ from readur_spark.kernels.settings import DEFAULT_SETTINGS
 # recomputed in Python) so the output table is self-contained without
 # a post-extraction join.
 _INPUT_COLS = ["url", "html"]
-_PASSTHROUGH_COLS = ["sha256", "priority", "warc_ts", "is_duplicate", "duplicate_of"]
+# lang rides through as a slim passthrough so per-language rollups never
+# need to join the MB-scale extraction output back to the pages table
+# (that join shuffles extracted_text payload bytes just to fetch a
+# 2-char code — wasteful at 100 TB).
+_PASSTHROUGH_COLS = [
+    "sha256", "priority", "warc_ts", "is_duplicate", "duplicate_of", "lang",
+]
 _PASSTHROUGH_TYPES = {
     "sha256": "string",
     "priority": "int",
     "warc_ts": "timestamp",
     "is_duplicate": "boolean",
     "duplicate_of": "string",
+    "lang": "string",
 }
 
 

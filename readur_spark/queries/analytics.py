@@ -104,18 +104,29 @@ def low_confidence_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
     """,
 )
 def requeue_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B22/B25 anti-join shape (src/ocr/queue.rs:978-1082 requeue;
-    db_guardrails_simple.rs:180-212 orphan check): rows with no
-    counterpart — left_anti join."""
+    db_guardrails_simple.rs:180-212 orphan check): items with no
+    *qualifying* counterpart — left_anti against a filtered right side
+    (the requeue predicate 'no successful attempt'). Parameterized so
+    the result is non-empty on the test corpus: customers with no
+    urgent order (18/203 rows at sf0.001/0.01), not the vacuous
+    'customers with no order at all' (always zero on TPC-H-shaped
+    data)."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    return customer.join(
-        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
-    ).select("c_custkey", "c_name")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(urgent, "c_custkey", "left_anti").select(
+        "c_custkey", "c_name"
+    )
 
 
 @register(

@@ -56,12 +56,14 @@ def extract_text_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def extract_wordcount_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extraction output joined back to page language → per-lang word
-    totals (the flagship rollup shape, oracle-checked)."""
+    """Per-lang word totals (the flagship rollup shape, oracle-checked).
+    lang rides the extraction UDF as a passthrough column
+    (operators/extract.py _PASSTHROUGH_COLS), so the plan is
+    scan → extract → partial agg — no join, and no shuffle of the
+    MB-scale extracted_text payload."""
     pages = pages_from_documents(spark, sf_dir)
     extracted = extract_pages(pages)
-    joined = extracted.join(pages.select("url", "lang"), "url")
-    return joined.groupBy("lang").agg(
+    return extracted.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("word_count").alias("total_words"),
     )

@@ -55,21 +55,26 @@ def search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT e.user_id, count(*) AS n_events
     FROM events e
-    WHERE e.user_id NOT IN (SELECT c_custkey FROM customer)
+    WHERE e.user_id NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal >= 0)
     GROUP BY e.user_id
     """,
 )
 def consistency_orphan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphaned-row audit (src/db_guardrails_simple.rs:180-212: LEFT
     JOIN ... WHERE d.id IS NULL) as a left-anti join + rollup. The
-    dimension side is broadcast; zero rows on consistent data is the
-    correct result."""
+    registry side is the *active* customer set (c_acctbal >= 0 — the
+    deactivated-user analog), so the audit actually finds orphans on
+    the test corpus (2/14 orphan users at sf0.001/0.01) instead of
+    green-lighting any implementation with an empty result. The
+    dimension side is broadcast."""
     events = load(spark, sf_dir, "events")
-    customers = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id")
+    active = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") >= 0)
+        .select(F.col("c_custkey").alias("user_id"))
     )
     return (
-        events.join(F.broadcast(customers), "user_id", "left_anti")
+        events.join(F.broadcast(active), "user_id", "left_anti")
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
     )

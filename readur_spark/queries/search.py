@@ -115,10 +115,10 @@ def trigram_similarity(a: Column, b: Column) -> Column:
     oracle="""
     WITH trg AS (
       SELECT doc_id,
-             list_distinct([text[i:i+2] FOR i IN range(1, greatest(len(text)-2,0)+1)]) AS tg
+             list_distinct([source[i:i+2] FOR i IN range(1, greatest(len(source)-2,0)+1)]) AS tg
       FROM documents
     ), q AS (
-      SELECT list_distinct(['spa'[i:i+2] FOR i IN range(1, 2)]) AS qt
+      SELECT list_distinct(['src1'[i:i+2] FOR i IN range(1, 3)]) AS qt
     )
     SELECT doc_id,
            round(CAST(len(list_intersect(tg, qt)) AS DOUBLE) /
@@ -129,11 +129,17 @@ def trigram_similarity(a: Column, b: Column) -> Column:
     """,
 )
 def search_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy match of the query token 'spa' (typo'd 'spark') against
-    document trigram sets, threshold 0.3."""
+    """Fuzzy match of the query 'src1' against the short `source`
+    strings — the reference applies pg_trgm similarity to filename-
+    length fields (src/db/documents/search.rs:85-89, threshold 0.3 at
+    :123-127), where trigram Jaccard is actually discriminative.
+    (Against multi-KB document trigram sets a 3-char query can never
+    clear 0.3, which made the earlier form a vacuous zero-row check.)
+    Result grades: exact source 1.0, prefix matches 0.667, sibling
+    sources 0.333."""
     docs = load(spark, sf_dir, "documents")
-    doc_tg = trigram_set(F.col("text"))
-    q_tg = trigram_set(F.lit("spa"))
+    doc_tg = trigram_set(F.col("source"))
+    q_tg = trigram_set(F.lit("src1"))
     inter = F.size(F.array_intersect(doc_tg, q_tg))
     union = F.size(doc_tg) + F.size(q_tg) - inter
     sim = inter.cast("double") / union
@@ -266,6 +272,83 @@ def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "hl_end": s.highlight_ranges[0][1],
                         }
                     )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "snippet", "start_offset", "end_offset",
+                    "hl_start", "hl_end",
+                ],
+            )
+
+    return matched.select("doc_id", "text").mapInPandas(
+        gen,
+        schema="doc_id long, snippet string, start_offset int, end_offset int,"
+        " hl_start int, hl_end int",
+    )
+
+
+@register(
+    "search_snippets_first",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text, strpos(text, 'spark') - 1 AS mp
+      FROM documents WHERE strpos(text, 'spark') > 0
+    ), s AS (
+      SELECT doc_id, text, mp,
+        CASE WHEN mp >= 30 THEN
+          (CASE WHEN strpos(reverse(substr(text, 1, mp - 29)), ' ') > 0
+                THEN (mp - 29) - strpos(reverse(substr(text, 1, mp - 29)), ' ')
+                ELSE 0 END)
+        ELSE 0 END AS ss
+      FROM m
+    ), e AS (
+      SELECT doc_id, text, mp, ss,
+        CASE WHEN ss + 60 < len(text) THEN
+          (CASE WHEN strpos(substr(text, ss + 61), ' ') > 0
+                THEN ss + 60 + strpos(substr(text, ss + 61), ' ') - 1
+                ELSE len(text) END)
+        ELSE len(text) END AS se
+      FROM s
+    )
+    SELECT doc_id,
+           substr(text, ss + 1, se - ss) AS snippet,
+           CAST(ss AS INT) AS start_offset,
+           CAST(se AS INT) AS end_offset,
+           CAST(mp - ss AS INT) AS hl_start,
+           CAST(mp - ss + 5 AS INT) AS hl_end
+    FROM e
+    """,
+)
+def search_snippets_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10's span contract, value-hash-checked: the FIRST snippet per
+    matching document, through the real kernel (generate_snippets), vs
+    a DuckDB re-derivation of the same word-boundary walk. The corpus
+    text is strictly [a-z0-9 ] so the kernel's boundary set (whitespace
+    + ASCII punctuation, helpers.rs:80-82) reduces to spaces, which
+    strpos/reverse can express exactly — making the snippet offsets an
+    oracle-checked surface instead of rows-only."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    matched = docs.filter(F.col("text").contains("spark"))
+
+    def gen(batches):
+        from readur_spark.kernels.snippets import generate_snippets
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = generate_snippets([("content", text)], "spark", 60)[0]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "snippet": s.text,
+                        "start_offset": s.start_offset,
+                        "end_offset": s.end_offset,
+                        "hl_start": s.highlight_ranges[0][0],
+                        "hl_end": s.highlight_ranges[0][1],
+                    }
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[
