@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dedup-stage", default="post", choices=["pre", "post"])
     p.add_argument("--no-resume", action="store_true",
                    help="process everything even if already committed")
+    p.add_argument("--no-type-filter", action="store_true",
+                   help="skip the allowed-file-types ingest gate (A7)")
     p.add_argument("--cpus", type=int, default=None,
                    help="local[] cores (ignored under a real master)")
     p.add_argument("--metrics-json", default=None,
@@ -75,6 +77,15 @@ def main(argv: list[str] | None = None) -> int:
         pages = read_warc_pages(spark, args.input)
     else:
         pages = spark.read.parquet(args.input)
+
+    # A7 — the reference enforces the allowed-types list at ingest
+    # (file_service.rs:204-214), before any content is read; here the
+    # gate is a JVM predicate on the url extension, ahead of the Arrow
+    # boundary. --no-type-filter disables it (e.g. raw archaeology).
+    if not args.no_type_filter:
+        from readur_spark.operators.extract import filter_allowed_pages
+
+        pages = filter_allowed_pages(pages)
 
     store = SnapshotStore(args.store)
     if not args.no_resume:

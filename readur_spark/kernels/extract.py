@@ -118,12 +118,32 @@ def _extract_pdf(url: str, data: bytes, settings: dict) -> ExtractResult:
                     preprocessing_applied=["PDF text extraction (pdftotext)"],
                 )
 
-    # full-OCR path (ocrmypdf ladder, enhanced.rs:980-1119) is
-    # capability-gated exactly like `#[cfg(feature="ocr")]`.
+    # full-OCR path (ocrmypdf 3-strategy ladder, enhanced.rs:980-1119),
+    # capability-gated exactly like `#[cfg(feature="ocr")]`. The ladder
+    # control flow (strategy degradation, 300 s budget, sidecar read,
+    # conf 85.0) is real (kernels/ocr_ladder.py, golden-tested with a
+    # fake backend); settings["ocr_backend"] injects the backend —
+    # default is the real ocrmypdf subprocess when the binary exists.
     if settings.get("ocr_capability"):
-        # No OCR runtime ships in this sandbox; when present this is
-        # where the 3-strategy ocrmypdf ladder runs (conf 85.0).
-        pass
+        from readur_spark.kernels import ocr_ladder as ladder_mod
+
+        backend = settings.get("ocr_backend") or ladder_mod.OcrmypdfBackend()
+        try:
+            ocr = ladder_mod.pdf_ocr_ladder(url, data, backend)
+            return ExtractResult(
+                url=url,
+                mime_type="application/pdf",
+                file_size=size,
+                extracted_text=ocr.text,
+                confidence=ocr.confidence,
+                word_count=ocr.word_count,
+                preprocessing_applied=list(ocr.preprocessing_applied),
+            )
+        except ladder_mod.OcrLadderError:
+            # enhanced.rs:880-887 — OCR failure degrades to the
+            # byte-scrape last resort below, mirroring the reference's
+            # `Err(e) => { warn!(...); /* fall through */ }` arm.
+            pass
 
     # last resort: byte-scrape (enhanced.rs:887-918)
     scraped = pdf.extract_text_from_pdf_bytes(data)

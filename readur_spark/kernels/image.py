@@ -11,6 +11,11 @@ Reference semantics (yonasBSD/readur):
   - enhancement decision thresholds: src/ocr/enhanced.rs:219-250
     (defaults src/models/settings.rs:354-357)
   - brightness/contrast correction: src/ocr/enhanced.rs:554-592
+  - adaptive noise removal (A26): src/ocr/enhanced.rs:596-631
+  - adaptive threshold + histogram-EQ fallback (A27):
+    src/ocr/enhanced.rs:635-758
+  - morphological open+close (A29): src/ocr/enhanced.rs:804-812
+  - ladder gating per rung: src/ocr/enhanced.rs:140-202
   - OCR itself (tesseract): src/ocr/enhanced.rs:52-119 — capability
     gated here exactly like the reference's `#[cfg(feature="ocr")]`.
 
@@ -233,10 +238,18 @@ def analyze_image_quality(img: np.ndarray) -> dict:
 
 
 def needs_enhancement(quality: dict, settings: dict) -> bool:
-    """enhanced.rs:219-250 — any metric beyond user thresholds."""
+    """enhanced.rs:219-250 — any metric beyond user thresholds, OR the
+    user explicitly dialed up an enhancement knob (the reference's
+    user_wants_enhancement clause, :240-242)."""
     if settings.get("ocr_skip_enhancement"):
         return False
-    return (
+    user_wants = (
+        settings.get("ocr_brightness_boost", 0.0) > 0.0
+        or settings.get("ocr_contrast_multiplier", 0.0) > 1.0
+        or settings.get("ocr_noise_reduction_level", 0) > 1
+        or settings.get("ocr_sharpening_strength", 0.0) > 0.0
+    )
+    return user_wants or (
         quality["brightness"] < settings["ocr_quality_threshold_brightness"]
         or quality["contrast"] < settings["ocr_quality_threshold_contrast"]
         or quality["noise"] > settings["ocr_quality_threshold_noise"]
@@ -244,23 +257,205 @@ def needs_enhancement(quality: dict, settings: dict) -> bool:
     )
 
 
-def brightness_contrast_correction(img: np.ndarray, quality: dict) -> np.ndarray:
-    """enhanced.rs:554-592 — piecewise boost/multiplier, clamp 0-255."""
+def brightness_contrast_correction(
+    img: np.ndarray, quality: dict, settings: dict | None = None
+) -> np.ndarray:
+    """enhanced.rs:554-592 — (pixel + boost) × multiplier, rounded and
+    clamped 0-255. User-configured boost/multiplier win when positive
+    (:560-577); otherwise piecewise from the measured stats: boost
+    60−b for very dim (<50), 30−(b−50)·0.5 moderate (<80), else 0;
+    multiplier 2.5 / 1.8 / 1.2 by contrast band."""
+    settings = settings or {}
     b = quality["brightness"] * 255.0
-    boost = 0.0
-    if b < 50:
+    user_boost = settings.get("ocr_brightness_boost", 0.0)
+    if user_boost and user_boost > 0.0:
+        boost = float(user_boost)
+    elif b < 50:
         boost = 60.0 - b
     elif b < 80:
-        boost = 20.0
+        boost = 30.0 - (b - 50.0) * 0.5
+    else:
+        boost = 0.0
     c = quality["contrast"]
-    if c < 0.2:
+    user_mult = settings.get("ocr_contrast_multiplier", 0.0)
+    if user_mult and user_mult > 0.0:
+        mult = float(user_mult)
+    elif c < 0.2:
         mult = 2.5
     elif c < 0.4:
         mult = 1.8
     else:
         mult = 1.2
-    out = (img.astype(np.float64) + boost - 128.0) * mult + 128.0
+    out = np.round((img.astype(np.float64) + boost) * mult)
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+# --- A26: adaptive noise removal -------------------------------------------
+
+
+def median_filter(img: np.ndarray, radius: int) -> np.ndarray:
+    """(2r+1)² sliding-window median, edge-padded (imageproc
+    median_filter's clamped-border behavior), vectorized by stacking
+    the shifted windows."""
+    if radius <= 0 or img.size == 0:
+        return img
+    k = 2 * radius + 1
+    p = np.pad(img, radius, mode="edge")
+    h, w = img.shape
+    windows = np.stack(
+        [p[dy : dy + h, dx : dx + w] for dy in range(k) for dx in range(k)]
+    )
+    return np.median(windows, axis=0).astype(np.uint8)
+
+
+def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable Gaussian blur (gaussian_blur_f32 analog): radius
+    ceil(3σ), edge padding, float accumulate, round+clip to u8."""
+    if sigma <= 0 or img.size == 0:
+        return img
+    radius = max(1, int(np.ceil(3.0 * sigma)))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    kernel = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    kernel /= kernel.sum()
+    f = img.astype(np.float64)
+    p = np.pad(f, ((0, 0), (radius, radius)), mode="edge")
+    f = sum(kernel[i] * p[:, i : i + img.shape[1]] for i in range(len(kernel)))
+    p = np.pad(f, ((radius, radius), (0, 0)), mode="edge")
+    f = sum(kernel[i] * p[i : i + img.shape[0], :] for i in range(len(kernel)))
+    return np.clip(np.round(f), 0, 255).astype(np.uint8)
+
+
+def noise_removal(img: np.ndarray, quality: dict, settings: dict) -> np.ndarray:
+    """A26 — enhanced.rs:596-631: level from the user knob when set,
+    else from measured noise (>0.2 → 3 heavy, >0.1 → 2 moderate, else 1
+    light); heavy = 5×5 median + σ0.8 blur, moderate = 3×3 median +
+    σ0.5 blur, light = 3×3 median only."""
+    user_level = settings.get("ocr_noise_reduction_level", 0)
+    if user_level and user_level > 0:
+        level = user_level
+    elif quality["noise"] > 0.2:
+        level = 3
+    elif quality["noise"] > 0.1:
+        level = 2
+    else:
+        level = 1
+    if level >= 3:
+        return gaussian_blur(median_filter(img, 2), 0.8)
+    if level == 2:
+        return gaussian_blur(median_filter(img, 1), 0.5)
+    return median_filter(img, 1)
+
+
+# --- A27: adaptive threshold / histogram equalization ----------------------
+
+ADAPTIVE_THRESHOLD_MAX_PIXELS = 1_500_000  # enhanced.rs:643
+
+
+def adaptive_threshold(img: np.ndarray, block_radius: int) -> np.ndarray:
+    """Local-mean binarization (imageproc adaptive_threshold analog):
+    255 where pixel > mean of the (2r+1)² clamped-border window, else
+    0. Integral-image (cumsum) implementation — O(n) regardless of
+    radius."""
+    h, w = img.shape
+    f = img.astype(np.float64)
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = f.cumsum(axis=0).cumsum(axis=1)
+    ys = np.arange(h)
+    xs = np.arange(w)
+    y0 = np.clip(ys - block_radius, 0, h)[:, None]
+    y1 = np.clip(ys + block_radius + 1, 0, h)[:, None]
+    x0 = np.clip(xs - block_radius, 0, w)[None, :]
+    x1 = np.clip(xs + block_radius + 1, 0, w)[None, :]
+    area = (y1 - y0) * (x1 - x0)
+    total = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+    mean = total / area
+    return np.where(f > mean, 255, 0).astype(np.uint8)
+
+
+def histogram_equalization(img: np.ndarray) -> np.ndarray:
+    """enhanced.rs:686-718 — CDF lookup table, truncating u8 cast."""
+    hist = np.bincount(img.ravel(), minlength=256).astype(np.uint64)
+    cdf = hist.cumsum()
+    total = float(img.size)
+    lookup = np.where(cdf > 0, (cdf / total * 255.0).astype(np.uint8), 0).astype(
+        np.uint8
+    )
+    return lookup[img]
+
+
+def contrast_stretching(img: np.ndarray) -> np.ndarray:
+    """enhanced.rs:728-758 — linear min/max stretch, truncating cast;
+    identity when the image is flat."""
+    mn, mx = int(img.min()), int(img.max())
+    if mx == mn:
+        return img
+    rng = float(mx - mn)
+    return ((img.astype(np.float32) - mn) / rng * 255.0).astype(np.uint8)
+
+
+def adaptive_contrast_enhancement(
+    img: np.ndarray, quality: dict, settings: dict
+) -> tuple[np.ndarray, str]:
+    """A27 — enhanced.rs:635-758. Large images (>1.5 MP, where the
+    reference's integral image could overflow) take the histogram-EQ
+    fallback (+ contrast stretch when contrast < 0.3); otherwise the
+    window size comes from the user knob when set, else from measured
+    contrast (low → min_dim/20 in [11,31]; good → min_dim/15 in
+    [15,41]), forced odd, then local-mean adaptive threshold. Returns
+    (pixels, step_label) — 'Contrast enhancement' for the threshold
+    path, 'Basic contrast enhancement' for the fallback."""
+    h, w = img.shape
+    if h * w > ADAPTIVE_THRESHOLD_MAX_PIXELS:
+        out = histogram_equalization(img)
+        if quality["contrast"] < 0.3:
+            out = contrast_stretching(out)
+        return out, "Basic contrast enhancement"
+    min_dim = min(w, h)
+    user_window = settings.get("ocr_adaptive_threshold_window_size", 0)
+    if user_window and user_window > 0:
+        size = int(user_window)
+    elif quality["contrast"] < 0.2:
+        size = min(max(min_dim // 20, 11), 31)
+    else:
+        size = min(max(min_dim // 15, 15), 41)
+    if size % 2 == 0:
+        size += 1
+    try:
+        return adaptive_threshold(img, size), "Contrast enhancement"
+    except Exception:
+        out = histogram_equalization(img)
+        if quality["contrast"] < 0.3:
+            out = contrast_stretching(out)
+        return out, "Basic contrast enhancement"
+
+
+# --- A29: morphological open + close ---------------------------------------
+
+
+def _erode(img: np.ndarray) -> np.ndarray:
+    p = np.pad(img, 1, mode="edge")
+    h, w = img.shape
+    return np.min(
+        np.stack([p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]),
+        axis=0,
+    )
+
+
+def _dilate(img: np.ndarray) -> np.ndarray:
+    p = np.pad(img, 1, mode="edge")
+    h, w = img.shape
+    return np.max(
+        np.stack([p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]),
+        axis=0,
+    )
+
+
+def morphological_open_close(img: np.ndarray) -> np.ndarray:
+    """A29 — enhanced.rs:804-812: grayscale opening (erode→dilate,
+    removes speckle noise) then closing (dilate→erode, fills small gaps
+    in glyph strokes), LInf norm radius 1 = 3×3 square element."""
+    opened = _dilate(_erode(img))
+    return _erode(_dilate(opened))
 
 
 def sharpen(img: np.ndarray) -> np.ndarray:
@@ -280,9 +475,18 @@ def sharpen(img: np.ndarray) -> np.ndarray:
 def preprocess_image(
     img: np.ndarray, settings: dict
 ) -> tuple[np.ndarray, list[str]]:
-    """The A20-pre ladder with the reference's step bookkeeping
-    (enhanced.rs:158-199): orientation → resize → quality analysis →
-    optional enhancement steps. Returns (pixels, steps_applied)."""
+    """The A20-pre ladder with the reference's exact step gating and
+    bookkeeping (enhanced.rs:140-202): orientation → resize → quality
+    analysis → selective enhancement rungs, each guarded by the
+    measured stat OR its user knob:
+
+      brightness   avg < 50 (of 255)  or ocr_brightness_boost > 0
+      noise        noise > 0.25       or (ocr_remove_noise and level > 1)
+      contrast     contrast < 0.2     or (ocr_enhance_contrast and window > 0)
+      sharpen      sharpness < 0.2    or ocr_sharpening_strength > 0.5
+      morphology   ocr_morphological_operations and noise > 0.15
+
+    Returns (pixels, steps_applied) with the reference's step labels."""
     steps: list[str] = []
     if settings.get("ocr_detect_orientation", True):
         img, rotated = orientation_correction(img)
@@ -294,18 +498,46 @@ def preprocess_image(
     if settings.get("enable_image_preprocessing"):
         quality = analyze_image_quality(img)
         if needs_enhancement(quality, settings):
-            img = brightness_contrast_correction(img, quality)
-            steps.append("Brightness/contrast correction")
-            if settings.get("ocr_sharpening_strength", 0.5) > 0:
+            if (
+                quality["brightness"] * 255.0 < 50.0
+                or settings.get("ocr_brightness_boost", 0.0) > 0.0
+            ):
+                img = brightness_contrast_correction(img, quality, settings)
+                steps.append("Brightness/contrast correction")
+            if quality["noise"] > 0.25 or (
+                settings.get("ocr_remove_noise")
+                and settings.get("ocr_noise_reduction_level", 0) > 1
+            ):
+                img = noise_removal(img, quality, settings)
+                steps.append("Noise reduction")
+            if quality["contrast"] < 0.2 or (
+                settings.get("ocr_enhance_contrast")
+                and settings.get("ocr_adaptive_threshold_window_size", 0) > 0
+            ):
+                img, label = adaptive_contrast_enhancement(img, quality, settings)
+                steps.append(label)
+            if (
+                quality["sharpness"] < 0.2
+                or settings.get("ocr_sharpening_strength", 0.0) > 0.5
+            ):
                 img = sharpen(img)
-                steps.append("Sharpening")
+                steps.append("Image sharpening")
+            if (
+                settings.get("ocr_morphological_operations")
+                and quality["noise"] > 0.15
+            ):
+                img = morphological_open_close(img)
+                steps.append("Morphological operations")
     return img, steps
 
 
 def ocr_image(img: np.ndarray, settings: dict) -> tuple[str, float]:
     """Tesseract OCR (enhanced.rs:52-119), capability-gated like the
     reference's `#[cfg(feature="ocr")]` split. Raises the reference's
-    error string when the runtime is absent."""
+    error string when the runtime is absent. Configuration goes through
+    resolve_tesseract_config (kernels/ocr_config.py): validated
+    language combination with primary-first ordering and the PSM/OEM
+    0-13/0-3 maps with PsmAuto/Default fallbacks."""
     if not settings.get("ocr_capability"):
         raise RuntimeError("OCR feature not enabled")
     try:
@@ -313,14 +545,13 @@ def ocr_image(img: np.ndarray, settings: dict) -> tuple[str, float]:
         from PIL import Image  # noqa: F401
     except ImportError:
         raise RuntimeError("OCR feature not enabled")
+    from readur_spark.kernels.ocr_config import resolve_tesseract_config
+
+    cfg = resolve_tesseract_config(settings)
     pil = Image.fromarray(img)
-    config = "--psm %d --oem %d" % (
-        settings.get("ocr_page_segmentation_mode", 3),
-        settings.get("ocr_engine_mode", 3),
-    )
-    lang = "+".join(settings.get("preferred_languages", ["eng"])[:4])
+    config = "--psm %d --oem %d" % (cfg["psm"], cfg["oem"])
     data = pytesseract.image_to_data(
-        pil, lang=lang, config=config, output_type=pytesseract.Output.DICT
+        pil, lang=cfg["lang"], config=config, output_type=pytesseract.Output.DICT
     )
     words = [w for w in data["text"] if w.strip()]
     confs = [float(c) for c, w in zip(data["conf"], data["text"]) if w.strip() and float(c) >= 0]

@@ -127,6 +127,17 @@ def url_extension(url: str) -> str:
     return name.rsplit(".", 1)[-1].lower()
 
 
+def is_allowed_file_type(filename: str, allowed_types: list[str]) -> bool:
+    """A7 — src/services/file_service.rs:204-214: the ingest contract's
+    extension gate, applied BEFORE any payload sniffing. Faithful to
+    Path::extension semantics: no extension → rejected (False);
+    extension lowercased and matched against the allow list."""
+    ext = url_extension(filename)
+    if not ext:
+        return False
+    return ext in allowed_types
+
+
 def detect_from_extension(url: str) -> tuple[str, str, str]:
     """src/mime_detection.rs:272-294 → (mime, confidence, method)."""
     ext = url_extension(url)

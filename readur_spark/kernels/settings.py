@@ -20,8 +20,13 @@ DEFAULT_SETTINGS: dict = {
     "auto_detect_language_combination": False,
     # src/models/settings.rs:313
     "max_file_size_mb": 50,
-    # src/models/settings.rs:314-322
-    "allowed_file_types": ["pdf", "png", "jpg", "jpeg", "tiff", "bmp", "txt"],
+    # src/models/settings.rs:314-322 — plus "html": the engine's
+    # north-star branch (the reference has no HTML extractor, so its
+    # default list omits it; dropping .html at ingest would gut the
+    # Common-Crawl pipeline). Read by operators.extract.
+    # filter_allowed_pages (A7 ingest gate) and kernels.mime.
+    # is_allowed_file_type.
+    "allowed_file_types": ["pdf", "png", "jpg", "jpeg", "tiff", "bmp", "txt", "html"],
     # src/models/settings.rs:323-324
     "auto_rotate_images": True,
     "enable_image_preprocessing": False,
@@ -57,6 +62,15 @@ DEFAULT_SETTINGS: dict = {
     # same paths behind `#[cfg(feature = "ocr")]`
     # (src/ocr/enhanced.rs:1421-1440); this flag is the runtime analog.
     "ocr_capability": False,
+    # `tesseract --list-langs` result (src/ocr/health.rs:33-53) probed
+    # once per executor when the runtime exists; None = unknown → the
+    # A20/A34 language validation is skipped (no runtime to validate
+    # against), a list enables strict combination validation.
+    "available_languages": None,
+    # A13 backend injection point (kernels/ocr_ladder.py): None →
+    # OcrmypdfBackend (real subprocess) when ocr_capability is set;
+    # tests inject fakes to exercise the 3-strategy control flow.
+    "ocr_backend": None,
     # Engine extension: enable the HTML main-content branch (the
     # reference has no HTML extractor — SURVEY.md §7 note; this is the
     # north-star extension for Common-Crawl payloads).

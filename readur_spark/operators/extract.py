@@ -145,6 +145,35 @@ def extract_pages(df: DataFrame, settings: dict | None = None) -> DataFrame:
     return df.select(*(_INPUT_COLS + passthrough)).mapInPandas(run, schema=schema)
 
 
+def filter_allowed_pages(
+    pages: DataFrame,
+    settings: dict | None = None,
+    keep_extensionless: bool = True,
+) -> DataFrame:
+    """A7 — the ingest allow-list (src/services/file_service.rs:204-214,
+    defaults settings.rs:314-322) as a JVM-side predicate on the url
+    extension, applied BEFORE any payload is shipped to Python (the
+    reference gates at upload/sync ingest, before content sniffing; at
+    100 TB this keeps disallowed payloads out of the Arrow boundary
+    entirely and pushes down to the scan).
+
+    keep_extensionless=True is the documented web deviation: the
+    reference's filesystem contract rejects extensionless names
+    (Path::extension → None → false), but Common-Crawl urls routinely
+    have no extension and carry the payload type in the content; pass
+    False for the reference-strict behavior. The pure-kernel twin is
+    kernels.mime.is_allowed_file_type."""
+    settings = settings or DEFAULT_SETTINGS
+    allowed = [t.lower() for t in settings.get("allowed_file_types") or []]
+    path = F.regexp_replace(F.col("url"), "[?#].*$", "")
+    name = F.regexp_extract(path, "([^/]*)$", 1)
+    ext = F.lower(F.regexp_extract(name, "\\.([^.]+)$", 1))
+    cond = ext.isin(allowed)
+    if keep_extensionless:
+        cond = cond | (ext == "")
+    return pages.filter(cond)
+
+
 def with_relational_columns(pages: DataFrame) -> DataFrame:
     """JVM-side columns that never cross the Python boundary:
     sha256 dedup key (A5 — built-in F.sha2, no UDF), size, priority
