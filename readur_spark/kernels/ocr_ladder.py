@@ -161,6 +161,28 @@ def pdf_ocr_ladder(
     )
 
 
+class StubOcrBackend:
+    """Deterministic FAKE backend for environments without ocrmypdf
+    (this sandbox): succeeds on the first rung and returns a clearly-
+    marked stub text derived from the payload hash. NOT real OCR — it
+    exists so the ladder's control flow and the OCR branch of corpus
+    rollups stay exercised end-to-end (mirroring the multimodal decode
+    stub policy, SURVEY.md §2); swap in OcrmypdfBackend on an image
+    with the binary installed."""
+
+    def available(self) -> bool:
+        return True
+
+    def run(self, pdf: bytes, args: list[str], timeout_s: float) -> BackendResult:
+        return BackendResult(returncode=0, ocr_pdf=pdf)
+
+    def sidecar(self, ocr_pdf: bytes, timeout_s: float) -> str:
+        import hashlib
+
+        digest = hashlib.sha256(ocr_pdf).hexdigest()[:16]
+        return "ocr stub text %s" % digest
+
+
 class OcrmypdfBackend:
     """Real subprocess backend (used when ocrmypdf exists on the
     executor image). Never exercised in this sandbox; the ladder above

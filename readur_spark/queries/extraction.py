@@ -69,18 +69,33 @@ def extract_wordcount_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("extract_mixed_corpus_rollup")  # non-SQL: exercises PDF/HTML/image branches
+@register("extract_mixed_corpus_rollup")  # non-SQL: exercises PDF/HTML/image/OCR branches
 def extract_mixed_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full mixed-branch corpus rollup (synthetic pages): rows-only
     driver check; branch-level correctness is pinned by the golden
-    pytest suite (tests/test_pipeline_e2e.py)."""
+    pytest suite (tests/test_pipeline_e2e.py, test_ocr_ladder.py).
+
+    Runs with the deterministic StubOcrBackend so the A13 OCR ladder
+    branch produces rows (confidence 85 bucket) — scanned PDFs that
+    fail the text-layer quality gate take the ladder instead of the
+    byte-scrape last resort. Grouping includes the integer confidence
+    so each cascade rung (100 text / 95 pdf-quick / 90 html / 85 ocr /
+    50 scrape) is a distinct, countable row."""
     from readur_spark.corpus import synthetic_pages
+    from readur_spark.kernels.ocr_ladder import StubOcrBackend
+    from readur_spark.kernels.settings import merged_settings
     from readur_spark.pipeline import extract_corpus
 
     pages = synthetic_pages(spark, 500)
-    extracted = extract_corpus(pages)
+    settings = merged_settings(
+        {"ocr_capability": True, "ocr_backend": StubOcrBackend()}
+    )
+    extracted = extract_corpus(pages, settings=settings)
     return (
-        extracted.groupBy("status", "mime_type", "failure_reason")
+        extracted.groupBy(
+            "status", "mime_type", "failure_reason",
+            F.col("confidence").cast("int").alias("confidence_i"),
+        )
         .agg(F.count("*").alias("n_docs"), F.sum("word_count").alias("total_words"))
-        .orderBy("status", "mime_type", "failure_reason")
+        .orderBy("status", "mime_type", "failure_reason", "confidence_i")
     )

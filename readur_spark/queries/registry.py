@@ -47,6 +47,6 @@ def _load_all() -> None:
     from readur_spark.queries import analytics, facets, ops, search  # noqa: F401
     from readur_spark.ml import dedup as ml_dedup  # noqa: F401
     from readur_spark.ml import multimodal, similarity, textqc  # noqa: F401
-    from readur_spark.queries import extraction  # noqa: F401
+    from readur_spark.queries import extraction, labels  # noqa: F401
 
     _LOADED = True

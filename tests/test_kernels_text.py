@@ -25,6 +25,22 @@ class TestReadPlainText:
         assert out.endswith(k.TRUNCATION_SUFFIX)
         assert len(out) == k.MAX_TEXT_CONTENT_SIZE + len(k.TRUNCATION_SUFFIX)
 
+    def test_truncation_multibyte_boundary(self):
+        """Pin the documented deviation at the 10 MB truncation cut: a
+        multi-byte char straddling the boundary is DROPPED (decode with
+        errors='ignore'), where the reference's byte slice
+        (enhanced.rs:1462-1467, Rust `&text[..MAX]`) would panic on a
+        non-char-boundary. The engine never panics mid-batch; the
+        partial char is elided and the suffix appended."""
+        # 'é' = 2 bytes; place its first byte at index MAX-1
+        body = b"a" * (k.MAX_TEXT_CONTENT_SIZE - 1) + "é".encode("utf-8") + b"tail"
+        out = k.read_plain_text(body)
+        assert out == "a" * (k.MAX_TEXT_CONTENT_SIZE - 1) + k.TRUNCATION_SUFFIX
+        # a char ending exactly ON the boundary survives intact
+        body2 = b"a" * (k.MAX_TEXT_CONTENT_SIZE - 2) + "é".encode("utf-8") + b"tail"
+        out2 = k.read_plain_text(body2)
+        assert out2 == "a" * (k.MAX_TEXT_CONTENT_SIZE - 2) + "é" + k.TRUNCATION_SUFFIX
+
     def test_size_gate(self):
         import pytest
 
