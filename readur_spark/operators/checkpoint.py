@@ -127,11 +127,16 @@ class SnapshotStore:
         if not snaps:
             return None
         out = None
-        for s in snaps:
+        # _commit_seq: position in the manifest enumeration (sorted by
+        # snapshot id = ms-prefixed filename) — a total order even when
+        # two commits land in the same millisecond, and identical for
+        # every reader (wall-ms alone can tie).
+        for seq, s in enumerate(snaps):
             d = (
                 spark.read.parquet(s["data_path"])
                 .withColumn("_snapshot_id", F.lit(s["snapshot_id"]))
                 .withColumn("_commit_ms", F.lit(s["committed_at_ms"]).cast("long"))
+                .withColumn("_commit_seq", F.lit(seq).cast("int"))
             )
             out = d if out is None else out.unionByName(d)
         return out
@@ -248,7 +253,7 @@ def dead_letter(store: SnapshotStore, spark: SparkSession,
     done = store.read_with_commit_order(spark)
     if done is None:
         return None
-    ledger = attempts_ledger(done.drop("_snapshot_id", "_commit_ms"))
+    ledger = attempts_ledger(done.drop("_snapshot_id", "_commit_ms", "_commit_seq"))
     exhausted = ledger.filter(
         (F.col("status") == "failed") & (F.col("attempts") >= max_attempts)
     ).select("url")
@@ -259,7 +264,7 @@ def dead_letter(store: SnapshotStore, spark: SparkSession,
         .agg(
             F.max_by(
                 F.struct("failure_reason", "failure_stage", "error"),
-                F.struct("_commit_ms", "_snapshot_id"),
+                F.col("_commit_seq"),
             ).alias("f")
         )
         .select(

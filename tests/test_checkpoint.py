@@ -133,6 +133,30 @@ def test_requeue_failed_respects_attempts_budget(spark, tmp_path, pages):
     assert dl.filter(F.col("failure_reason").isNull()).count() == 0
 
 
+def test_dead_letter_reports_latest_attempts_classification(spark, tmp_path):
+    """The 'final failure classification' must be the LATEST committed
+    snapshot's row (max_by over commit order) — not an arbitrary
+    survivor of an unordered dropDuplicates."""
+    store = cp.SnapshotStore(str(tmp_path / "dl"))
+    schema = "url string, status string, failure_reason string, failure_stage string, error string"
+
+    def attempt(reason, stage, error):
+        return spark.createDataFrame(
+            [("https://x.example/doc", "failed", reason, stage, error)], schema
+        )
+
+    store.commit(attempt("pdf_parsing_error", "ocr", "attempt 1"), run_id="r1")
+    store.commit(attempt("timeout", "ocr", "attempt 2"), run_id="r2")
+    store.commit(attempt("low_ocr_confidence", "validation", "attempt 3"), run_id="r3")
+
+    dl = cp.dead_letter(store, spark, max_attempts=3).collect()
+    assert len(dl) == 1
+    row = dl[0]
+    assert row.failure_reason == "low_ocr_confidence"
+    assert row.failure_stage == "validation"
+    assert row.error == "attempt 3"
+
+
 def test_bucketed_commit_layout_and_pruning(spark, tmp_path, pages):
     """url-hash bucketed snapshots: correct layout, readable union,
     and a bucket-keyed filter prunes the scan to one directory."""

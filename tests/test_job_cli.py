@@ -38,6 +38,35 @@ def test_job_run_and_resume(tmp_path, pages_parquet):
     assert r2["status"] == "up_to_date"
 
 
+def test_job_type_filter_gates_ingest(tmp_path, pages_parquet):
+    """A7 at the job layer: the default run drops disallowed
+    extensions (.zip etc.) before extraction; --no-type-filter ingests
+    everything. Distinct stores so resume doesn't interfere."""
+    filtered = _run_job(["--input", pages_parquet,
+                         "--store", str(tmp_path / "s1"), "--cpus", "8"])
+    raw = _run_job(["--input", pages_parquet, "--no-type-filter",
+                    "--store", str(tmp_path / "s2"), "--cpus", "8"])
+    assert filtered["status"] == raw["status"] == "committed"
+    assert filtered["n_docs"] < raw["n_docs"]
+    # the delta is exactly the disallowed-extension pages (urls with an
+    # extension outside the allow list)
+    import pyarrow.parquet as pq
+
+    from readur_spark.kernels.mime import is_allowed_file_type, url_extension
+    from readur_spark.kernels.settings import DEFAULT_SETTINGS
+
+    urls = [r["url"] for r in pq.read_table(pages_parquet, columns=["url"]).to_pylist()]
+    allowed = DEFAULT_SETTINGS["allowed_file_types"]
+    n_disallowed = sum(
+        1 for u in urls
+        if url_extension(u) and not is_allowed_file_type(u, allowed)
+    )
+    assert n_disallowed > 0
+    # raw ingests every page; filtered lost ≥ the disallowed ones after
+    # dedup (dedup collapses some, so compare committed deltas loosely)
+    assert raw["n_docs"] - filtered["n_docs"] <= n_disallowed
+
+
 def test_package_zip_importable(tmp_path):
     sys.path.insert(0, os.path.join(REPO_ROOT, "jobs"))
     try:

@@ -57,6 +57,58 @@ def test_read_warc_pages_spark(spark, tmp_path):
     assert extracted["https://b.example/y.txt"].extracted_text == "plain text body"
 
 
+def test_read_warc_pages_dedupes_recrawled_uris(spark, tmp_path):
+    """WARC archives carry one record per capture; the pages table is
+    keyed by url (input_hint). Recrawls — within one archive and across
+    archives — must collapse to the LATEST capture, and dedup_skip on
+    the result must not resurrect stale content."""
+    old = ("https://r.example/page.html", "2024-01-01T00:00:00Z", b"old content v1")
+    mid = ("https://r.example/page.html", "2024-02-01T00:00:00Z", b"mid content v2")
+    new = ("https://r.example/page.html", "2024-03-01T00:00:00Z", b"new content v3")
+    other = ("https://r.example/other.txt", "2024-01-05T00:00:00Z", b"other body")
+    (tmp_path / "c1.warc").write_bytes(write_warc([old, mid, other]))
+    (tmp_path / "c2.warc").write_bytes(write_warc([new]))
+
+    df = read_warc_pages(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 2  # one per url
+    got = {r.url: bytes(r.html) for r in rows}
+    assert got["https://r.example/page.html"] == b"new content v3"
+    assert got["https://r.example/other.txt"] == b"other body"
+
+    # raw captures remain reachable for archaeology
+    raw = read_warc_pages(spark, str(tmp_path), unique_urls=False)
+    assert raw.count() == 4
+
+    # dedup_skip over the canonicalized frame keeps exactly these rows
+    from readur_spark.operators.dedup import dedup_skip
+
+    assert dedup_skip(df).count() == 2
+
+
+def test_dedup_skip_repeated_url_different_content(spark):
+    """A repeated url with DIFFERENT payloads (un-canonicalized ingest)
+    must not let both rows survive via a shared winner url — the
+    (sha256, url) composite semi-join keeps one row per content hash."""
+    from readur_spark.operators.dedup import dedup_skip, with_sha256
+
+    rows = [
+        ("https://d.example/p", "2024-01-01 00:00:00", b"v1"),
+        ("https://d.example/p", "2024-01-02 00:00:00", b"v2"),
+        ("https://d.example/q", "2024-01-03 00:00:00", b"v1"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, html binary") \
+        .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = dedup_skip(with_sha256(df)).collect()
+    # v1 wins at its earliest (ts, url) = the /p capture; v2 survives as
+    # distinct content; the /q copy of v1 is a duplicate → dropped
+    kept = {(r.url, bytes(r.html)) for r in out}
+    assert kept == {
+        ("https://d.example/p", b"v1"),
+        ("https://d.example/p", b"v2"),
+    }
+
+
 def test_plan_pushdown_and_pruning(spark, sf_dir):
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     q = docs.filter(F.col("n_chars") > 100).select("doc_id", "lang")
