@@ -119,6 +119,76 @@ def qc_langid_english(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "qc_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t
+    ), bc AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+    ), rep AS (
+      SELECT doc_id, max(c) AS top_bigram_count,
+             CAST(sum(c) AS BIGINT) AS n_bigrams
+      FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.toks) AS n_tokens,
+           COALESCE(rep.top_bigram_count, 0) AS top_bigram_count,
+           round(CASE WHEN rep.n_bigrams > 0
+                      THEN CAST(rep.top_bigram_count AS DOUBLE) / rep.n_bigrams
+                      ELSE 0 END, 3) AS rep_ratio,
+           round(CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks), 3)
+             AS distinct_ratio
+    FROM t LEFT JOIN rep ON t.doc_id = rep.doc_id
+    """,
+)
+def qc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (the Gopher-rules family): fraction of
+    bigrams taken by the most frequent bigram, and distinct-token
+    ratio — the standard boilerplate/spam filters for web-corpus
+    curation. Shape: explode → two map-side-combinable aggs keyed by
+    (doc, bigram) then doc — no joins over payloads, uniform keys."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.array_join(F.slice(t, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    counts = base.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    rep = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams")
+    )
+    tok = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+    )
+    return tok.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        F.round(
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("top_bigram_count").cast("double") / F.col("n_bigrams"),
+            ).otherwise(0.0),
+            3,
+        ).alias("rep_ratio"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 3).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+@register(
     "qc_fingerprint",
     oracle="""
     SELECT doc_id,
