@@ -161,6 +161,53 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_multi_query_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5
+    ), s AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(e.v, q.qv), 3) AS sim
+      FROM e, q
+    ), r AS (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT q_id, vec_id, sim, rn FROM r WHERE rn <= 5
+    """,
+)
+def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN — top-5 per query for a small query BATCH (the
+    evaluation-set shape: score k probes against the corpus in ONE
+    pass). The query block broadcasts; similarity is a codegen'd
+    Catalyst expression; per-query ranking is a window partitioned by
+    q_id (shuffle keyed on the small uniform query id). Ranking uses
+    the 3-decimal rounded similarity with vec_id tie-break so the
+    order is reproducible across engines and float summation orders."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    base = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    sim = F.round(cosine(F.col("embedding"), F.col("qv")), 3)
+    scored = base.crossJoin(F.broadcast(queries)).select(
+        "q_id", "vec_id", sim.alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "sim", "rn")
+    )
+
+
 # ---- LSH-bucketed ANN (scale path) ------------------------------------------
 
 

@@ -46,6 +46,7 @@ def _load_all() -> None:
     # import for registration side effects
     from readur_spark.queries import analytics, facets, ops, search  # noqa: F401
     from readur_spark.ml import components as ml_components  # noqa: F401
+    from readur_spark.ml import curation as ml_curation  # noqa: F401
     from readur_spark.ml import dedup as ml_dedup  # noqa: F401
     from readur_spark.ml import multimodal, similarity, textqc  # noqa: F401
     from readur_spark.queries import extraction, labels  # noqa: F401
