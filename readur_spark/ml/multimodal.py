@@ -146,7 +146,60 @@ def frame_sample_table(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.select("url", "html").mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 
 
+THUMBNAIL_SCHEMA = (
+    "url string, thumbnail binary, thumb_format string, thumb_kind string,"
+    " thumb_width int, thumb_height int"
+)
+
+
+def thumbnail_table(pages: DataFrame) -> DataFrame:
+    """A35 — per-page thumbnails (kernels/thumbnails.py) as an
+    Arrow-batched narrow stage: extension dispatch, fit-box resize for
+    decodable images, deterministic placeholders for the reference's
+    fallback arms. Preserves input partitioning; payload crosses the
+    Python boundary once."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from readur_spark.kernels.thumbnails import generate_thumbnail
+
+        cols = [
+            "url", "thumbnail", "thumb_format", "thumb_kind",
+            "thumb_width", "thumb_height",
+        ]
+        for pdf in batches:
+            rows = [
+                generate_thumbnail(
+                    url, bytes(data) if data is not None else b""
+                )
+                for url, data in zip(pdf["url"], pdf["html"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(run, schema=THUMBNAIL_SCHEMA)
+
+
 # ---- driver-contract queries ----------------------------------------------
+
+
+@register("multimodal_thumbnails")  # non-SQL: binary encode; pytest-verified
+def multimodal_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail rollup over the synthetic mixed corpus: per
+    (kind, format) counts with size accounting — every page gets
+    exactly one thumbnail row (the get_or_generate contract)."""
+    from readur_spark.corpus import synthetic_pages
+
+    pages = synthetic_pages(spark, 500)
+    thumbs = thumbnail_table(pages)
+    return (
+        thumbs.groupBy("thumb_kind", "thumb_format")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("thumbnail")).alias("total_bytes"),
+            F.max("thumb_width").alias("max_w"),
+            F.max("thumb_height").alias("max_h"),
+        )
+        .orderBy("thumb_kind", "thumb_format")
+    )
 
 
 @register("multimodal_image_stats")  # non-SQL: binary decode; pytest-verified

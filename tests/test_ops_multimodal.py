@@ -128,3 +128,55 @@ def test_audio_decode_is_capability_gated():
 
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF....WAVE")
+
+
+# ---- A35 thumbnails --------------------------------------------------------
+
+
+class TestThumbnails:
+    def test_fit_box_math(self):
+        from readur_spark.kernels.thumbnails import fit_box
+
+        assert fit_box(400, 200) == (200, 100)   # landscape fits width
+        assert fit_box(200, 400) == (100, 200)   # portrait fits height
+        assert fit_box(100, 50) == (100, 50)     # never upscale
+        assert fit_box(1000, 10) == (200, 2)
+        assert fit_box(0, 0) == (1, 1)
+
+    def test_image_thumbnail_roundtrip(self):
+        import numpy as np
+
+        from readur_spark.kernels.image import decode_png_gray, encode_png_gray
+        from readur_spark.kernels.thumbnails import generate_thumbnail
+
+        img = np.tile(np.arange(256, dtype=np.uint8), (300, 2))[:, :400]
+        row = generate_thumbnail("https://x.example/a.png", encode_png_gray(img))
+        assert row["thumb_kind"] == "image"
+        assert (row["thumb_width"], row["thumb_height"]) == (200, 150)
+        decoded = decode_png_gray(bytes(row["thumbnail"]))
+        assert decoded.shape == (150, 200)
+
+    def test_dispatch_and_placeholders_deterministic(self):
+        from readur_spark.kernels.thumbnails import generate_thumbnail
+
+        pdf = generate_thumbnail("https://x.example/doc.pdf", b"%PDF-1.4")
+        assert pdf["thumb_kind"] == "placeholder"
+        # placeholders are deterministic per label
+        pdf2 = generate_thumbnail("https://y.example/other.pdf", b"junk")
+        assert bytes(pdf["thumbnail"]) == bytes(pdf2["thumbnail"])
+        txt = generate_thumbnail("https://x.example/n.txt", b"hello")
+        assert bytes(txt["thumbnail"]) != bytes(pdf["thumbnail"])
+        corrupt = generate_thumbnail("https://x.example/broken.png", b"\x00bad")
+        assert corrupt["thumb_kind"] == "placeholder"
+        noext = generate_thumbnail("https://x.example/page", b"<html>")
+        assert noext["thumb_kind"] == "placeholder"
+
+    def test_thumbnail_table_covers_every_page(self, spark):
+        from readur_spark.corpus import synthetic_pages
+        from readur_spark.ml.multimodal import thumbnail_table
+
+        pages = synthetic_pages(spark, 200)
+        thumbs = thumbnail_table(pages)
+        assert thumbs.count() == pages.count()
+        kinds = {r.thumb_kind for r in thumbs.select("thumb_kind").distinct().collect()}
+        assert "image" in kinds and "placeholder" in kinds
