@@ -1,0 +1,180 @@
+"""Crawl-snapshot operators: capture-over-capture diff and URL
+canonicalization.
+
+A Common-Crawl-style ingest sees the same url across captures
+(WARC-Target-URI recurrence — the contract readur resolves with its
+dedup policies, src/services/file_service.rs; sources/warc.py
+canonicalizes to latest-capture-per-url at ingest). These operators
+answer the next question: *what changed between two captures?* and
+*which distinct urls are actually the same resource?*
+
+Scale notes:
+* `crawl_snapshot_diff` is one full-outer join keyed by url. At 10^12
+  rows that is a sort-merge join on hash(url) — both sides partition
+  identically, so with the snapshot store's url-bucketed layout
+  (operators/checkpoint.py) it degenerates to a zip of co-located
+  buckets with no shuffle at all. Content comparison rides sha256
+  digests computed in the scan projection (JVM `F.sha2`), so the join
+  carries 64-byte digests, never payloads.
+* `canonicalize_url` is a pure projection (regexp capture groups, all
+  in the Java-regex ∩ RE2 syntax subset) — zero shuffles; grouping by
+  the canonical form afterwards is the usual hash-agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load
+
+_URL_SQL = "'https://' || source || '.example/doc' || doc_id || '.txt'"
+
+
+# ---------------------------------------------------------------------------
+# capture diff
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(prev: DataFrame, curr: DataFrame) -> DataFrame:
+    """Diff two captures of (url, text): added/removed/changed/unchanged.
+
+    Digest-first: each side reduces to (url, sha256) before the join,
+    so the shuffle moves 96 bytes/row regardless of document size.
+    """
+    p = prev.select("url", F.sha2(F.col("text"), 256).alias("h_prev"))
+    c = curr.select("url", F.sha2(F.col("text"), 256).alias("h_curr"))
+    joined = p.join(c, "url", "full_outer")
+    status = (
+        F.when(F.col("h_prev").isNull(), "added")
+        .when(F.col("h_curr").isNull(), "removed")
+        .when(F.col("h_prev") != F.col("h_curr"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select("url", status.alias("status"))
+
+
+@register(
+    "crawl_snapshot_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_URL_SQL} AS url, text FROM documents
+    ), prev AS (
+      SELECT url, sha256(text) AS h_prev FROM base WHERE doc_id % 7 <> 0
+    ), curr AS (
+      SELECT url,
+             sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                         ELSE text END) AS h_curr
+      FROM base WHERE doc_id % 11 <> 0
+    )
+    SELECT COALESCE(prev.url, curr.url) AS url,
+           CASE WHEN h_prev IS NULL THEN 'added'
+                WHEN h_curr IS NULL THEN 'removed'
+                WHEN h_prev <> h_curr THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM prev FULL OUTER JOIN curr ON prev.url = curr.url
+    """,
+)
+def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic captures synthesized from `documents` (prev
+    misses doc_id%7==0, curr misses %11==0 and revises %5==0), diffed
+    through the real `snapshot_diff` operator. All four statuses occur
+    at sf0.01."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc"),
+            F.col("doc_id").cast("string"), F.lit(".txt"),
+        ).alias("url"),
+        "text",
+    )
+    prev = base.filter(F.col("doc_id") % 7 != 0).select("url", "text")
+    curr = base.filter(F.col("doc_id") % 11 != 0).select(
+        "url",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(prev, curr)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, strip leading `www.`,
+    strip default ports (:80/:443), drop the fragment, trim a trailing
+    slash off the path, and sort query parameters.
+
+    The capture regexes stay in the Java-regex ∩ RE2 subset so the
+    identical patterns run under DuckDB for the oracle.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":(80|443)$", ""), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        r"/$", "",
+    )
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    qs_sorted = F.array_join(F.array_sort(F.split(qs, "&")), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs_sorted)).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "url_canonicalize",
+    oracle="""
+    WITH messy AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || upper(source) || '.Example:443/Doc' || doc_id
+               || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '' END
+               || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+               ':(80|443)$', ''), '^www\\.', '') AS host,
+             regexp_replace(
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+               '/$', '') AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS qs
+      FROM messy
+    )
+    SELECT doc_id, url AS raw_url,
+           scheme || '://' || host || path ||
+             CASE WHEN qs <> ''
+                  THEN '?' || array_to_string(list_sort(string_split(qs, '&')), '&')
+                  ELSE '' END AS canonical_url
+    FROM parts
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically-messy urls (case, default port, www, trailing
+    slash, unsorted params, fragment) canonicalized by the real
+    operator; hash-checked byte-for-byte."""
+    docs = load(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+            F.lit(".Example:443/Doc"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, "/").otherwise(""),
+            F.when(F.col("doc_id") % 2 == 0, "?b=2&a=1").otherwise(""),
+            F.when(F.col("doc_id") % 4 == 0, "#frag").otherwise(""),
+        ).alias("url"),
+    )
+    return messy.select(
+        "doc_id",
+        F.col("url").alias("raw_url"),
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+    )

@@ -1,0 +1,158 @@
+"""Unit tests for the web-curation tier: C4/Gopher gates, PII
+redaction, hash splits, crawl diff, URL canonicalization, packing.
+
+The sf0.01 oracle parity for every registered query lives in
+test_entry_contract.py; these tests pin the operator semantics on
+hand-built rows where the expected answer is computed by eye.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from readur_spark.ml.packing import pack_concat_chunks, pack_greedy
+from readur_spark.ml.webfilters import (
+    redact_pii,
+    web_filter_signals,
+    with_hash_split,
+)
+from readur_spark.queries.crawl import canonicalize_url, snapshot_diff
+
+
+class TestWebFilters:
+    def test_signals_on_known_rows(self, spark):
+        rows = [
+            Row(id=1, text="the and " + " ".join(f"word{i}" for i in range(60))),  # keep
+            Row(id=2, text="the and tiny doc"),               # too short
+            Row(id=3, text="zz " * 80),                       # no stopwords + repetitive
+        ]
+        df = spark.createDataFrame(rows)
+        sig = web_filter_signals(F.col("text"), min_words=40)
+        out = {
+            r["id"]: r
+            for r in df.select(
+                "id", *[e.alias(n) for n, e in sig.items()]
+            ).collect()
+        }
+        assert out[1]["keep"] == 1
+        assert out[2]["keep"] == 0 and out[2]["flag_word_count"] == 1
+        assert out[3]["keep"] == 0
+        assert out[3]["flag_stopwords"] == 1
+        assert out[3]["flag_repetitive"] == 1
+
+    def test_redaction_bytes(self, spark):
+        df = spark.createDataFrame(
+            [Row(t="mail a.b+c@x-y.org ip 10.0.255.4 tel 555-123-4567 end")]
+        )
+        got = df.select(redact_pii(F.col("t")).alias("r")).first()["r"]
+        assert got == "mail <EMAIL> ip <IP> tel <PHONE> end"
+
+    def test_redaction_leaves_clean_text(self, spark):
+        clean = "no pii here just words and 12 numbers 3.14"
+        got = (
+            spark.createDataFrame([Row(t=clean)])
+            .select(redact_pii(F.col("t")).alias("r"))
+            .first()["r"]
+        )
+        assert got == clean
+
+    def test_hash_split_deterministic_and_total(self, spark):
+        df = spark.createDataFrame(
+            [Row(url=f"https://x.example/{i}") for i in range(500)]
+        )
+        a = with_hash_split(df, "url").groupBy("split").count().collect()
+        b = with_hash_split(df.repartition(7), "url").groupBy("split").count()
+        counts = {r["split"]: r["count"] for r in a}
+        assert counts == {r["split"]: r["count"] for r in b.collect()}
+        assert sum(counts.values()) == 500
+        # ~80/10/10 with slack for a 500-row sample
+        assert counts["train"] > 350
+        assert counts.get("valid", 0) > 10
+        assert counts.get("test", 0) > 10
+
+
+class TestCrawl:
+    def test_snapshot_diff_statuses(self, spark):
+        prev = spark.createDataFrame(
+            [Row(url="a", text="one"), Row(url="b", text="two"),
+             Row(url="c", text="three")]
+        )
+        curr = spark.createDataFrame(
+            [Row(url="b", text="two"), Row(url="c", text="THREE"),
+             Row(url="d", text="four")]
+        )
+        got = {r["url"]: r["status"] for r in snapshot_diff(prev, curr).collect()}
+        assert got == {
+            "a": "removed", "b": "unchanged", "c": "changed", "d": "added",
+        }
+
+    @pytest.mark.parametrize(
+        "raw,canon",
+        [
+            ("HTTP://WWW.Ex.COM:80/A/B/?z=1&a=2#f", "http://ex.com/A/B?a=2&z=1"),
+            ("https://ex.com/path", "https://ex.com/path"),
+            ("https://ex.com:443/", "https://ex.com"),
+            ("https://sub.www-ish.com/x", "https://sub.www-ish.com/x"),
+        ],
+    )
+    def test_canonicalize(self, spark, raw, canon):
+        got = (
+            spark.createDataFrame([Row(u=raw)])
+            .select(canonicalize_url(F.col("u")).alias("c"))
+            .first()["c"]
+        )
+        assert got == canon
+
+
+class TestPacking:
+    def _docs(self, spark):
+        # one shard, token counts chosen to straddle a 10-token chunk
+        rows = [Row(doc_id=i, shard=0, n_tokens=n)
+                for i, n in enumerate([4, 4, 4, 6, 12, 3])]
+        return spark.createDataFrame(rows)
+
+    def test_concat_chunks_offsets(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in pack_concat_chunks(self._docs(spark), chunk_tokens=10)
+            .collect()
+        }
+        # offsets: 0,4,8,12,18,30
+        assert [out[i]["start_offset"] for i in range(6)] == [0, 4, 8, 12, 18, 30]
+        # doc2 spans chunks 0-1; doc4 spans 1-2
+        assert (out[2]["chunk_first"], out[2]["chunk_last"]) == (0, 1)
+        assert out[2]["spans_boundary"] == 1
+        assert (out[4]["chunk_first"], out[4]["chunk_last"]) == (1, 2)
+        assert out[1]["spans_boundary"] == 0
+
+    def test_greedy_bins(self, spark):
+        out = pack_greedy(self._docs(spark), bin_tokens=10).toPandas()
+        out = out.sort_values("doc_id")
+        # greedy: [4,4]=8 | [4,6]=10 | [12] | [3]
+        assert list(out["bin_id"]) == [0, 0, 1, 1, 2, 3]
+
+    def test_greedy_state_survives_batches(self, spark):
+        rows = [Row(doc_id=i, shard=i % 2, n_tokens=3) for i in range(200)]
+        df = spark.createDataFrame(rows)
+        small_batches = spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", None
+        )
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        try:
+            out = pack_greedy(df, bin_tokens=9).toPandas()
+        finally:
+            if small_batches is None:
+                spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+            else:
+                spark.conf.set(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch", small_batches
+                )
+        # each shard has 100 docs of 3 tokens, 3 per bin -> 34 bins, all
+        # but the last holding exactly 3 docs — only true if the fill
+        # state carried across the 16-row Arrow batches
+        for shard in (0, 1):
+            sizes = (
+                out[out["shard"] == shard].groupby("bin_id").size().tolist()
+            )
+            assert sizes == [3] * 33 + [1]
