@@ -68,3 +68,35 @@ def search_postings_and(postings: DataFrame, terms: list[str]) -> DataFrame:
         .filter(F.col("_n_terms") == len(terms))
         .select("doc_id", "rank_tf")
     )
+
+
+def search_postings_tfidf(
+    postings: DataFrame, terms: list[str], n_docs: int
+) -> DataFrame:
+    """AND-of-terms with tf-idf-style rarity ranking from the index.
+
+    Weighting is exact fixed-point integer math — tf × ((N × 10^6) div
+    df) — rather than a float ln(N/df): monotone in rarity, but
+    bit-identical on every engine (no libm in the ranking path, so the
+    oracle can value-hash ranks). `n_docs` is a table statistic (row
+    count): at scale it comes from the table's metadata/stats, not a
+    scan.
+
+    Plan shape: the term filter prunes the postings scan to |terms|
+    slices; the per-term df aggregate is |terms| rows, so its join back
+    onto the hits is a broadcast. One partial-aggregatable shuffle on
+    doc_id, same as the plain-tf path.
+    """
+    hits = postings.filter(F.col("token").isin(terms))
+    dfreq = hits.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    weight = F.expr("tf * ((%dL * 1000000L) div df)" % n_docs)
+    return (
+        hits.join(F.broadcast(dfreq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("token").alias("_n_terms"),
+            F.sum(weight).cast("long").alias("rank_fp"),
+        )
+        .filter(F.col("_n_terms") == len(terms))
+        .select("doc_id", "rank_fp")
+    )

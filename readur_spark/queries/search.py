@@ -217,6 +217,46 @@ def search_via_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_postings_and(postings, ["spark", "join"])
 
 
+@register(
+    "search_tfidf_postings",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), tf AS (
+      SELECT doc_id, 'spark' AS token,
+             len(list_filter(toks, x -> x = 'spark')) AS tf
+      FROM toks WHERE list_contains(toks, 'spark')
+      UNION ALL
+      SELECT doc_id, 'join' AS token,
+             len(list_filter(toks, x -> x = 'join')) AS tf
+      FROM toks WHERE list_contains(toks, 'join')
+    ), dfreq AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    )
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf * ((n.n_docs * 1000000) // dfreq.df)) AS BIGINT)
+             AS rank_fp
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    GROUP BY tf.doc_id
+    HAVING count(DISTINCT tf.token) = 2
+    """,
+)
+def search_tfidf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AND query ranked by exact fixed-point tf-idf from the
+    posting index (rarer terms dominate; value-hash-checked because the
+    weighting is integer math, not libm floats)."""
+    from readur_spark.operators.posting import (
+        build_postings,
+        search_postings_tfidf,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    postings = build_postings(docs, "doc_id", "text")
+    return search_postings_tfidf(postings, ["spark", "join"], docs.count())
+
+
 # ---- B12: search suggestions (driver-side pure function) -------------------
 
 
