@@ -295,3 +295,60 @@ def split_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return with_hash_split(with_url, "url").select("doc_id", "h2", "split")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    quota: int,
+) -> DataFrame:
+    """Exact per-stratum quotas, deterministically: rank rows within
+    each stratum by md5(key) and keep the first `quota`.
+
+    The md5 order is a uniform, content-addressed permutation — the
+    same rows win under any partitioning or engine. At 10^12 rows the
+    per-stratum window sort is the cost; the scale path is two-phase
+    (count per stratum, then per-stratum md5-threshold ≈ quota/count,
+    exactifying only the boundary bucket), which this function's
+    single-window form is the reference semantics for.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.encode(F.col(key_col), "UTF-8"))
+    w = Window.partitionBy(*strata_cols).orderBy(h)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, lang, {_URL_SQL} AS url FROM documents
+    ), r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(url)) AS rk
+      FROM u
+    )
+    SELECT doc_id, lang FROM r WHERE rk <= 30
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30 docs per lang, chosen by md5(url) order — per-row
+    hash-checked, so the exact winning set must match."""
+    docs = load(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc"),
+            F.col("doc_id").cast("string"), F.lit(".txt"),
+        ).alias("url"),
+    )
+    return stratified_sample(with_url, ["lang"], "url", 30).select(
+        "doc_id", "lang"
+    )

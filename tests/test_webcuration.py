@@ -72,6 +72,64 @@ class TestWebFilters:
         assert counts.get("test", 0) > 10
 
 
+class TestDecontam:
+    def test_contamination_hits(self, spark):
+        from readur_spark.ml.decontam import contamination_hits
+
+        corpus = spark.createDataFrame([
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="one two three four five six seven"),
+            Row(doc_id=3, text="x y alpha beta gamma delta epsilon q"),
+        ])
+        ev = spark.createDataFrame(
+            [Row(doc_id=9, text="alpha beta gamma delta epsilon")]
+        )
+        got = {
+            r["doc_id"]: r["n_hit_shingles"]
+            for r in contamination_hits(corpus, ev).collect()
+        }
+        # docs 1 and 3 contain the eval 5-gram; doc 2 is clean
+        assert got == {1: 1, 3: 1}
+
+    def test_site_boilerplate_recovers_header(self, spark):
+        from readur_spark.ml.decontam import site_boilerplate_shingles
+
+        rows = [
+            Row(doc_id=i, source="s1",
+                text=f"header one two three four body{i} tail{i} x{i} y{i} z{i}")
+            for i in range(10)
+        ]
+        rows += [
+            Row(doc_id=100 + i, source="s2",
+                text=f"totally different words here {i} a{i} b{i} c{i} d{i}")
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows)
+        got = site_boilerplate_shingles(df).collect()
+        sites = {r["site"] for r in got}
+        assert sites == {"s1"}  # only s1 shares a template
+        assert {r["s"] for r in got} == {"header one two three four"}
+        assert all(r["frac_r"] == 1.0 for r in got)
+
+    def test_stratified_sample_exact_and_stable(self, spark):
+        from readur_spark.ml.webfilters import stratified_sample
+
+        rows = [
+            Row(k=f"u{i}", stratum="a" if i % 2 == 0 else "b")
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows)
+        s1 = {r["k"] for r in stratified_sample(df, ["stratum"], "k", 10).collect()}
+        s2 = {
+            r["k"]
+            for r in stratified_sample(
+                df.repartition(13), ["stratum"], "k", 10
+            ).collect()
+        }
+        assert s1 == s2  # same winners under any partitioning
+        assert len(s1) == 20  # exactly quota per stratum
+
+
 class TestCrawl:
     def test_snapshot_diff_statuses(self, spark):
         prev = spark.createDataFrame(
