@@ -183,13 +183,15 @@ def _raw_worker(rows: list) -> int:
     return len(rows)
 
 
-def _scaling_subprocess_once(cpus: int) -> dict | None:
+def _scaling_subprocess_once(cpus: int, replicas: int | None = None) -> dict | None:
     """One scaling-corpus extraction at a given parallelism in a fresh
     process (a SparkSession's master can't change in-process; fresh
     processes keep the two levels symmetric)."""
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SCALING"] = "0"
+    if replicas is not None:
+        env["SPARK_GRAFT_SCALING_REPLICAS"] = str(replicas)
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-run"],
@@ -206,7 +208,9 @@ def _scaling_subprocess_once(cpus: int) -> dict | None:
 
 
 def _scaling_measurements(
-    lo: int, hi: int, rounds: int = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    lo: int, hi: int,
+    rounds: int = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3")),
+    replicas: int | None = None,
 ):
     """Interleave lo/hi runs (lo,hi,lo,hi,…) so shared-host capacity
     drift — observed up to 4× on identical plans — biases neither
@@ -214,7 +218,7 @@ def _scaling_measurements(
     best_lo = best_hi = None
     for _ in range(rounds):
         for cpus in (lo, hi):
-            res = _scaling_subprocess_once(cpus)
+            res = _scaling_subprocess_once(cpus, replicas=replicas)
             if res is None:
                 continue
             if cpus == lo:
@@ -238,7 +242,10 @@ def main() -> None:
     if "--scaling-run" in sys.argv:
         # warm python workers, then measure the heavy-page pipeline
         spark.range(256).repartition(64).mapInPandas(lambda it: it, "id long").count()
-        res = run_scaling_extraction(spark)
+        res = run_scaling_extraction(
+            spark,
+            replicas=int(os.environ.get("SPARK_GRAFT_SCALING_REPLICAS", "128")),
+        )
         print(json.dumps({"cpus": cpus, **res}))
         spark.stop()
         return
@@ -266,6 +273,25 @@ def main() -> None:
         lo_res, hi_res = _scaling_measurements(lo, cpus)
         raw_lo_2 = _calibrate_raw(lo)
         raw_hi_2 = _calibrate_raw(cpus)
+        # Secondary N→4N pair at low absolute load (2→8): the VM's
+        # vCPUs are oversubscribed on the physical host, so aggregate
+        # throughput hits a floating ceiling (observed 2.6k-6.2k
+        # docs/s even Spark-free). A pair whose demand sits below that
+        # ceiling evidences the job's own scaling, not the host's.
+        low_pair = None
+        if cpus >= 32:
+            # 32 replicas (~64k pages): sized so the 2-core leg stays
+            # under ~2 min; efficiency is computed within the pair so
+            # the smaller corpus doesn't skew the 8→32 numbers above.
+            lo2_res, hi2_res = _scaling_measurements(2, 8, rounds=2, replicas=32)
+            if lo2_res and hi2_res:
+                t2, t8 = lo2_res["docs_per_sec"], hi2_res["docs_per_sec"]
+                low_pair = {
+                    "n_pages": hi2_res["n_pages"],
+                    "cpus_lo": 2, "docs_per_sec_lo": t2,
+                    "cpus_hi": 8, "docs_per_sec_hi": t8,
+                    "efficiency": round((t8 / t2) / 4.0, 3),
+                }
         if lo_res and hi_res and lo_res.get("docs_per_sec") and hi_res.get("docs_per_sec"):
             thr_lo, thr_hi = lo_res["docs_per_sec"], hi_res["docs_per_sec"]
             raws_lo = [x for x in (raw_lo_1, raw_lo_2) if x]
@@ -294,6 +320,8 @@ def main() -> None:
                 )
                 scaling["spark_fraction_of_raw_lo"] = round(thr_lo / raw_lo, 3)
                 scaling["spark_fraction_of_raw_hi"] = round(thr_hi / raw_hi, 3)
+            if low_pair is not None:
+                scaling["low_pair"] = low_pair
             result["scaling"] = scaling
 
     spark.stop()

@@ -212,6 +212,28 @@ def sessionize_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(load(spark, sf_dir, "events"), gap_seconds=1800)
 
 
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT user_id, event_type,
+           min(event_id) AS first_event_id,
+           count(*) - 1 AS n_suppressed
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic twin of the watermarked stream dedup
+    (streaming/windows.py dedup_events_stream): first event per
+    (user_id, event_type) plus how many re-deliveries the stream path
+    would suppress."""
+    from readur_spark.streaming.windows import first_event_per_key
+
+    return first_event_per_key(
+        load(spark, sf_dir, "events"), ["user_id", "event_type"]
+    )
+
+
 # ---- skew-salted host aggregation (north rule) -----------------------------
 
 

@@ -59,6 +59,39 @@ def windowed_event_counts(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: keep the first arrival per
+    key, with state bounded by the watermark
+    (`dropDuplicatesWithinWatermark` — re-deliveries inside the
+    watermark are suppressed, state for keys older than it is evicted).
+    On a batch frame this degrades to plain dropDuplicates, whose
+    per-key representative is arbitrary — use `first_event_per_key`
+    when determinism matters."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return events.dropDuplicates(key_cols)
+
+
+def first_event_per_key(
+    events: DataFrame, key_cols: list[str], id_col: str = "event_id"
+) -> DataFrame:
+    """Deterministic batch twin of the stream dedup: the minimum-id
+    event per key plus the suppressed-duplicate count. One map-side-
+    combinable aggregate — the scale-safe shape of 'pick a winner per
+    key' (same contract as the ingest dedup winner subtree)."""
+    return events.groupBy(*key_cols).agg(
+        F.min(id_col).alias("first_" + id_col),
+        (F.count("*") - 1).alias("n_suppressed"),
+    )
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp,"
     " n_events int"

@@ -122,3 +122,52 @@ def test_sessionize_stream_emits_closed_sessions(spark, tmp_path, few_shuffle_pa
     # batch; each user's open tail session stays in state (closed by
     # the processing-time timeout in a long-running deployment)
     assert got == {(1, 3)}
+
+
+def test_stream_dedup_suppresses_redeliveries(spark, tmp_path, few_shuffle_partitions):
+    from readur_spark.streaming.windows import (
+        dedup_events_stream,
+        first_event_per_key,
+    )
+
+    src = tmp_path / "dedup_in"
+    os.makedirs(src)
+    pq.write_table(_events_table(), str(src / "part0.parquet"))
+
+    batch_df = spark.read.parquet(str(src))
+    # batch corpus: user 1 has 5 'click' rows, user 2 has 2 — the
+    # stream must emit exactly one row per (user_id, event_type)
+    expected_keys = {
+        (r.user_id, r.event_type)
+        for r in first_event_per_key(
+            batch_df, ["user_id", "event_type"]
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src))
+    out = dedup_events_stream(stream, ["user_id", "event_type"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select user_id, event_type from dedup_out").collect()
+    assert {(r.user_id, r.event_type) for r in got} == expected_keys
+    assert len(got) == len(expected_keys)  # no duplicate emissions
+
+
+def test_first_event_per_key_counts(spark):
+    from readur_spark.streaming.windows import first_event_per_key
+
+    df = spark.createDataFrame(
+        [(1, 7, "a"), (2, 7, "a"), (3, 8, "b")],
+        "event_id long, user_id long, event_type string",
+    )
+    got = {
+        (r.user_id, r.event_type): (r.first_event_id, r.n_suppressed)
+        for r in first_event_per_key(df, ["user_id", "event_type"]).collect()
+    }
+    assert got == {(7, "a"): (1, 1), (8, "b"): (3, 0)}
