@@ -183,6 +183,19 @@ def _raw_worker(rows: list) -> int:
     return len(rows)
 
 
+def _cpu_stat() -> tuple[int, int, int] | None:
+    """(user+nice, system, steal) jiffies from /proc/stat — the guest's
+    own record of hypervisor oversubscription. High steal + high system
+    (spinlocks while a lock-holder vCPU is descheduled) around a run
+    means the measurement hit the physical host's ceiling, not ours."""
+    try:
+        with open("/proc/stat") as f:
+            p = f.readline().split()
+        return int(p[1]) + int(p[2]), int(p[3]), int(p[8])
+    except Exception:
+        return None
+
+
 def _scaling_subprocess_once(cpus: int, replicas: int | None = None) -> dict | None:
     """One scaling-corpus extraction at a given parallelism in a fresh
     process (a SparkSession's master can't change in-process; fresh
@@ -193,15 +206,25 @@ def _scaling_subprocess_once(cpus: int, replicas: int | None = None) -> dict | N
     if replicas is not None:
         env["SPARK_GRAFT_SCALING_REPLICAS"] = str(replicas)
     try:
+        s0 = _cpu_stat()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-run"],
             env=env, capture_output=True, text=True, timeout=1800,
         )
+        s1 = _cpu_stat()
         for line in reversed(out.stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
                 res = json.loads(line)
-                return res if res.get("docs_per_sec") else None
+                if not res.get("docs_per_sec"):
+                    return None
+                if s0 and s1:
+                    du, ds, dst = (b - a for a, b in zip(s0, s1))
+                    busy = du + ds + dst
+                    if busy > 0:
+                        res["steal_pct"] = round(100.0 * dst / busy, 1)
+                        res["sys_pct"] = round(100.0 * ds / busy, 1)
+                return res
     except Exception:
         pass
     return None
@@ -278,20 +301,32 @@ def main() -> None:
         # throughput hits a floating ceiling (observed 2.6k-6.2k
         # docs/s even Spark-free). A pair whose demand sits below that
         # ceiling evidences the job's own scaling, not the host's.
-        low_pair = None
+        # Parallelism ladder on a 64k-page corpus (~1-2 min/leg): the
+        # knee of the ladder exposes the physical host's effective-core
+        # capacity in THIS measurement window (the VM's 32 vCPUs are
+        # oversubscribed; observed capacity floats between ~2 and ~8+
+        # cores across windows). steal_pct/sys_pct per leg are the
+        # guest-kernel evidence of that ceiling. Efficiency for each
+        # N→4N pair is derivable; the honest read is the pair whose
+        # demand sits below the window's knee.
+        ladder = []
         if cpus >= 32:
-            # 32 replicas (~64k pages): sized so the 2-core leg stays
-            # under ~2 min; efficiency is computed within the pair so
-            # the smaller corpus doesn't skew the 8→32 numbers above.
-            lo2_res, hi2_res = _scaling_measurements(2, 8, rounds=2, replicas=32)
-            if lo2_res and hi2_res:
-                t2, t8 = lo2_res["docs_per_sec"], hi2_res["docs_per_sec"]
-                low_pair = {
-                    "n_pages": hi2_res["n_pages"],
-                    "cpus_lo": 2, "docs_per_sec_lo": t2,
-                    "cpus_hi": 8, "docs_per_sec_hi": t8,
-                    "efficiency": round((t8 / t2) / 4.0, 3),
-                }
+            for c in (1, 2, 4, 8):
+                res = _scaling_subprocess_once(c, replicas=32)
+                if res:
+                    ladder.append({
+                        "cpus": c,
+                        "docs_per_sec": res["docs_per_sec"],
+                        "steal_pct": res.get("steal_pct"),
+                        "sys_pct": res.get("sys_pct"),
+                    })
+        ladder_pairs = {}
+        by_c = {l["cpus"]: l["docs_per_sec"] for l in ladder}
+        for a, b in ((1, 4), (2, 8)):
+            if a in by_c and b in by_c:
+                ladder_pairs["eff_%d_to_%d" % (a, b)] = round(
+                    (by_c[b] / by_c[a]) / (b / a), 3
+                )
         if lo_res and hi_res and lo_res.get("docs_per_sec") and hi_res.get("docs_per_sec"):
             thr_lo, thr_hi = lo_res["docs_per_sec"], hi_res["docs_per_sec"]
             raws_lo = [x for x in (raw_lo_1, raw_lo_2) if x]
@@ -320,8 +355,13 @@ def main() -> None:
                 )
                 scaling["spark_fraction_of_raw_lo"] = round(thr_lo / raw_lo, 3)
                 scaling["spark_fraction_of_raw_hi"] = round(thr_hi / raw_hi, 3)
-            if low_pair is not None:
-                scaling["low_pair"] = low_pair
+            if ladder:
+                scaling["ladder_64k"] = ladder
+                scaling["ladder_pairs"] = ladder_pairs
+            for res, key in ((lo_res, "lo"), (hi_res, "hi")):
+                if res and res.get("steal_pct") is not None:
+                    scaling["steal_pct_" + key] = res["steal_pct"]
+                    scaling["sys_pct_" + key] = res["sys_pct"]
             result["scaling"] = scaling
 
     spark.stop()

@@ -203,3 +203,28 @@ def qc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     normed = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return docs.select("doc_id", F.md5(normed).alias("fingerprint"))
+
+
+def approx_distinct_tokens(
+    docs: DataFrame, text_col: str = "text", rsd: float = 0.02
+) -> DataFrame:
+    """Distinct-token cardinality per lang via HyperLogLog++
+    (`approx_count_distinct`, relative error ~rsd) next to the exact
+    count. The sketch is the 10^12-row answer: fixed-size state
+    (~1.5/rsd^2 bytes) merged map-side, one shuffle of sketches — the
+    exact countDistinct re-shuffles every token and exists here only
+    as the pytest yardstick."""
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("lang").agg(
+        F.approx_count_distinct("tok", rsd).alias("approx_distinct"),
+        F.countDistinct("tok").alias("exact_distinct"),
+    )
+
+
+@register("approx_distinct_tokens")
+def approx_distinct_tokens_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch vs exact (rows-only driver check — a sketch has no
+    SQL-exact oracle; the ±5% bound is pinned in pytest)."""
+    return approx_distinct_tokens(load(spark, sf_dir, "documents"))

@@ -200,3 +200,63 @@ def rbac_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---- multi-dimensional rollups and distribution analytics ------------------
+
+
+@register(
+    "corpus_cube_rollup",
+    oracle="""
+    SELECT coalesce(lang, '(all)') AS lang_g,
+           coalesce(source, '(all)') AS source_g,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def corpus_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping combinations in one pass (the dashboard
+    "slice by anything" rollup readur's analytics views approximate
+    with separate queries — migrations/20250620100001 ocr_analytics).
+    Spark expands the cube map-side into one shuffle; at 10^12 rows
+    each grouping set is still a partial-aggregatable hash agg, so the
+    cost is ~#grouping-sets × the plain rollup, not extra scans."""
+    docs = load(spark, sf_dir, "documents")
+    cube = docs.cube("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    # the grouping-set NULL marker becomes an explicit '(all)' so the
+    # result is null-free (and the driver comparator can sort rows)
+    return cube.select(
+        F.coalesce("lang", F.lit("(all)")).alias("lang_g"),
+        F.coalesce("source", F.lit("(all)")).alias("source_g"),
+        "n_docs", "total_chars",
+    )
+
+
+@register(
+    "qc_length_percentiles",
+    oracle="""
+    SELECT doc_id, lang,
+           round(percent_rank() OVER
+             (PARTITION BY lang ORDER BY n_chars, doc_id), 6) AS len_pctile
+    FROM documents
+    """,
+)
+def qc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang document-length percentile (the curation signal behind
+    "drop the shortest X% per language"). percent_rank is
+    (rank-1)/(n-1) — exact rational arithmetic, so the doubles hash
+    identically; doc_id breaks ties deterministically. Per-stratum
+    window sort, same scale shape as stratified_sample."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "lang",
+        F.round(F.percent_rank().over(w), 6).alias("len_pctile"),
+    )

@@ -214,3 +214,17 @@ class TestPacking:
                 out[out["shard"] == shard].groupby("bin_id").size().tolist()
             )
             assert sizes == [3] * 33 + [1]
+
+
+class TestSketches:
+    def test_hll_within_relative_error(self, spark):
+        from readur_spark.ml.textqc import approx_distinct_tokens
+
+        rows = [
+            Row(lang="en", text=" ".join(f"tok{i+j}" for j in range(50)))
+            for i in range(0, 2000, 50)
+        ]
+        df = spark.createDataFrame(rows)
+        for r in approx_distinct_tokens(df).collect():
+            rel = abs(r["approx_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
+            assert rel < 0.05, (r, rel)
