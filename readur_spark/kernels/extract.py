@@ -202,6 +202,18 @@ def _extract_image(url: str, data: bytes, mime_type: str, settings: dict) -> Ext
             url, mime_type, size, "corrupted internal structure: undecodable image",
             stage="ocr",
         )
+    # dimension reject-gate (enhanced_processing.rs:98-104, message
+    # from ocr/error.rs:19) — ocr_max_image_width/height knobs
+    h, w = img.shape
+    max_w = int(settings.get("ocr_max_image_width", 10000))
+    max_h = int(settings.get("ocr_max_image_height", 10000))
+    if w > max_w or h > max_h:
+        return _failed(
+            url, mime_type, size,
+            "Image too large for OCR. Max dimensions: %dx%d, Actual: %dx%d"
+            % (max_w, max_h, w, h),
+            stage="validation",
+        )
     img, steps = image.preprocess_image(img, settings)
     try:
         ocr_text, conf = image.ocr_image(img, settings)
@@ -220,10 +232,10 @@ def _extract_image(url: str, data: bytes, mime_type: str, settings: dict) -> Ext
     )
 
 
-def _extract_plain_text(url: str, data: bytes) -> ExtractResult:
+def _extract_plain_text(url: str, data: bytes, settings: dict) -> ExtractResult:
     size = len(data)
     try:
-        extracted = text_k.read_plain_text(data)
+        extracted = text_k.read_plain_text(data, settings)
     except text_k.ExtractError as e:
         return _failed(url, "text/plain", size, str(e), stage="validation")
     word_count = text_k.count_words_safely(extracted)
@@ -266,7 +278,7 @@ def extract_page(
     elif mime_type.startswith("image/"):
         result = _extract_image(url, data, mime_type, settings)
     elif mime_type == "text/plain":
-        result = _extract_plain_text(url, data)
+        result = _extract_plain_text(url, data, settings)
     else:
         result = _failed(
             url, mime_type, size, "Unsupported file type: %s" % mime_type, stage="validation"

@@ -17,8 +17,14 @@ DEFAULT_SETTINGS: dict = {
     "ocr_language": "eng",
     "preferred_languages": ["eng"],
     "primary_language": "eng",
+    # REFERENCE-DEAD KNOB: stored/roundtripped by the settings API but
+    # never read by the reference engine (grep of src/ finds no use
+    # outside models/db/routes settings surfaces). Kept for settings-
+    # object parity; deliberately unread here too.
     "auto_detect_language_combination": False,
-    # src/models/settings.rs:313
+    # src/models/settings.rs:313 + src/config.rs:323; the upload gate
+    # (routes/documents/crud.rs:167). Read by kernels.text.
+    # read_plain_text (A8 size gate).
     "max_file_size_mb": 50,
     # src/models/settings.rs:314-322 — plus "html": the engine's
     # north-star branch (the reference has no HTML extractor, so its
@@ -27,10 +33,16 @@ DEFAULT_SETTINGS: dict = {
     # filter_allowed_pages (A7 ingest gate) and kernels.mime.
     # is_allowed_file_type.
     "allowed_file_types": ["pdf", "png", "jpg", "jpeg", "tiff", "bmp", "txt", "html"],
-    # src/models/settings.rs:323-324
+    # src/models/settings.rs:323-324. auto_rotate_images is a
+    # REFERENCE-DEAD KNOB (settings surface only; the ladder's rotation
+    # is gated by ocr_detect_orientation, enhanced.rs:133-135) —
+    # mirrored unread.
     "auto_rotate_images": True,
     "enable_image_preprocessing": False,
-    # src/models/settings.rs:326-327
+    # src/models/settings.rs:326-328. Read by queries.facets.paginate,
+    # kernels.snippets (DEFAULT_SNIPPET_LENGTH), and queries.search.
+    # fuzzy_match (default threshold; the reference's SQL hardcodes 0.3
+    # and never reads its own knob — search.rs:126).
     "search_results_per_page": 25,
     "search_snippet_length": 200,
     "fuzzy_search_threshold": 0.8,
@@ -38,6 +50,8 @@ DEFAULT_SETTINGS: dict = {
     "ocr_page_segmentation_mode": 3,
     "ocr_engine_mode": 3,
     "ocr_min_confidence": 30.0,
+    # REFERENCE-DEAD KNOB: passed to smart_resize_for_ocr as
+    # `_target_dpi` and ignored (enhanced.rs:138,353) — mirrored unread.
     "ocr_dpi": 300,
     "ocr_enhance_contrast": True,
     "ocr_remove_noise": True,
@@ -48,8 +62,20 @@ DEFAULT_SETTINGS: dict = {
     "ocr_sharpening_strength": 0.5,
     "ocr_morphological_operations": False,
     "ocr_adaptive_threshold_window_size": 15,
+    # In the reference this knob only switches a log message — the EQ
+    # fallback itself triggers on size/panic (enhanced.rs:642-645,684-
+    # 688). Mirrored: the A27 path takes the same decisions without
+    # reading it.
     "ocr_histogram_equalization": False,
+    # REFERENCE-DEAD KNOB (settings surface only; upscaling is the
+    # fixed min-dim<300 → 600 rule, enhanced.rs:368-374) — mirrored
+    # unread.
     "ocr_upscale_factor": 1.0,
+    # Dimension reject-gate before OCR (enhanced_processing.rs:98-104;
+    # error string from ocr/error.rs:19). Read by kernels.extract.
+    # _extract_image. The reference's EnhancedOcrService defaults to
+    # 10000² and exposes with_limits(); the settings-table default is
+    # 3000² (db/mod.rs) — we honor the settings value.
     "ocr_max_image_width": 3000,
     "ocr_max_image_height": 3000,
     "ocr_quality_threshold_brightness": 0.3,

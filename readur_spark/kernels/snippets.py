@@ -16,7 +16,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-DEFAULT_SNIPPET_LENGTH = 200  # src/models/settings.rs:327
+from readur_spark.kernels.settings import DEFAULT_SETTINGS
+
+# src/models/settings.rs:327 — the per-user search_snippet_length knob
+DEFAULT_SNIPPET_LENGTH = int(DEFAULT_SETTINGS["search_snippet_length"])
 MAX_SNIPPETS_PER_TERM = 3  # search.rs:250-252
 MAX_SNIPPETS_TOTAL = 5  # search.rs:257
 

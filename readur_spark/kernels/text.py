@@ -57,20 +57,25 @@ def utf8_len(text: str) -> int:
     return len(text.encode("utf-8", errors="surrogatepass"))
 
 
-def read_plain_text(data: bytes) -> str:
+def read_plain_text(data: bytes, settings: dict | None = None) -> str:
     """text/plain branch of the MIME dispatch — src/ocr/enhanced.rs:1441-1469.
 
-    Size gate (50 MB) → UTF-8 decode → 10 MB content truncation with
-    suffix, else trim. Raises ExtractError with the reference's message
-    shapes so classify_error() maps identically.
+    Size gate (max_file_size_mb, default 50 MB — the reference's
+    upload gate, src/config.rs:323 + routes/documents/crud.rs:167) →
+    UTF-8 decode → 10 MB content truncation with suffix, else trim.
+    Raises ExtractError with the reference's message shapes so
+    classify_error() maps identically.
     """
     file_size = len(data)
-    if file_size > MAX_TEXT_FILE_SIZE:
+    max_size = MAX_TEXT_FILE_SIZE
+    if settings is not None and settings.get("max_file_size_mb"):
+        max_size = int(settings["max_file_size_mb"]) * 1024 * 1024
+    if file_size > max_size:
         # message shape from enhanced.rs:1451-1455 ("file too large" →
         # classify → file_too_large)
         raise ExtractError(
             "Text file too large: %.1f MB (max: %.1f MB). Consider splitting the file."
-            % (file_size / (1024.0 * 1024.0), MAX_TEXT_FILE_SIZE / (1024.0 * 1024.0))
+            % (file_size / (1024.0 * 1024.0), max_size / (1024.0 * 1024.0))
         )
     try:
         text = data.decode("utf-8")

@@ -77,6 +77,25 @@ def status_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def paginate(
+    df: DataFrame, order_cols: list, page: int, settings: dict | None = None
+) -> DataFrame:
+    """B3 LIMIT/OFFSET after ORDER BY (src/db/documents/helpers.rs:72-77)
+    — page size from the per-user search_results_per_page knob
+    (src/models/settings.rs:326), offset via a row_number window
+    (deterministic given a unique tie-break in order_cols)."""
+    from readur_spark.kernels.settings import DEFAULT_SETTINGS
+
+    per_page = int((settings or DEFAULT_SETTINGS)["search_results_per_page"])
+    w = Window.orderBy(*order_cols)
+    lo, hi = (page - 1) * per_page, page * per_page
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+        .drop("rn")
+    )
+
+
 @register(
     "pagination_page2",
     oracle="""
@@ -90,14 +109,12 @@ def status_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pagination_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B3 LIMIT/OFFSET after ORDER BY (src/db/documents/helpers.rs:72-77)
-    — offset via row_number window, deterministic (unique tie-break)."""
+    """Page 2 at the default 25-per-page (knob-driven via paginate)."""
     docs = load(spark, sf_dir, "documents")
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 25) & (F.col("rn") <= 50))
-        .select("doc_id", "n_chars")
+    return paginate(
+        docs.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        page=2,
     )
 
 

@@ -100,6 +100,27 @@ def trigram_set(col: Column) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(3))))
 
 
+def fuzzy_match(
+    df: DataFrame,
+    col: str,
+    query: str,
+    threshold: float | None = None,
+    settings: dict | None = None,
+) -> DataFrame:
+    """Fuzzy trigram filter over a column. The reference hardcodes the
+    SQL predicate at 0.3 (src/db/documents/search.rs:126) while the
+    per-user fuzzy_search_threshold knob (settings.rs:328, default 0.8)
+    exists as API surface it never reads — here the knob is honored as
+    the default and an explicit threshold reproduces the hardcoded
+    behavior."""
+    from readur_spark.kernels.settings import DEFAULT_SETTINGS
+
+    if threshold is None:
+        threshold = float((settings or DEFAULT_SETTINGS)["fuzzy_search_threshold"])
+    sim = trigram_similarity(trigram_set(F.col(col)), trigram_set(F.lit(query)))
+    return df.withColumn("sim", F.round(sim, 3)).filter(sim > threshold)
+
+
 def trigram_similarity(a: Column, b: Column) -> Column:
     """pg_trgm formula |∩| / |∪| over trigram sets
     (src/db/documents/search.rs:85-89; threshold 0.3 at :123-127).

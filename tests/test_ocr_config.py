@@ -149,3 +149,65 @@ def test_filter_allowed_pages_operator(spark):
               filter_allowed_pages(df, keep_extensionless=False).collect()}
     assert "https://a.example/page" not in strict
     assert "https://a.example/x.pdf" in strict
+
+
+class TestWiredKnobs:
+    """Knobs wired this round: max_file_size_mb (A8 gate),
+    ocr_max_image_width/height (reject gate), search_results_per_page
+    (paginate), fuzzy_search_threshold (fuzzy_match default)."""
+
+    def test_max_file_size_knob_gates_text(self):
+        from readur_spark.kernels import text as text_k
+
+        small_cap = {"max_file_size_mb": 1}
+        data = b"x" * (1024 * 1024 + 1)
+        try:
+            text_k.read_plain_text(data, small_cap)
+            assert False, "expected ExtractError"
+        except text_k.ExtractError as e:
+            assert "too large" in str(e)
+        # default settings: same payload passes
+        assert text_k.read_plain_text(data) == "x" * (1024 * 1024 + 1)
+
+    def test_image_dimension_reject_gate(self):
+        import numpy as np
+
+        from readur_spark.kernels import image as img_k
+        from readur_spark.kernels.extract import extract_page
+        from readur_spark.kernels.settings import DEFAULT_SETTINGS
+
+        wide = np.full((4, 64), 128, dtype=np.uint8)
+        png = img_k.encode_png_gray(wide)
+        s = dict(DEFAULT_SETTINGS)
+        s["ocr_capability"] = True
+        s["ocr_max_image_width"] = 32
+        res = extract_page("https://x/img.png", png, s)
+        assert res.status == "failed"
+        assert "Image too large for OCR. Max dimensions: 32x3000" in res.error
+        assert "Actual: 64x4" in res.error
+
+    def test_paginate_respects_page_size_knob(self, spark):
+        from pyspark.sql import Row, functions as F
+
+        from readur_spark.queries.facets import paginate
+
+        df = spark.createDataFrame([Row(i=i) for i in range(20)])
+        got = paginate(
+            df, [F.asc("i")], page=2, settings={"search_results_per_page": 7}
+        ).collect()
+        assert [r["i"] for r in got] == list(range(7, 14))
+
+    def test_fuzzy_match_defaults_to_knob(self, spark):
+        from pyspark.sql import Row
+
+        from readur_spark.queries.search import fuzzy_match
+
+        df = spark.createDataFrame(
+            [Row(name="report_2024"), Row(name="report_2025"), Row(name="zzz")]
+        )
+        # knob default 0.8: only near-identical strings survive
+        strict = fuzzy_match(df, "name", "report_2024").collect()
+        assert {r["name"] for r in strict} == {"report_2024"}
+        # reference-hardcoded 0.3 keeps the sibling
+        loose = fuzzy_match(df, "name", "report_2024", threshold=0.3).collect()
+        assert {r["name"] for r in loose} == {"report_2024", "report_2025"}
