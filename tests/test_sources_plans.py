@@ -8,7 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from readur_spark.plans import (
+    explain_str,
     has_broadcast_join,
+    has_no_shuffle,
     pushed_filters,
     scan_columns,
     shuffle_count,
@@ -150,3 +152,34 @@ def test_plan_label_join_broadcasts(spark, sf_dir):
 
     df = queries()["label_join_counts"](spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_plan_curation_projections_no_shuffle(spark, sf_dir):
+    """The per-document curation gates must stay pure projections —
+    zero exchanges — so at 10^12 rows they ride the scan."""
+    from readur_spark.ml.webfilters import (
+        pii_redaction,
+        qc_web_filters,
+        split_hash_sample,
+    )
+    from readur_spark.queries.crawl import url_canonicalize
+
+    for q in (qc_web_filters, split_hash_sample, url_canonicalize, pii_redaction):
+        df = q(spark, sf_dir)
+        assert has_no_shuffle(df), (q.__name__, explain_str(df)[:800])
+
+
+def test_plan_decontamination_broadcasts_eval_set(spark, sf_dir):
+    """The eval shingle set must broadcast — a shuffled join here would
+    re-partition the whole corpus by shingle."""
+    from readur_spark.ml.decontam import decontaminate_overlap
+
+    df = decontaminate_overlap(spark, sf_dir)
+    assert has_broadcast_join(df), explain_str(df)[:800]
+
+
+def test_plan_tfidf_broadcasts_df_stats(spark, sf_dir):
+    from readur_spark.queries.search import search_tfidf_postings
+
+    df = search_tfidf_postings(spark, sf_dir)
+    assert has_broadcast_join(df), explain_str(df)[:800]
