@@ -228,3 +228,43 @@ def approx_distinct_tokens_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch vs exact (rows-only driver check — a sketch has no
     SQL-exact oracle; the ±5% bound is pinned in pytest)."""
     return approx_distinct_tokens(load(spark, sf_dir, "documents"))
+
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single
+# non-alnum-non-space (a lookahead-free simplification of the GPT-2
+# pre-tokenizer split, in the Java-regex ∩ RE2 subset so the oracle
+# runs the identical pattern).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Sub-word-ish token count ("don't" → 3, "v2.1" → 4): the
+    pre-tokenization granularity LLM token budgets are estimated at,
+    vs token_count's whitespace words. Pure Catalyst (regexp_extract_all
+    + size) — stays in codegen."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+@register(
+    "qc_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text || ' v2.1, eta-42 (beta)', '{BPE_TOKEN_RE}'))
+             AS n_bpe_tokens,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens
+    FROM documents
+    """,
+)
+def qc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish vs whitespace token counts side by side (the corpus is
+    punctuation-free word soup, so a deterministic mixed-content tail
+    is appended — same expression in the oracle — to exercise the
+    digit/punctuation branches)."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = F.concat(F.col("text"), F.lit(" v2.1, eta-42 (beta)"))
+    return docs.select(
+        "doc_id",
+        token_count_bpe(seeded).alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
