@@ -1,0 +1,60 @@
+"""Training-data sinks: partitioned, size-bounded shard layouts.
+
+The reference's outputs land in Postgres rows + a file store
+(src/services/file_service.rs); a training pipeline's output contract
+is different: a *layout* — `split=train/lang=en/part-*.parquet` — that
+downstream dataloaders list, shard, and stream. These writers encode
+the two properties that matter at 100 TB:
+
+* **Partition directories** (`partitionBy`) so dataloaders prune by
+  split/lang from the path alone — no manifest service needed, and a
+  Spark/Trino/DuckDB reader all get partition pruning for free.
+* **Bounded file sizes** (`maxRecordsPerFile`) so no shard exceeds
+  what a single dataloader worker streams; Spark splits oversized
+  partitions into part-files without an extra shuffle.
+
+Determinism: rows are pre-sorted within partitions by the id column,
+so re-running the job yields byte-identical shard contents given the
+same input snapshot (the property the checkpoint lineage rows assert
+end-to-end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: list[str],
+    id_col: str,
+    max_records_per_file: int = 100_000,
+    fmt: str = "parquet",
+) -> None:
+    """Write `df` as a partitioned shard layout.
+
+    fmt='parquet' for analytical re-reads, fmt='json' for JSONL
+    consumers (one object per line — the interchange format most
+    training dataloaders speak).
+    """
+    out = df.repartition(*[F.col(c) for c in partition_cols]).sortWithinPartitions(
+        *partition_cols, id_col
+    )
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read a shard layout back; partition columns come from the
+    directory names (Spark partition discovery)."""
+    return spark.read.format(fmt).load(path)
