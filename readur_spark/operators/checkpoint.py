@@ -141,6 +141,23 @@ class SnapshotStore:
             out = d if out is None else out.unionByName(d)
         return out
 
+    def read_asof(
+        self, spark: SparkSession, commit_ms: int
+    ) -> DataFrame | None:
+        """Time travel: table state as of a commit timestamp — the
+        Iceberg `TIMESTAMP AS OF` analog. Visible state is the union
+        of snapshots whose manifest was published at or before
+        `commit_ms`; later commits are invisible, exactly as a
+        re-reader at that wall time would have seen it (manifests are
+        immutable once published, so this is reproducible forever —
+        until expire_snapshots drops history)."""
+        snaps = [
+            s for s in self.snapshots() if s["committed_at_ms"] <= commit_ms
+        ]
+        if not snaps:
+            return None
+        return spark.read.parquet(*[s["data_path"] for s in snaps])
+
     def expire_snapshots(self, keep_last: int) -> int:
         """Retention (B24 — src/ocr/queue.rs:1085-1098): drop all but
         the most recent `keep_last` snapshots. Manifest removal first

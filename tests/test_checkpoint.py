@@ -198,3 +198,21 @@ def test_lineage_rows(spark, tmp_path, pages):
     assert sum(r.n_docs for r in rows) == extracted.count()
     assert all(r.run_id == "r1" and r.snapshot_id == "snap1" for r in rows)
     assert all(r.url_min <= r.url_max for r in rows)
+
+
+def test_read_asof_time_travel(spark, tmp_path, pages):
+    store = cp.SnapshotStore(str(tmp_path / "tt"))
+    first = _extract(pages.limit(100))
+    store.commit(first, run_id="tt-1")
+    t_between = store.snapshots()[-1]["committed_at_ms"]
+    second = _extract(pages.limit(150)).filter(F.col("url").isNotNull())
+    store.commit(second, run_id="tt-2")
+
+    # as-of the first commit: only its rows are visible
+    asof = store.read_asof(spark, t_between)
+    assert asof.count() == first.count()
+    # as-of now: both snapshots
+    now_ms = store.snapshots()[-1]["committed_at_ms"]
+    assert store.read_asof(spark, now_ms).count() == first.count() + second.count()
+    # before any commit: no table state
+    assert store.read_asof(spark, t_between - 10_000) is None
