@@ -58,3 +58,41 @@ def read_training_shards(
     """Read a shard layout back; partition columns come from the
     directory names (Spark partition discovery)."""
     return spark.read.format(fmt).load(path)
+
+
+def compact_shards(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_cols: list[str],
+    id_col: str,
+    max_records_per_file: int = 100_000,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction — the maintenance job (Iceberg's
+    rewrite_data_files analog) that every incrementally-appended layout
+    needs: thousands of per-commit part-files become task-scheduling
+    overhead long before they become a storage problem.
+
+    Rewrites the layout through a staging directory and an atomic
+    rename swap, so readers see either the old layout or the new one,
+    never a partial rewrite. Returns the number of part-files after
+    compaction. Contents are preserved exactly (same rows, same
+    within-file order rule as write_training_shards)."""
+    import os
+    import shutil
+
+    df = read_training_shards(spark, path, fmt)
+    staging = path.rstrip("/") + ".compacting"
+    write_training_shards(
+        df, staging, partition_cols=partition_cols, id_col=id_col,
+        max_records_per_file=max_records_per_file, fmt=fmt,
+    )
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if not f.startswith(("_", ".")))
+    return n

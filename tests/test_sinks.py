@@ -76,3 +76,28 @@ def test_jsonl_export(spark, tmp_path):
     assert {"doc_id", "lang", "url", "text"} <= set(first)
     back = read_training_shards(spark, path, fmt="json")
     assert back.count() == 30
+
+
+def test_compact_shards_preserves_rows_and_reduces_files(spark, tmp_path):
+    from readur_spark.operators.sinks import compact_shards
+
+    path = str(tmp_path / "frag")
+    df = _docs(spark, n=90)
+    # fragment: tiny files (10 rows each)
+    write_training_shards(
+        df, path, partition_cols=["split"], id_col="doc_id",
+        max_records_per_file=10,
+    )
+    before = sum(
+        1 for _r, _d, fs in os.walk(path)
+        for f in fs if not f.startswith(("_", "."))
+    )
+    orig = {(r["doc_id"], r["split"]) for r in df.collect()}
+
+    after = compact_shards(
+        spark, path, partition_cols=["split"], id_col="doc_id",
+        max_records_per_file=100_000,
+    )
+    assert after < before
+    back = read_training_shards(spark, path)
+    assert {(r["doc_id"], r["split"]) for r in back.collect()} == orig
