@@ -363,6 +363,16 @@ def main() -> None:
                     scaling["steal_pct_" + key] = res["steal_pct"]
                     scaling["sys_pct_" + key] = res["sys_pct"]
             result["scaling"] = scaling
+        elif ladder:
+            # primary pair failed (subprocess timeout etc.) — the
+            # ladder legs already ran; record them rather than
+            # discarding up to ~10 min of measurements
+            result["scaling"] = {
+                "corpus": "heavy CC-size pages (CPU-representative)",
+                "primary_pair": "failed",
+                "ladder_64k": ladder,
+                "ladder_pairs": ladder_pairs,
+            }
 
     spark.stop()
     print(json.dumps(result))

@@ -113,18 +113,25 @@ def site_boilerplate_shingles(
     text_col: str = "text",
     n_shingle: int = 5,
     min_frac: float = 0.6,
+    min_site_docs: int = 5,
 ) -> DataFrame:
     """Shingles appearing in ≥ min_frac of a site's documents —
     template/boilerplate candidates for stripping. Detection only; the
     strip step is a broadcast filter of these shingle runs out of each
-    site's token stream."""
+    site's token stream.
+
+    Sites with fewer than `min_site_docs` documents are excluded: a
+    1-2-doc site (the crawl long tail) trivially has frac ≈ 1.0 for
+    ALL its content, and stripping it would delete whole documents."""
     sh = docs.select(
         F.col(site_col).alias("site"),
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s"),
     )
-    per_site = docs.groupBy(F.col(site_col).alias("site")).agg(
-        F.countDistinct(id_col).alias("n_site_docs")
+    per_site = (
+        docs.groupBy(F.col(site_col).alias("site"))
+        .agg(F.countDistinct(id_col).alias("n_site_docs"))
+        .filter(F.col("n_site_docs") >= min_site_docs)
     )
     freq = sh.groupBy("site", "s").agg(
         F.countDistinct("doc_id").alias("n_docs_with")
@@ -163,6 +170,7 @@ def site_boilerplate_shingles(
     ), per_site AS (
       SELECT source AS site, count(DISTINCT doc_id) AS n_site_docs
       FROM seeded GROUP BY source
+      HAVING count(DISTINCT doc_id) >= 5
     ), freq AS (
       SELECT site, s, count(DISTINCT doc_id) AS n_docs_with
       FROM sh GROUP BY site, s

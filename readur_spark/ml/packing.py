@@ -47,7 +47,11 @@ def pack_concat_chunks(
     chunk_first, chunk_last, spans_boundary). The window partitions by
     shard and orders by doc id — prefix sums stay shard-local.
     """
-    w = Window.partitionBy(shard_col).orderBy(id_col)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = F.coalesce(
         F.sum(tokens_col).over(w) - F.col(tokens_col), F.lit(0)
     ).cast("long")

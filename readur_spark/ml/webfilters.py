@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from readur_spark.kernels.textmeta import ENGLISH_WORDS
 from readur_spark.queries.registry import register
-from readur_spark.queries.tables import load
+from readur_spark.queries.tables import load, synthetic_url
 
 # ---------------------------------------------------------------------------
 # C4/Gopher document gates
@@ -69,9 +69,13 @@ def web_filter_signals(
     integer/flag outputs are exact; ratios are IEEE divisions of exact
     integers (deterministic across engines).
     """
-    toks = F.split(text, " ")
+    # \s+ over trimmed text (same tokenization as textqc.token_count):
+    # single-space splitting would count "" tokens on double spaces and
+    # treat newline/tab-separated words as one token — real web text
+    # after extraction is exactly that shape
+    toks = F.split(F.trim(text), r"\s+")
     n_words = F.size(toks)
-    alpha_chars = F.length(F.regexp_replace(text, " ", ""))
+    alpha_chars = F.length(F.regexp_replace(text, r"\s+", ""))
     mean_wl = alpha_chars.cast("double") / n_words
     stop_arr = F.array(*[F.lit(w) for w in ENGLISH_WORDS])
     n_stop_distinct = F.size(F.array_intersect(toks, stop_arr))
@@ -117,8 +121,8 @@ _STOP_SQL = "[" + ",".join("'%s'" % w for w in ENGLISH_WORDS) + "]"
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             string_split(text, ' ') AS toks,
-             length(replace(text, ' ', '')) AS alpha_chars
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS alpha_chars
       FROM documents
     ), s AS (
       SELECT doc_id,
@@ -264,7 +268,7 @@ def with_hash_split(
     )
 
 
-_URL_SQL = "'https://' || source || '.example/doc' || doc_id || '.txt'"
+from readur_spark.queries.tables import SYNTH_URL_SQL as _URL_SQL  # noqa: E402
 
 
 @register(
@@ -284,16 +288,7 @@ _URL_SQL = "'https://' || source || '.example/doc' || doc_id || '.txt'"
 def split_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc deterministic split assignment (hash-checked per row)."""
     docs = load(spark, sf_dir, "documents")
-    with_url = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("https://"),
-            F.col("source"),
-            F.lit(".example/doc"),
-            F.col("doc_id").cast("string"),
-            F.lit(".txt"),
-        ).alias("url"),
-    )
+    with_url = docs.select("doc_id", synthetic_url().alias("url"))
     return with_hash_split(with_url, "url").select("doc_id", "h2", "split")
 
 
@@ -341,14 +336,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30 docs per lang, chosen by md5(url) order — per-row
     hash-checked, so the exact winning set must match."""
     docs = load(spark, sf_dir, "documents")
-    with_url = docs.select(
-        "doc_id",
-        "lang",
-        F.concat(
-            F.lit("https://"), F.col("source"), F.lit(".example/doc"),
-            F.col("doc_id").cast("string"), F.lit(".txt"),
-        ).alias("url"),
-    )
+    with_url = docs.select("doc_id", "lang", synthetic_url().alias("url"))
     return stratified_sample(with_url, ["lang"], "url", 30).select(
         "doc_id", "lang"
     )

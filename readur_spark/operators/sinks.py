@@ -33,16 +33,27 @@ def write_training_shards(
     id_col: str,
     max_records_per_file: int = 100_000,
     fmt: str = "parquet",
+    write_buckets: int | None = None,
 ) -> None:
     """Write `df` as a partitioned shard layout.
 
     fmt='parquet' for analytical re-reads, fmt='json' for JSONL
     consumers (one object per line — the interchange format most
     training dataloaders speak).
+
+    The shuffle key is (partition_cols, hash-bucket of id): partition
+    columns alone are low-cardinality (an ~80% train split would
+    serialize into ONE writer task at corpus scale), so each combo
+    fans out across `write_buckets` tasks (default: the session's
+    parallelism). Bucketing is deterministic, so shard contents stay
+    reproducible; only the row→part-file assignment gains parallelism.
     """
-    out = df.repartition(*[F.col(c) for c in partition_cols]).sortWithinPartitions(
-        *partition_cols, id_col
-    )
+    if write_buckets is None:
+        write_buckets = df.sparkSession.sparkContext.defaultParallelism
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(write_buckets))
+    out = df.repartition(
+        *[F.col(c) for c in partition_cols], bucket
+    ).sortWithinPartitions(*partition_cols, id_col)
     (
         out.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
@@ -74,21 +85,33 @@ def compact_shards(
     needs: thousands of per-commit part-files become task-scheduling
     overhead long before they become a storage problem.
 
-    Rewrites the layout through a staging directory and an atomic
-    rename swap, so readers see either the old layout or the new one,
-    never a partial rewrite. Returns the number of part-files after
-    compaction. Contents are preserved exactly (same rows, same
-    within-file order rule as write_training_shards)."""
+    Rewrites the layout through a staging directory and a rename swap.
+    Readers see a partial state only in the instant between the two
+    renames (a true atomic exchange needs a catalog pointer — Iceberg's
+    actual mechanism — or renameat2; this is the filesystem
+    approximation). The swap is crash-recoverable: a leftover `.old`
+    from a crash between the renames is restored on the next call, and
+    stale staging dirs are cleared, so no crash sequence loses data.
+    Returns the number of part-files after compaction. Contents are
+    preserved exactly (same rows, same within-file order rule as
+    write_training_shards)."""
     import os
     import shutil
 
-    df = read_training_shards(spark, path, fmt)
     staging = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".old"
+    # crash recovery: a previous run died between its two renames —
+    # the data lives at `.old` and `path` is gone; restore it first
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    df = read_training_shards(spark, path, fmt)
     write_training_shards(
         df, staging, partition_cols=partition_cols, id_col=id_col,
         max_records_per_file=max_records_per_file, fmt=fmt,
     )
-    old = path.rstrip("/") + ".old"
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)

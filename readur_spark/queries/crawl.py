@@ -27,9 +27,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from readur_spark.queries.registry import register
-from readur_spark.queries.tables import load
-
-_URL_SQL = "'https://' || source || '.example/doc' || doc_id || '.txt'"
+from readur_spark.queries.tables import SYNTH_URL_SQL as _URL_SQL
+from readur_spark.queries.tables import load, synthetic_url
 
 
 # ---------------------------------------------------------------------------
@@ -81,14 +80,7 @@ def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the real `snapshot_diff` operator. All four statuses occur
     at sf0.01."""
     docs = load(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("https://"), F.col("source"), F.lit(".example/doc"),
-            F.col("doc_id").cast("string"), F.lit(".txt"),
-        ).alias("url"),
-        "text",
-    )
+    base = docs.select("doc_id", synthetic_url().alias("url"), "text")
     prev = base.filter(F.col("doc_id") % 7 != 0).select("url", "text")
     curr = base.filter(F.col("doc_id") % 11 != 0).select(
         "url",
@@ -113,8 +105,16 @@ def canonicalize_url(url: Column) -> Column:
     """
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
     hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    # default-port strip is scheme-conditional: http://h:443 is a real
+    # non-default endpoint and must NOT collapse to http://h
+    default_port = (
+        F.when(scheme == "http", F.lit(":80$"))
+        .when(scheme == "https", F.lit(":443$"))
+        .otherwise(F.lit("$^"))  # matches nothing
+    )
     host = F.regexp_replace(
-        F.regexp_replace(hostport, r":(80|443)$", ""), r"^www\.", ""
+        F.regexp_replace(hostport, default_port, F.lit("")),
+        r"^www\.", "",
     )
     path = F.regexp_replace(
         F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
@@ -138,17 +138,22 @@ def canonicalize_url(url: Column) -> Column:
                || CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '' END
                || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
       FROM documents
-    ), parts AS (
+    ), schemed AS (
       SELECT doc_id, url,
-             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme
+      FROM messy
+    ), parts AS (
+      SELECT doc_id, url, scheme,
              regexp_replace(regexp_replace(
                lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
-               ':(80|443)$', ''), '^www\\.', '') AS host,
+               CASE WHEN scheme = 'http' THEN ':80$'
+                    WHEN scheme = 'https' THEN ':443$'
+                    ELSE '$^' END, ''), '^www\\.', '') AS host,
              regexp_replace(
                regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
                '/$', '') AS path,
              regexp_extract(url, '\\?([^#]*)', 1) AS qs
-      FROM messy
+      FROM schemed
     )
     SELECT doc_id, url AS raw_url,
            scheme || '://' || host || path ||

@@ -17,7 +17,7 @@ from readur_spark.corpus import pages_from_documents
 from readur_spark.operators.extract import extract_pages
 from readur_spark.queries.registry import register
 
-_URL_SQL = "'https://' || source || '.example/doc' || doc_id || '.txt'"
+from readur_spark.queries.tables import SYNTH_URL_SQL as _URL_SQL  # noqa: E402
 
 
 @register(

@@ -86,7 +86,11 @@ def paginate(
     (deterministic given a unique tie-break in order_cols)."""
     from readur_spark.kernels.settings import DEFAULT_SETTINGS
 
-    per_page = int((settings or DEFAULT_SETTINGS)["search_results_per_page"])
+    per_page = int(
+        (settings or {}).get(
+            "search_results_per_page", DEFAULT_SETTINGS["search_results_per_page"]
+        )
+    )
     w = Window.orderBy(*order_cols)
     lo, hi = (page - 1) * per_page, page * per_page
     return (

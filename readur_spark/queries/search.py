@@ -116,7 +116,12 @@ def fuzzy_match(
     from readur_spark.kernels.settings import DEFAULT_SETTINGS
 
     if threshold is None:
-        threshold = float((settings or DEFAULT_SETTINGS)["fuzzy_search_threshold"])
+        threshold = float(
+            (settings or {}).get(
+                "fuzzy_search_threshold",
+                DEFAULT_SETTINGS["fuzzy_search_threshold"],
+            )
+        )
     sim = trigram_similarity(trigram_set(F.col(col)), trigram_set(F.lit(query)))
     return df.withColumn("sim", F.round(sim, 3)).filter(sim > threshold)
 
@@ -185,12 +190,10 @@ def search_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def search_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ILIKE-on-filename analog (src/db/documents/crud.rs:136-160) over
     the derived url."""
+    from readur_spark.queries.tables import synthetic_url
+
     docs = load(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example/doc"),
-        F.col("doc_id").cast("string"), F.lit(".txt"),
-    )
-    return docs.filter(url.contains("src1")).select("doc_id", "source")
+    return docs.filter(synthetic_url().contains("src1")).select("doc_id", "source")
 
 
 # ---- index-accelerated search (posting lists, SURVEY.md §4) ----------------

@@ -101,3 +101,23 @@ def test_compact_shards_preserves_rows_and_reduces_files(spark, tmp_path):
     assert after < before
     back = read_training_shards(spark, path)
     assert {(r["doc_id"], r["split"]) for r in back.collect()} == orig
+
+
+def test_compact_recovers_from_crash_between_renames(spark, tmp_path):
+    from readur_spark.operators.sinks import compact_shards
+
+    path = str(tmp_path / "crashy")
+    df = _docs(spark, n=40)
+    write_training_shards(df, path, partition_cols=["split"], id_col="doc_id")
+    orig = {(r["doc_id"], r["split"]) for r in df.collect()}
+
+    # simulate a crash after `os.rename(path, old)` but before the
+    # second rename: data sits at .old, nothing at path
+    os.rename(path, path + ".old")
+    assert not os.path.exists(path)
+
+    compact_shards(spark, path, partition_cols=["split"], id_col="doc_id")
+    back = read_training_shards(spark, path)
+    assert {(r["doc_id"], r["split"]) for r in back.collect()} == orig
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".compacting")

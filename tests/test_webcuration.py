@@ -152,6 +152,10 @@ class TestCrawl:
             ("https://ex.com/path", "https://ex.com/path"),
             ("https://ex.com:443/", "https://ex.com"),
             ("https://sub.www-ish.com/x", "https://sub.www-ish.com/x"),
+            # non-default ports are real endpoints — never stripped
+            ("http://h.com:443/x", "http://h.com:443/x"),
+            ("https://h.com:80/x", "https://h.com:80/x"),
+            ("ftp://h.com:80/x", "ftp://h.com:80/x"),
         ],
     )
     def test_canonicalize(self, spark, raw, canon):
@@ -228,3 +232,60 @@ class TestSketches:
         for r in approx_distinct_tokens(df).collect():
             rel = abs(r["approx_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
             assert rel < 0.05, (r, rel)
+
+
+class TestReviewRegressions:
+    """Pins for the round-2 code-review fixes."""
+
+    def test_web_filters_whitespace_tokenization(self, spark):
+        from readur_spark.ml.webfilters import web_filter_signals
+
+        # newline/tab separated words must count individually; double
+        # spaces must not create empty tokens
+        rows = [Row(id=1, text="the and\n" + "\t".join(f"word{i}" for i in range(50))),
+                Row(id=2, text="the  and  " + "  ".join(f"word{i}" for i in range(50)))]
+        sig = web_filter_signals(F.col("text"), min_words=40)
+        out = {
+            r["id"]: r
+            for r in spark.createDataFrame(rows)
+            .select("id", *[e.alias(n) for n, e in sig.items()])
+            .collect()
+        }
+        assert out[1]["n_words"] == 52
+        assert out[2]["n_words"] == 52
+        assert out[1]["keep"] == 1 and out[2]["keep"] == 1
+
+    def test_small_sites_not_flagged_as_boilerplate(self, spark):
+        from readur_spark.ml.decontam import site_boilerplate_shingles
+
+        rows = [Row(doc_id=1, source="tiny",
+                    text="unique words in a single page here today")]
+        rows += [
+            Row(doc_id=10 + i, source="big",
+                text=f"header one two three four body{i} x{i} y{i} z{i} q{i}")
+            for i in range(10)
+        ]
+        got = site_boilerplate_shingles(spark.createDataFrame(rows)).collect()
+        assert {r["site"] for r in got} == {"big"}
+
+    def test_pack_concat_chunks_rows_frame_on_ties(self, spark):
+        from readur_spark.ml.packing import pack_concat_chunks
+
+        # duplicate (shard, doc_id): ROWS frame must give running
+        # offsets, not peer-inclusive RANGE sums
+        rows = [Row(doc_id=1, shard=0, n_tokens=4),
+                Row(doc_id=1, shard=0, n_tokens=4),
+                Row(doc_id=2, shard=0, n_tokens=4)]
+        out = sorted(
+            (r["start_offset"] for r in
+             pack_concat_chunks(spark.createDataFrame(rows), chunk_tokens=10)
+             .collect())
+        )
+        assert out == [0, 4, 8]
+
+    def test_paginate_accepts_partial_settings(self, spark):
+        from readur_spark.queries.facets import paginate
+
+        df = spark.createDataFrame([Row(i=i) for i in range(30)])
+        got = paginate(df, [F.asc("i")], page=1, settings={"unrelated": 1}).count()
+        assert got == 25  # falls back to the default page size
