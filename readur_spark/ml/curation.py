@@ -94,3 +94,93 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs_kept"),
         F.sum("n_tokens").cast("long").alias("total_tokens_kept"),
     )
+
+
+@register(
+    "training_yield_report",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS alpha_chars,
+             string_split(text, ' ') AS sp
+      FROM documents
+    ), gates AS (
+      SELECT doc_id, lang, source, len(toks) AS n_tokens,
+             (len(toks) BETWEEN 40 AND 100000)
+               AND (CAST(alpha_chars AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0)
+               AND len(list_intersect(toks,
+                   ['the','and','or','but','in','on','at','to','for','of','with','by'])) >= 2
+               AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.45
+               AS keep
+      FROM t
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(sp) - 3),
+               i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' '
+                    || sp[i+3] || ' ' || sp[i+4]
+             ))) AS s
+      FROM t
+    ), contaminated AS (
+      SELECT DISTINCT sh.doc_id
+      FROM sh JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0) ev USING (s)
+    ), survivors AS (
+      SELECT g.doc_id, g.lang, g.n_tokens,
+             'https://' || g.source || '.example/doc' || g.doc_id || '.txt' AS url
+      FROM gates g
+      WHERE g.keep AND g.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT CASE WHEN substr(md5(url), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(url), 1, 2) < 'e6' THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM survivors
+    GROUP BY 1, 2
+    """,
+)
+def training_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation chain as ONE value-hashed query: C4/Gopher
+    gates → benchmark decontamination → deterministic hash split →
+    per-(split, lang) yield (docs + token budget). Every stage is the
+    real registered operator (webfilters.web_filter_signals,
+    decontam.contamination_hits, webfilters.with_hash_split) — this is
+    the end-to-end report a pretraining data job publishes after each
+    ingest round.
+
+    Plan shape: gates are scan-projections; contamination is the
+    broadcast semi-join; the only wide ops are the final rollup and the
+    shingle aggregate that builds the (tiny, broadcast) eval set."""
+    from readur_spark.ml.decontam import contamination_hits
+    from readur_spark.ml.webfilters import (
+        _QF_MIN_WORDS,
+        _QF_UNIQ,
+        web_filter_signals,
+        with_hash_split,
+    )
+    from readur_spark.queries.tables import synthetic_url
+
+    docs = load(spark, sf_dir, "documents")
+    sig = web_filter_signals(
+        F.col("text"), min_words=_QF_MIN_WORDS, min_unique_ratio=_QF_UNIQ
+    )
+    gated = docs.select(
+        "doc_id", "lang", "source", "text",
+        sig["n_words"].alias("n_tokens"),
+        sig["keep"].alias("keep"),
+    ).filter(F.col("keep") == 1)
+
+    contaminated = contamination_hits(
+        docs, docs.filter(F.col("doc_id") % 97 == 0)
+    ).select("doc_id")
+    clean = gated.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    split = with_hash_split(
+        clean.withColumn("url", synthetic_url()), "url"
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

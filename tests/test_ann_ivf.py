@@ -57,3 +57,35 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     approx = [r.vec_id for r in ann_ivf_topk(base, qv, cents, k=10, n_probe=3).collect()]
     recall = len(set(approx) & set(exact)) / len(exact)
     assert recall >= 0.5, recall
+
+
+class TestQuantizedAnn:
+    def test_recall_vs_brute_force(self, spark):
+        from readur_spark.ml.similarity import ann_quantized_topk, brute_force_topk
+        from readur_spark.queries.tables import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        rest = emb.filter(F.col("vec_id") != 0)
+
+        exact = {r["vec_id"] for r in brute_force_topk(rest, query).collect()}
+        approx = {r["vec_id"] for r in ann_quantized_topk(rest, query).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, (recall, exact, approx)
+
+    def test_full_rerank_equals_brute_force(self, spark):
+        """rerank_factor covering the corpus ⇒ the quantized path must
+        return exactly the brute-force answer (candidate stage becomes
+        a no-op filter)."""
+        from readur_spark.ml.similarity import ann_quantized_topk, brute_force_topk
+        from readur_spark.queries.tables import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        rest = emb.filter(F.col("vec_id") != 0)
+        exact = [tuple(r) for r in brute_force_topk(rest, query).collect()]
+        full = [
+            tuple(r)
+            for r in ann_quantized_topk(rest, query, rerank_factor=100).collect()
+        ]
+        assert full == exact
