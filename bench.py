@@ -51,6 +51,8 @@ HEADLINE_QUERIES = [
     "ann_cosine_topk",
     "qc_quality_score",
     "system_metrics",
+    "training_yield_report",
+    "search_tfidf_postings",
 ]
 
 
