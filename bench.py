@@ -198,7 +198,9 @@ def _cpu_stat() -> tuple[int, int, int] | None:
         return None
 
 
-def _scaling_subprocess_once(cpus: int, replicas: int | None = None) -> dict | None:
+def _scaling_subprocess_once(
+    cpus: int, replicas: int | None = None, timeout: int = 1800
+) -> dict | None:
     """One scaling-corpus extraction at a given parallelism in a fresh
     process (a SparkSession's master can't change in-process; fresh
     processes keep the two levels symmetric)."""
@@ -211,7 +213,7 @@ def _scaling_subprocess_once(cpus: int, replicas: int | None = None) -> dict | N
         s0 = _cpu_stat()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-run"],
-            env=env, capture_output=True, text=True, timeout=1800,
+            env=env, capture_output=True, text=True, timeout=timeout,
         )
         s1 = _cpu_stat()
         for line in reversed(out.stdout.strip().splitlines()):
@@ -313,8 +315,10 @@ def main() -> None:
         # demand sits below the window's knee.
         ladder = []
         if cpus >= 32:
+            # 600 s cap per leg: the ladder is supplementary evidence —
+            # it must never stall the whole bench in a bad host window
             for c in (1, 2, 4, 8):
-                res = _scaling_subprocess_once(c, replicas=32)
+                res = _scaling_subprocess_once(c, replicas=32, timeout=600)
                 if res:
                     ladder.append({
                         "cpus": c,
