@@ -289,3 +289,42 @@ class TestReviewRegressions:
         df = spark.createDataFrame([Row(i=i) for i in range(30)])
         got = paginate(df, [F.asc("i")], page=1, settings={"unrelated": 1}).count()
         assert got == 25  # falls back to the default page size
+
+
+class TestIdempotenceLaws:
+    """Canonical forms must be fixed points: f(f(x)) == f(x). Checked
+    in one Spark pass over a deterministic messy-input matrix (per-row
+    hypothesis would pay a Spark job per example)."""
+
+    def test_canonicalize_idempotent(self, spark):
+        schemes = ["http", "HTTPS", "ftp"]
+        hosts = ["WWW.Ex.COM", "ex.com:443", "www.ex.com:80", "a.b-c.de:8080"]
+        paths = ["", "/", "/A/b/", "/x%20y"]
+        qss = ["", "?b=2&a=1", "?one=1"]
+        frags = ["", "#f"]
+        rows = [
+            Row(u=f"{s}://{h}{p}{q}{fr}")
+            for s in schemes for h in hosts for p in paths
+            for q in qss for fr in frags
+        ]
+        df = spark.createDataFrame(rows)
+        once = canonicalize_url(F.col("u"))
+        out = df.select(
+            once.alias("c1"),
+            canonicalize_url(once).alias("c2"),
+        ).collect()
+        for r in out:
+            assert r["c1"] == r["c2"], r
+
+    def test_redact_pii_idempotent(self, spark):
+        texts = [
+            "a@b.co then 1.2.3.4 and 555-123-4567",
+            "nested a.b@c.dd.ee text 999.999.999.999",
+            "<EMAIL> stays put 10.0.0.1",
+            "clean text no pii at all",
+        ]
+        df = spark.createDataFrame([Row(t=t) for t in texts])
+        once = redact_pii(F.col("t"))
+        out = df.select(once.alias("r1"), redact_pii(once).alias("r2")).collect()
+        for r in out:
+            assert r["r1"] == r["r2"], r
