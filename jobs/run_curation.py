@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the curation stage: extracted corpus →
+training shards.
+
+Runs downstream of jobs/run_extraction.py over a snapshot store (or
+any parquet of extracted documents) and applies the curation tier
+end-to-end:
+
+    C4/Gopher document gates (ml/webfilters.web_filter_signals)
+    → exact dedup winners (first url per sha256)
+    → optional PII redaction (ml/webfilters.redact_pii)
+    → deterministic train/valid/test hash split
+    → partitioned, size-bounded shard write (operators/sinks)
+
+and prints one JSON summary line (per-split yields) — the same report
+shape as the `training_yield_report` driver query.
+
+    spark-submit --py-files dist/readur_spark.zip jobs/run_curation.py \
+        --input  /data/extracted_store \
+        --output /data/training_shards \
+        [--redact-pii] [--min-words 50] [--fmt parquet]
+
+Local smoke test:
+    PYTHONPATH=. python jobs/run_curation.py \
+        --input /tmp/out --output /tmp/shards --cpus 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="readur_spark curation job")
+    p.add_argument("--input", required=True,
+                   help="snapshot-store root or extracted-docs parquet")
+    p.add_argument("--output", required=True, help="shard layout root")
+    p.add_argument("--text-col", default="extracted_text")
+    p.add_argument("--url-col", default="url")
+    p.add_argument("--min-words", type=int, default=50)
+    p.add_argument("--redact-pii", action="store_true")
+    p.add_argument("--fmt", choices=["parquet", "json"], default="parquet")
+    p.add_argument("--max-records-per-file", type=int, default=100_000)
+    p.add_argument("--cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from readur_spark.session import get_spark
+
+        spark = get_spark(cpus=args.cpus)
+
+    from readur_spark.ml.webfilters import (
+        redact_pii,
+        web_filter_signals,
+        with_hash_split,
+    )
+    from readur_spark.operators.sinks import write_training_shards
+
+    import os
+
+    # accept either a snapshot-store root (manifest-addressed — only
+    # PUBLISHED snapshots are visible) or a plain parquet path
+    if os.path.isdir(os.path.join(args.input, "manifests")):
+        from readur_spark.operators.checkpoint import SnapshotStore
+
+        docs = SnapshotStore(args.input).read(spark)
+        if docs is None:
+            print(json.dumps({"status": "empty_store", "output": args.output}))
+            return 0
+    else:
+        docs = spark.read.parquet(args.input)
+    text = F.col(args.text_col)
+
+    # 1. document gates
+    sig = web_filter_signals(text, min_words=args.min_words)
+    gated = docs.filter(text.isNotNull()).select(
+        F.col(args.url_col).alias("url"),
+        text.alias("text"),
+        F.sha2(text, 256).alias("sha256"),
+        sig["n_words"].alias("n_words"),
+        sig["keep"].alias("keep"),
+    ).filter(F.col("keep") == 1)
+
+    # 2. exact dedup winners: min url per content hash (slim agg, the
+    # same winner rule as the ingest dedup subtree)
+    winners = gated.groupBy("sha256").agg(F.min("url").alias("url"))
+    deduped = gated.join(winners, ["sha256", "url"], "left_semi")
+
+    # 3. optional PII scrub
+    out = deduped
+    if args.redact_pii:
+        out = out.withColumn("text", redact_pii(F.col("text")))
+
+    # 4. deterministic split + 5. shard write
+    split = with_hash_split(out, "url").select(
+        "url", "text", "n_words", "split"
+    )
+    write_training_shards(
+        split, args.output,
+        partition_cols=["split"], id_col="url",
+        max_records_per_file=args.max_records_per_file, fmt=args.fmt,
+    )
+
+    yields = {
+        r["split"]: {"n_docs": r["n_docs"], "total_words": r["total_words"]}
+        for r in split.groupBy("split").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        ).collect()
+    }
+    print(json.dumps({"status": "written", "output": args.output,
+                      "yields": yields}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

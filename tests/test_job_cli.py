@@ -89,3 +89,31 @@ def test_package_zip_importable(tmp_path):
         assert spec is not None
     finally:
         sys.path.pop(0)
+
+
+def test_curation_job_end_to_end(tmp_path, pages_parquet):
+    """extraction job → curation job → shard layout with yields."""
+    store = str(tmp_path / "cstore")
+    r1 = _run_job(["--input", pages_parquet, "--store", store,
+                   "--run-id", "cur1", "--cpus", "8"])
+    assert r1["status"] == "committed"
+
+    shards = str(tmp_path / "shards")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+         "--input", store,
+         "--output", shards, "--redact-pii", "--min-words", "5",
+         "--cpus", "8"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["status"] == "written"
+    total = sum(v["n_docs"] for v in summary["yields"].values())
+    assert total > 0
+    # layout exists and rows survive a read-back
+    import glob
+    assert glob.glob(os.path.join(shards, "split=*", "*.parquet"))
