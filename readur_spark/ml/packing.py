@@ -152,3 +152,63 @@ def pack_greedy(
         pack,
         schema=f"{shard_col} long, {id_col} long, {tokens_col} long, bin_id long",
     )
+
+
+def chunk_text(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping ~chunk_tokens windows — the
+    embedding-pipeline front door (RAG chunking): each chunk gets a
+    stable (doc_id, chunk_id) identity so re-runs upsert instead of
+    duplicating. Pure Catalyst: a stride sequence + slice/transform,
+    then one explode; no shuffle, no Python."""
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be < chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
+    chunks = F.transform(
+        starts, lambda i: F.array_join(F.slice(toks, i, chunk_tokens), " ")
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_id", "chunk")
+    )
+    return exploded.select(
+        "doc_id", "chunk_id", "chunk",
+        F.size(F.split(F.col("chunk"), " ")).alias("n_chunk_tokens"),
+    )
+
+
+@register(
+    "chunk_for_embedding",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             range(1, greatest(len(toks) - {16}, 1) + 1, {64 - 16}) AS starts
+      FROM t
+    ), e AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(starts))) - 1 AS chunk_id,
+             unnest(list_transform(starts,
+                    i -> array_to_string(toks[i:i + {64} - 1], ' '))) AS chunk
+      FROM s
+    )
+    SELECT doc_id, chunk_id, chunk,
+           len(string_split(chunk, ' ')) AS n_chunk_tokens
+    FROM e
+    """,
+)
+def chunk_for_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap over `documents` —
+    per-chunk value-hash-checked (ids, text, and token counts)."""
+    docs = load(spark, sf_dir, "documents")
+    return chunk_text(docs)

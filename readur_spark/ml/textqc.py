@@ -268,3 +268,91 @@ def qc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_bpe(seeded).alias("n_bpe_tokens"),
         token_count(F.col("text")).alias("n_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# script detection (unicode-range char classes)
+# ---------------------------------------------------------------------------
+
+# literal-character ranges (not \u escapes) so the IDENTICAL pattern
+# string runs under Java regex and RE2/DuckDB
+_SCRIPT_RANGES = {
+    "latin": "[A-Za-z]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "cjk": "[一-鿿]",
+    "arabic": "[؀-ۿ]",
+}
+
+
+def script_fractions(text: Column) -> dict[str, Column]:
+    """Per-script character fractions + dominant script — the signal
+    behind 'route to the right tokenizer / drop mixed-garbage pages'.
+    Pure codegen: each class is a regexp_replace length delta over the
+    scan; no shuffle."""
+    total = F.length(F.regexp_replace(text, r"\s+", ""))
+    counts = {
+        name: F.length(text) - F.length(F.regexp_replace(text, pat, ""))
+        for name, pat in _SCRIPT_RANGES.items()
+    }
+    out: dict[str, Column] = {}
+    for name, cnt in counts.items():
+        out["frac_" + name] = F.round(
+            F.when(total > 0, cnt.cast("double") / total).otherwise(0.0), 3
+        )
+    dominant = F.lit("other")
+    best = F.lit(0)
+    for name, cnt in counts.items():
+        better = cnt > best
+        dominant = F.when(better, name).otherwise(dominant)
+        best = F.when(better, cnt).otherwise(best)
+    out["dominant_script"] = dominant
+    return out
+
+
+@register(
+    "qc_script_detect",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0 THEN ' привет мир снова'
+                          WHEN doc_id % 3 = 1 THEN ' 你好世界你好世界'
+                          ELSE ' hello again friend' END AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id, t,
+             length(regexp_replace(t, '\\s+', '', 'g')) AS total,
+             length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS n_latin,
+             length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS n_cyr,
+             length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) AS n_cjk,
+             length(t) - length(regexp_replace(t, '[؀-ۿ]', '', 'g')) AS n_ar
+      FROM seeded
+    )
+    SELECT doc_id,
+           round(CASE WHEN total > 0 THEN CAST(n_latin AS DOUBLE)/total ELSE 0 END, 3) AS frac_latin,
+           round(CASE WHEN total > 0 THEN CAST(n_cyr AS DOUBLE)/total ELSE 0 END, 3) AS frac_cyrillic,
+           round(CASE WHEN total > 0 THEN CAST(n_cjk AS DOUBLE)/total ELSE 0 END, 3) AS frac_cjk,
+           round(CASE WHEN total > 0 THEN CAST(n_ar AS DOUBLE)/total ELSE 0 END, 3) AS frac_arabic,
+           CASE
+             WHEN n_ar > 0 AND n_ar > n_latin AND n_ar > n_cyr AND n_ar > n_cjk THEN 'arabic'
+             WHEN n_cjk > 0 AND n_cjk > n_latin AND n_cjk > n_cyr THEN 'cjk'
+             WHEN n_cyr > 0 AND n_cyr > n_latin THEN 'cyrillic'
+             WHEN n_latin > 0 THEN 'latin'
+             ELSE 'other' END AS dominant_script
+    FROM c
+    """,
+)
+def qc_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script fractions over the corpus with a deterministic
+    mixed-script tail (the base corpus is pure ASCII; the tail — same
+    expression in the oracle — exercises the Cyrillic/CJK branches)."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, " привет мир снова")
+        .when(F.col("doc_id") % 3 == 1, " 你好世界你好世界")
+        .otherwise(" hello again friend"),
+    )
+    sig = script_fractions(seeded)
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in sig.items()]
+    )
