@@ -89,3 +89,47 @@ class TestQuantizedAnn:
             for r in ann_quantized_topk(rest, query, rerank_factor=100).collect()
         ]
         assert full == exact
+
+    def test_ivf_quantized_recall(self, spark):
+        """Composed IVF→int8→rerank: recall vs brute force bounded by
+        the IVF stage (same ≥0.5 bar as the pure-IVF test — the probe
+        pruning, not quantization, is what loses neighbors on this
+        quasi-random corpus), and with a probe-covering rerank factor
+        the composition must equal the pure-IVF answer exactly."""
+        import numpy as np
+
+        from readur_spark.ml.similarity import (
+            ann_ivf_quantized_topk,
+            brute_force_topk,
+            kmeans_centroids,
+        )
+        from readur_spark.queries.tables import load
+
+        emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+        sample = np.array(
+            [r["embedding"] for r in emb.limit(256).collect()], dtype=np.float64
+        )
+        cents = kmeans_centroids(sample, n_clusters=8)
+        query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        rest = emb.filter(F.col("vec_id") != 0)
+
+        exact = {r["vec_id"] for r in brute_force_topk(rest, query).collect()}
+        approx = {
+            r["vec_id"]
+            for r in ann_ivf_quantized_topk(rest, query, cents, n_probe=3).collect()
+        }
+        assert len(exact & approx) / len(exact) >= 0.5, (exact, approx)
+
+        from readur_spark.ml.similarity import ann_ivf_topk
+
+        ivf_only = [
+            tuple(r)
+            for r in ann_ivf_topk(rest, query, cents, n_probe=3).collect()
+        ]
+        composed_full = [
+            tuple(r)
+            for r in ann_ivf_quantized_topk(
+                rest, query, cents, n_probe=3, rerank_factor=100
+            ).collect()
+        ]
+        assert composed_full == ivf_only
