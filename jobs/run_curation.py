@@ -43,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--redact-pii", action="store_true")
     p.add_argument("--fmt", choices=["parquet", "json"], default="parquet")
     p.add_argument("--max-records-per-file", type=int, default=100_000)
+    p.add_argument("--append", action="store_true",
+                   help="incremental: skip urls already in the output "
+                        "layout and add new shards instead of overwriting")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -103,11 +106,32 @@ def main(argv: list[str] | None = None) -> int:
     split = with_hash_split(out, "url").select(
         "url", "text", "n_words", "split"
     )
-    write_training_shards(
-        split, args.output,
-        partition_cols=["split"], id_col="url",
-        max_records_per_file=args.max_records_per_file, fmt=args.fmt,
-    )
+    if args.append and os.path.isdir(args.output):
+        # incremental ingest: anti-join against the urls already
+        # shipped (slim column read of the existing layout — at scale
+        # this is the url-only projection of a partition-pruned scan)
+        from readur_spark.operators.sinks import read_training_shards
+
+        existing = read_training_shards(spark, args.output, args.fmt).select("url")
+        split = split.join(existing, "url", "left_anti")
+        if not split.take(1):
+            print(json.dumps({"status": "up_to_date", "output": args.output}))
+            return 0
+        (
+            split.repartition("split")
+            .sortWithinPartitions("split", "url")
+            .write.mode("append")
+            .option("maxRecordsPerFile", args.max_records_per_file)
+            .partitionBy("split")
+            .format(args.fmt)
+            .save(args.output)
+        )
+    else:
+        write_training_shards(
+            split, args.output,
+            partition_cols=["split"], id_col="url",
+            max_records_per_file=args.max_records_per_file, fmt=args.fmt,
+        )
 
     yields = {
         r["split"]: {"n_docs": r["n_docs"], "total_words": r["total_words"]}

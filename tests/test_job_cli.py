@@ -117,3 +117,29 @@ def test_curation_job_end_to_end(tmp_path, pages_parquet):
     # layout exists and rows survive a read-back
     import glob
     assert glob.glob(os.path.join(shards, "split=*", "*.parquet"))
+
+
+def test_curation_append_is_incremental(tmp_path, pages_parquet):
+    store = str(tmp_path / "astore")
+    _run_job(["--input", pages_parquet, "--store", store,
+              "--run-id", "a1", "--cpus", "8"])
+    shards = str(tmp_path / "ashards")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+
+    def _curate(extra):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+             "--input", store, "--output", shards,
+             "--min-words", "5", "--cpus", "8", *extra],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    first = _curate([])
+    assert first["status"] == "written"
+    # same input again in append mode: everything already shipped
+    again = _curate(["--append"])
+    assert again["status"] == "up_to_date"
