@@ -93,3 +93,78 @@ def stream_extract(
     else:
         writer = writer.trigger(processingTime=processing_interval)
     return writer.start()
+
+
+def stream_curate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    min_words: int = 50,
+    redact: bool = False,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous curation: extracted-docs stream → C4/Gopher gates →
+    (optional) PII scrub → hash split → shard append. The batch
+    curation job (jobs/run_curation.py) run as a watcher.
+
+    Per micro-batch the foreachBatch body anti-joins against the urls
+    already shipped, so restarts and replays are idempotent at the
+    layout level (same guarantee shape as the extraction stream's
+    manifest-keyed commits). Returns the StreamingQuery.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from readur_spark import schemas
+    from readur_spark.ml.webfilters import (
+        redact_pii,
+        web_filter_signals,
+        with_hash_split,
+    )
+
+    docs = (
+        spark.readStream.schema(schemas.EXTRACTED)
+        .option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        ).parquet(input_dir)
+        if max_files_per_trigger is not None
+        else spark.readStream.schema(schemas.EXTRACTED).parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        text = F.col("extracted_text")
+        sig = web_filter_signals(text, min_words=min_words)
+        gated = batch_df.filter(text.isNotNull()).select(
+            "url", text.alias("text"),
+            sig["n_words"].alias("n_words"), sig["keep"].alias("keep"),
+        ).filter(F.col("keep") == 1)
+        out = gated
+        if redact:
+            out = out.withColumn("text", redact_pii(F.col("text")))
+        split = with_hash_split(out, "url").select(
+            "url", "text", "n_words", "split"
+        )
+        if os.path.isdir(output_dir):
+            existing = spark.read.parquet(output_dir).select("url")
+            split = split.join(existing, "url", "left_anti")
+        if not split.take(1):
+            return
+        (
+            split.repartition("split").sortWithinPartitions("split", "url")
+            .write.mode("append").partitionBy("split").parquet(output_dir)
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()

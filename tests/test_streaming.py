@@ -81,3 +81,35 @@ def test_restart_replay_is_idempotent(spark, tmp_path):
     )
     assert dupes == 0
     assert len(store.snapshots()) >= snaps1
+
+
+def test_stream_curate_gates_and_appends(spark, tmp_path):
+    """Extract a corpus (batch), then stream-curate its output into a
+    shard layout; a second stream run over the same input appends
+    nothing (idempotent layout)."""
+    import glob
+
+    from readur_spark.pipeline import extract_corpus
+    from readur_spark.streaming.ingest import stream_curate
+
+    from readur_spark.corpus import synthetic_pages
+
+    src = str(tmp_path / "extracted_in")
+    extract_corpus(synthetic_pages(spark, 120)).write.parquet(src)
+
+    out = str(tmp_path / "shards_out")
+    q = stream_curate(
+        spark, src, out, str(tmp_path / "ck1"), min_words=5,
+    )
+    q.awaitTermination(300)
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 > 0
+    assert glob.glob(out + "/split=*")
+    assert set(first.columns) >= {"url", "text", "n_words"}
+
+    q2 = stream_curate(
+        spark, src, out, str(tmp_path / "ck2"), min_words=5,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == n1
