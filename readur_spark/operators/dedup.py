@@ -142,3 +142,22 @@ def duplicate_groups(docs: DataFrame, hash_col: str = "sha256") -> DataFrame:
         .filter(F.col("duplicate_count") > 1)
         .orderBy(F.desc("duplicate_count"), hash_col)
     )
+
+
+def filter_ignored(
+    pages: DataFrame,
+    ignored: DataFrame,
+    *,
+    by_source: bool = False,
+) -> DataFrame:
+    """The ignored-files gate: files a user deleted must never be
+    re-ingested by source sync (src/db/ignored_files.rs:343-361,
+    migrations/20250624000001). Matching is by content hash alone, or
+    by (hash, source_type, source_path) when source context is given —
+    the reference's two `is_file_ignored` query shapes, evaluated here
+    as ONE anti-join for the whole batch instead of a per-file lookup.
+    The ignore list is tiny relative to the corpus → broadcast."""
+    pages = with_sha256(pages)
+    keys = ["sha256"] + (["source_type", "source_path"] if by_source else [])
+    ignore_keys = ignored.select(*keys).distinct()
+    return pages.join(F.broadcast(ignore_keys), keys, "left_anti")

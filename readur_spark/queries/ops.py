@@ -255,3 +255,35 @@ def host_counts_salted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = pages_from_documents(spark, sf_dir)
     return host_counts_salted(pages, n_salts=8, threshold=0.05)
+
+
+@register(
+    "ignored_files_gate",
+    oracle="""
+    WITH ignored AS (
+      SELECT sha256(text) AS h FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE sha256(d.text) NOT IN (SELECT h FROM ignored)
+    """,
+)
+def ignored_files_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ignored-files anti-join over a deterministic ignore list
+    (every 13th doc's content hash) — survivors are per-row
+    hash-checked. Exercises the hash-only matching shape of
+    db/ignored_files.rs:357."""
+    from readur_spark.operators.dedup import filter_ignored
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", "source", F.col("text").alias("_content"),
+        F.sha2(F.col("text"), 256).alias("sha256"),
+    )
+    ignored = pages.filter(F.col("doc_id") % 13 == 0).select("sha256")
+    # pages already carry sha256 → filter_ignored's with_sha256 is a
+    # no-op on them
+    survivors = pages.join(
+        F.broadcast(ignored.distinct()), "sha256", "left_anti"
+    )
+    return survivors.select("doc_id", "source")

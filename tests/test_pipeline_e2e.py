@@ -123,3 +123,50 @@ def test_extraction_plan_shape(spark, pages_parquet):
     scan_plan = plan[plan.index("Scan parquet") :] if "Scan parquet" in plan else plan
     # column pruning: text/lang never read
     assert "text" not in scan_plan.split("ReadSchema:")[-1][:400]
+
+
+class TestIgnoredFiles:
+    """is_file_ignored parity (db/ignored_files.rs:343-361): hash-only
+    and hash+source matching shapes."""
+
+    def _pages(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([
+            Row(url="u1", html=b"aaa", source_type="webdav", source_path="/a"),
+            Row(url="u2", html=b"bbb", source_type="webdav", source_path="/b"),
+            Row(url="u3", html=b"aaa", source_type="s3", source_path="/c"),
+        ])
+
+    def test_hash_only_match_ignores_everywhere(self, spark):
+        import hashlib
+
+        from pyspark.sql import Row
+
+        from readur_spark.operators.dedup import filter_ignored
+
+        h_aaa = hashlib.sha256(b"aaa").hexdigest()
+        ignored = spark.createDataFrame([Row(sha256=h_aaa)])
+        kept = {r["url"] for r in filter_ignored(self._pages(spark), ignored).collect()}
+        # both copies of 'aaa' are gone regardless of source
+        assert kept == {"u2"}
+
+    def test_source_scoped_match_only_hits_that_source(self, spark):
+        import hashlib
+
+        from pyspark.sql import Row
+
+        from readur_spark.operators.dedup import filter_ignored
+
+        h_aaa = hashlib.sha256(b"aaa").hexdigest()
+        ignored = spark.createDataFrame(
+            [Row(sha256=h_aaa, source_type="webdav", source_path="/a")]
+        )
+        kept = {
+            r["url"]
+            for r in filter_ignored(
+                self._pages(spark), ignored, by_source=True
+            ).collect()
+        }
+        # the same content from s3 survives; only the webdav copy is gated
+        assert kept == {"u2", "u3"}
