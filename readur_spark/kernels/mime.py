@@ -173,3 +173,18 @@ def detect_mime(
         return server_mime_type, "high", "server_provided"
 
     return detect_from_extension(url)
+
+
+def normalize_etag(etag: str) -> str:
+    """ETag normalization for source-sync change detection —
+    src/webdav_xml_parser.rs:538-560 (and the one-time backfill,
+    migrations/20250620100020): trim, strip repeated weak indicators
+    (`W/` / `w/`, re-trimming after each), then one level of
+    surrounding quotes. Change detection compares normalized etags so
+    quote/weak-prefix formatting differences never force re-downloads."""
+    result = etag.strip()
+    while result.startswith(("W/", "w/")):
+        result = result[2:].strip()
+    if result.startswith('"') and result.endswith('"') and len(result) > 1:
+        result = result[1:-1]
+    return result

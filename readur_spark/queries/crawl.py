@@ -183,3 +183,61 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url").alias("raw_url"),
         canonicalize_url(F.col("url")).alias("canonical_url"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ETag normalization (source-sync change detection)
+# ---------------------------------------------------------------------------
+
+def normalize_etag_col(etag: Column) -> Column:
+    """Catalyst twin of kernels.mime.normalize_etag: one regex strips
+    all repeated weak indicators (with interleaved whitespace), one
+    strips the surrounding quote pair."""
+    t = F.regexp_replace(F.trim(etag), r"^([Ww]/\s*)+", "")
+    return F.regexp_replace(t, r'^"(.*)"$', "$1")
+
+
+@register(
+    "etag_normalize",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN '"tag-' || doc_id || '"'
+               WHEN 1 THEN 'W/"tag-' || doc_id || '"'
+               WHEN 2 THEN '  w/ W/"tag-' || doc_id || '"  '
+               WHEN 3 THEN 'tag-' || doc_id
+               ELSE 'W/tag-' || doc_id
+             END AS etag
+      FROM documents
+    )
+    SELECT doc_id, etag AS raw_etag,
+           regexp_replace(
+             regexp_replace(trim(etag), '^([Ww]/\\s*)+', ''),
+             '^"(.*)"$', '\\1') AS etag_n
+    FROM seeded
+    """,
+)
+def etag_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETag normalization over a deterministic formatting matrix
+    (quoted, weak, repeated-weak + whitespace, bare) — byte-for-byte
+    hash-checked."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(
+                F.concat(F.lit('"tag-'), F.col("doc_id").cast("string"), F.lit('"')),
+                F.concat(F.lit('W/"tag-'), F.col("doc_id").cast("string"), F.lit('"')),
+                F.concat(F.lit('  w/ W/"tag-'), F.col("doc_id").cast("string"), F.lit('"  ')),
+                F.concat(F.lit("tag-"), F.col("doc_id").cast("string")),
+                F.concat(F.lit("W/tag-"), F.col("doc_id").cast("string")),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("etag"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.col("etag").alias("raw_etag"),
+        normalize_etag_col(F.col("etag")).alias("etag_n"),
+    )

@@ -251,3 +251,38 @@ class TestDispatch:
         assert r.extracted_text == body
         assert r.confidence == 100.0
         assert r.word_count == 7
+
+
+class TestEtagNormalization:
+    """webdav_xml_parser.rs:538-560 parity + kernel/Catalyst agreement."""
+
+    CASES = [
+        ('"abc"', "abc"),
+        ("W/\"abc\"", "abc"),
+        ("w/ W/\"abc\"", "abc"),
+        ("  W/ w/ tag  ", "tag"),
+        ("bare-tag", "bare-tag"),
+        ('"', '"'),           # single quote: len<=1 guard, unchanged
+        ('""', ""),           # empty quoted etag
+    ]
+
+    def test_kernel_table(self):
+        from readur_spark.kernels.mime import normalize_etag
+
+        for raw, want in self.CASES:
+            assert normalize_etag(raw) == want, raw
+
+    def test_catalyst_twin_matches_kernel(self, spark):
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        from readur_spark.kernels.mime import normalize_etag
+        from readur_spark.queries.crawl import normalize_etag_col
+
+        df = spark.createDataFrame([Row(e=raw) for raw, _ in self.CASES])
+        got = {
+            r["e"]: r["n"]
+            for r in df.select("e", normalize_etag_col(F.col("e")).alias("n")).collect()
+        }
+        for raw, _ in self.CASES:
+            assert got[raw] == normalize_etag(raw), raw
