@@ -241,3 +241,95 @@ def etag_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("etag").alias("raw_etag"),
         normalize_etag_col(F.col("etag")).alias("etag_n"),
     )
+
+
+def sync_change_plan(known: DataFrame, discovered: DataFrame) -> DataFrame:
+    """Smart-sync triage (services/webdav/smart_sync.rs:85-115): decide
+    BEFORE any download which paths are new (discovered, not known),
+    deleted (known, not discovered), changed (etag weak-comparison
+    mismatch), or unchanged. ETags are normalized on both sides
+    (normalize_etag_col — the ParsedETag weak comparison), so quoting /
+    weak-prefix formatting differences never trigger re-downloads.
+
+    One full-outer join keyed by path; both sides reduce to
+    (path, normalized etag) first, so the shuffle carries no payloads —
+    the same digest-first shape as snapshot_diff."""
+    k = known.select("path", normalize_etag_col(F.col("etag")).alias("e_known"))
+    d = discovered.select(
+        "path", normalize_etag_col(F.col("etag")).alias("e_disc")
+    )
+    joined = k.join(d, "path", "full_outer")
+    status = (
+        F.when(F.col("e_known").isNull(), "new")
+        .when(F.col("e_disc").isNull(), "deleted")
+        .when(F.col("e_known") != F.col("e_disc"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select("path", status.alias("status"))
+
+
+@register(
+    "sync_change_plan",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, '/folder/' || source || '/doc' || doc_id AS path
+      FROM documents
+    ), known AS (
+      -- stored normalized (migration 20250620100020 backfill)
+      SELECT path, 'v' || (doc_id % 10) AS e FROM base WHERE doc_id % 7 <> 0
+    ), disc AS (
+      -- server returns quoted/weak formats; revisions bump the version
+      SELECT path,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'W/"v' || CASE WHEN doc_id % 5 = 0
+                                      THEN (doc_id % 10) + 1
+                                      ELSE doc_id % 10 END || '"'
+                  ELSE '"v' || CASE WHEN doc_id % 5 = 0
+                                    THEN (doc_id % 10) + 1
+                                    ELSE doc_id % 10 END || '"'
+             END AS e
+      FROM base WHERE doc_id % 11 <> 0
+    ), norm AS (
+      SELECT COALESCE(k.path, d.path) AS path,
+             k.e AS ek,
+             regexp_replace(regexp_replace(trim(d.e), '^([Ww]/\\s*)+', ''),
+                            '^"(.*)"$', '\\1') AS ed
+      FROM known k FULL OUTER JOIN disc d ON k.path = d.path
+    )
+    SELECT path,
+           CASE WHEN ek IS NULL THEN 'new'
+                WHEN ed IS NULL THEN 'deleted'
+                WHEN ek <> ed THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM norm
+    """,
+)
+def sync_change_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sync triage over seeded listings: the known side stores
+    normalized etags, the discovered side returns quoted/weak formats,
+    and every-5th doc carries a genuine revision — so 'changed' fires
+    only on real version bumps, never on formatting. All four statuses
+    occur at sf0.01."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("/folder/"), F.col("source"), F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    ver = F.when(
+        F.col("doc_id") % 5 == 0, (F.col("doc_id") % 10) + 1
+    ).otherwise(F.col("doc_id") % 10).cast("string")
+    known = base.filter(F.col("doc_id") % 7 != 0).select(
+        "path",
+        F.concat(F.lit("v"), (F.col("doc_id") % 10).cast("string")).alias("etag"),
+    )
+    disc = base.filter(F.col("doc_id") % 11 != 0).select(
+        "path",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('W/"v'), ver, F.lit('"')),
+        ).otherwise(F.concat(F.lit('"v'), ver, F.lit('"'))).alias("etag"),
+    )
+    return sync_change_plan(known, disc)
