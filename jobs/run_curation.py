@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--append", action="store_true",
                    help="incremental: skip urls already in the output "
                         "layout and add new shards instead of overwriting")
+    p.add_argument("--compact", action="store_true",
+                   help="after writing, rewrite the layout into "
+                        "size-bounded files (small-file maintenance)")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -117,14 +120,11 @@ def main(argv: list[str] | None = None) -> int:
         if not split.take(1):
             print(json.dumps({"status": "up_to_date", "output": args.output}))
             return 0
-        (
-            split.repartition("split")
-            .sortWithinPartitions("split", "url")
-            .write.mode("append")
-            .option("maxRecordsPerFile", args.max_records_per_file)
-            .partitionBy("split")
-            .format(args.fmt)
-            .save(args.output)
+        write_training_shards(
+            split, args.output,
+            partition_cols=["split"], id_col="url",
+            max_records_per_file=args.max_records_per_file, fmt=args.fmt,
+            mode="append",
         )
     else:
         write_training_shards(
@@ -133,6 +133,9 @@ def main(argv: list[str] | None = None) -> int:
             max_records_per_file=args.max_records_per_file, fmt=args.fmt,
         )
 
+    # yields BEFORE compaction: in append mode split's plan reads the
+    # pre-compaction output files for the anti-join, which compaction
+    # replaces
     yields = {
         r["split"]: {"n_docs": r["n_docs"], "total_words": r["total_words"]}
         for r in split.groupBy("split").agg(
@@ -140,6 +143,14 @@ def main(argv: list[str] | None = None) -> int:
             F.sum("n_words").cast("long").alias("total_words"),
         ).collect()
     }
+
+    if args.compact:
+        from readur_spark.operators.sinks import compact_shards
+
+        compact_shards(
+            spark, args.output, partition_cols=["split"], id_col="url",
+            max_records_per_file=args.max_records_per_file, fmt=args.fmt,
+        )
     print(json.dumps({"status": "written", "output": args.output,
                       "yields": yields}))
     return 0

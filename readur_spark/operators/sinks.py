@@ -34,6 +34,7 @@ def write_training_shards(
     max_records_per_file: int = 100_000,
     fmt: str = "parquet",
     write_buckets: int | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Write `df` as a partitioned shard layout.
 
@@ -55,7 +56,7 @@ def write_training_shards(
         *[F.col(c) for c in partition_cols], bucket
     ).sortWithinPartitions(*partition_cols, id_col)
     (
-        out.write.mode("overwrite")
+        out.write.mode(mode)
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*partition_cols)
         .format(fmt)

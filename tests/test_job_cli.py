@@ -143,3 +143,37 @@ def test_curation_append_is_incremental(tmp_path, pages_parquet):
     # same input again in append mode: everything already shipped
     again = _curate(["--append"])
     assert again["status"] == "up_to_date"
+
+
+def test_curation_append_then_compact(tmp_path, pages_parquet):
+    """--append --compact together: delta write, then layout rewrite;
+    row set preserved."""
+    store = str(tmp_path / "ccstore")
+    _run_job(["--input", pages_parquet, "--store", store,
+              "--run-id", "cc1", "--cpus", "8"])
+    shards = str(tmp_path / "ccshards")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+
+    def _curate(extra):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+             "--input", store, "--output", shards,
+             "--min-words", "5", "--cpus", "8",
+             "--max-records-per-file", "20", *extra],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    first = _curate([])
+    n_total = sum(v["n_docs"] for v in first["yields"].values())
+    second = _curate(["--append", "--compact"])
+    assert second["status"] in ("written", "up_to_date")
+    import duckdb
+
+    n_after = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{shards}/*/*.parquet')"
+    ).fetchone()[0]
+    assert n_after == n_total
