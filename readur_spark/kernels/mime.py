@@ -188,3 +188,28 @@ def normalize_etag(etag: str) -> str:
     if result.startswith('"') and result.endswith('"') and len(result) > 1:
         result = result[1:-1]
     return result
+
+
+def etag_is_weak(etag: str) -> bool:
+    """webdav_xml_parser.rs:601-602."""
+    t = etag.strip()
+    return t.startswith("W/") or t.startswith("w/")
+
+
+def compare_etags(a: str, b: str, mode: str = "smart") -> bool:
+    """RFC 7232 comparison over normalized values —
+    webdav_xml_parser.rs:623-666. weak: normalized equality regardless
+    of weak markers; strong: equality AND neither weak; smart (the sync
+    path's choice): weak comparison if either side is weak, else
+    strong — which reduces to normalized equality in every branch, so
+    the engine's join-on-normalized-etag (sync_change_plan) implements
+    smart_compare exactly."""
+    na, nb = normalize_etag(a), normalize_etag(b)
+    if mode == "weak":
+        return na == nb
+    if mode == "strong":
+        return na == nb and not etag_is_weak(a) and not etag_is_weak(b)
+    # smart
+    if etag_is_weak(a) or etag_is_weak(b):
+        return na == nb
+    return na == nb and not etag_is_weak(a) and not etag_is_weak(b)

@@ -286,3 +286,20 @@ class TestEtagNormalization:
         }
         for raw, _ in self.CASES:
             assert got[raw] == normalize_etag(raw), raw
+
+    def test_rfc7232_comparison_table(self):
+        from readur_spark.kernels.mime import compare_etags
+
+        # (a, b, weak, strong, smart)
+        cases = [
+            ('"v1"', '"v1"', True, True, True),
+            ('W/"v1"', '"v1"', True, False, True),
+            ('W/"v1"', 'W/"v1"', True, False, True),
+            ('"v1"', '"v2"', False, False, False),
+            ('W/"v1"', 'W/"v2"', False, False, False),
+            ("v1", '"v1"', True, True, True),  # quoting never matters
+        ]
+        for a, b, w, s, sm in cases:
+            assert compare_etags(a, b, "weak") == w, (a, b)
+            assert compare_etags(a, b, "strong") == s, (a, b)
+            assert compare_etags(a, b, "smart") == sm, (a, b)
