@@ -183,3 +183,28 @@ def test_plan_tfidf_broadcasts_df_stats(spark, sf_dir):
 
     df = search_tfidf_postings(spark, sf_dir)
     assert has_broadcast_join(df), explain_str(df)[:800]
+
+
+def test_plan_chunking_no_shuffle(spark, sf_dir):
+    from readur_spark.ml.packing import chunk_for_embedding
+
+    df = chunk_for_embedding(spark, sf_dir)
+    assert has_no_shuffle(df), explain_str(df)[:800]
+
+
+def test_plan_yield_report_broadcasts_and_bounds_shuffles(spark, sf_dir):
+    """Composed curation chain: contamination eval set must broadcast;
+    total shuffles stay at the three narrow-keyed ones (eval distinct,
+    per-doc contamination agg, final rollup)."""
+    from readur_spark.ml.curation import training_yield_report
+
+    df = training_yield_report(spark, sf_dir)
+    assert has_broadcast_join(df), explain_str(df)[:800]
+    assert shuffle_count(df) <= 3, explain_str(df)[:800]
+
+
+def test_plan_script_detect_no_shuffle(spark, sf_dir):
+    from readur_spark.ml.textqc import qc_script_detect
+
+    df = qc_script_detect(spark, sf_dir)
+    assert has_no_shuffle(df), explain_str(df)[:800]
