@@ -384,3 +384,125 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash_signatures(docs, "doc_id", "text")
     pairs = simhash_near_pairs(sigs, max_hamming=3)
     return pairs.groupBy().agg(F.count("*").alias("n_near_pairs"))
+
+
+# ---- MinHash entirely in Catalyst (no Python in the signature path) --------
+
+def minhash_signatures_jvm(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 64,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """MinHash signatures as pure codegen: explode distinct word
+    shingles, hash each with `xxhash64(shingle, i)` for i in 0..n_perm
+    (seeded xxhash64 as the independent-hash family — no overflow
+    arithmetic, so it survives ANSI mode), and take per-doc mins in ONE
+    map-side-combinable aggregate. Versus the Arrow/blake2b path
+    (minhash_signatures): no Python workers, no batch serialization —
+    the whole signature stage lives inside whole-stage codegen, and at
+    10^12 docs the only shuffle is the partial-agg combine on doc id.
+
+    Signature family differs from the blake2b path (different hashes),
+    but the MinHash guarantee — P[min collision] = Jaccard — holds for
+    any independent family; the recall test pins it against exact
+    Jaccard just like the Python path."""
+    t = F.split(F.col(text_col), " ")
+    if n_shingle > 1:
+        n_out = F.size(t) - (n_shingle - 1)
+        shingles = F.when(
+            n_out >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_out),
+                lambda i: F.array_join(F.slice(t, i, n_shingle), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        shingles = t
+    # partition-floor: a few parquet input splits would otherwise run
+    # the whole (rows × n_perm) hash computation on a handful of tasks
+    # (the same fix the Arrow path's signature stage carries)
+    slim = docs.select(F.col(id_col).alias("id"), F.col(text_col)).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    # hash each shingle string ONCE to a long; the n_perm family then
+    # mixes the fixed-width long (xxhash64(h, i)) instead of re-hashing
+    # the string n_perm times
+    toks = slim.select(
+        "id", F.explode(F.array_distinct(shingles)).alias("sh")
+    ).select("id", F.xxhash64("sh").alias("h"))
+    mins = toks.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("h", F.lit(i))).alias("h%d" % i)
+            for i in range(n_perm)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col("h%d" % i) for i in range(n_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs_jvm(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Banded LSH over the JVM signatures: band hash = xxhash64 of the
+    band's slice rendered to one string; candidates = equi-join on
+    (band_id, band_hash) — identical bucketed shape to the Python
+    path's lsh_candidate_pairs, end-to-end JVM."""
+    r = n_perm // n_bands
+    sigs = minhash_signatures_jvm(docs, id_col, text_col, n_perm, n_shingle)
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_id"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", j * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                )
+                for j in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    # pre-partition on the join key: the signature aggregate is small
+    # enough that AQE would coalesce it to one partition, serializing
+    # the (potentially explosive) bucket self-join into a single task
+    bands = bands.repartition(F.col("band_id"), F.col("band_hash"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+@register("dedup_minhash_jvm")  # non-SQL: algorithmic; pytest recall + plan pin
+def dedup_minhash_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-Catalyst MinHash-LSH (rows-only driver check; recall vs
+    exact Jaccard and the no-Python plan property are pytest-pinned)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_jvm(
+        docs, "doc_id", "text", n_perm=64, n_bands=16, n_shingle=3
+    )
+    return pairs.groupBy().agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.countDistinct("id_a").alias("n_docs_with_candidates"),
+    )

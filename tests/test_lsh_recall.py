@@ -223,3 +223,28 @@ def test_multi_table_first_table_matches_single(spark, sf_dir):
         for r in with_lsh_buckets(emb, 64, 6, 42, 3).collect()
     }
     assert single == multi
+
+
+def test_minhash_jvm_recall_and_no_python_stage(spark, corpus_df):
+    """The all-Catalyst MinHash (seeded-xxhash64 family) must hit the
+    same recall bar as the Arrow/blake2b path AND compile without any
+    Python/Arrow stage in the physical plan."""
+    from readur_spark.ml.dedup import minhash_lsh_pairs_jvm
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(
+            corpus_df, "id", "text", ["blk"], threshold=0.8
+        ).collect()
+    }
+    pairs_df = minhash_lsh_pairs_jvm(
+        corpus_df, "id", "text", n_perm=64, n_bands=16, n_shingle=1
+    )
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan, plan[:500]
+
+    cand = {(r.id_a, r.id_b) for r in pairs_df.collect()}
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9, (recall, len(truth), len(cand))
+    n = corpus_df.count()
+    assert len(cand) < 0.05 * n * (n - 1) / 2, len(cand)
