@@ -48,6 +48,7 @@ HEADLINE_QUERIES = [
     "daily_analytics_rollup",
     "duplicate_groups",
     "dedup_minhash_lsh",
+    "dedup_minhash_jvm",
     "ann_cosine_topk",
     "qc_quality_score",
     "system_metrics",
