@@ -172,8 +172,13 @@ def training_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig["keep"].alias("keep"),
     ).filter(F.col("keep") == 1)
 
+    # hits only need computing for gate SURVIVORS — a non-kept doc is
+    # out regardless of contamination, so the corpus-side shingle
+    # explode shrinks to the kept slice (the eval set still comes from
+    # the full corpus, matching the oracle's contamination definition)
     contaminated = contamination_hits(
-        docs, docs.filter(F.col("doc_id") % 97 == 0)
+        gated.select("doc_id", "text"),
+        docs.filter(F.col("doc_id") % 97 == 0),
     ).select("doc_id")
     clean = gated.join(F.broadcast(contaminated), "doc_id", "left_anti")
 

@@ -53,18 +53,29 @@ def contamination_hits(
 ) -> DataFrame:
     """Per-document count of distinct shingles shared with the eval
     set. Only contaminated docs are returned (inner join)."""
+    # shingles travel as xxhash64 longs: the broadcast set, the join
+    # comparisons, and the exploded corpus rows all shrink ~4-8× vs
+    # carrying 5-word strings (collision odds at 2^64 are negligible
+    # beside the false-positive rate of n-gram matching itself)
     ev = (
         eval_docs.select(
             F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s")
         )
+        .select(F.xxhash64("s").alias("hs"))
         .distinct()
     )
-    sh = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s"),
+    # partition-floor (same idiom as the MinHash signature stage): a
+    # single-split input file would otherwise run the whole shingle
+    # explode + hash on one task
+    slim = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col)).repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
     )
+    sh = slim.select(
+        "doc_id",
+        F.explode(word_shingles(F.col(text_col), n_shingle)).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("hs"))
     return (
-        sh.join(F.broadcast(ev), "s")
+        sh.join(F.broadcast(ev), "hs")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_shingles"))
     )
