@@ -209,3 +209,152 @@ def site_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return site_boilerplate_shingles(seeded)
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+) -> DataFrame:
+    """Exact substring dedup, Spark-shaped (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal token span whose n-grams also occur in ANOTHER
+    document. The suffix-array formulation doesn't distribute; the
+    equivalent n-gram formulation does:
+
+      explode (doc, pos, xxhash64(n-gram)) → count distinct docs per
+      gram (map-side combinable) → keep grams in ≥2 docs → merge each
+      doc's hit positions into maximal spans (gaps-and-islands window,
+      per-doc — embarrassingly parallel).
+
+    Output: (doc_id, span_start, span_end) in 1-based token indices,
+    spans covering [start, end] inclusive of full n-gram extents.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.split(F.col(text_col), " ")
+    n_out = F.size(t) - (n - 1)
+    grams = F.when(
+        n_out >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_out),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.array_join(F.slice(t, i, n), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+    slim = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    exploded = slim.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+
+    repeated = (
+        exploded.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = exploded.join(repeated, "h").select("doc_id", "pos")
+
+    # gaps-and-islands: hit n-grams at pos p cover [p, p+n-1]; merge
+    # overlapping/adjacent covers into maximal spans
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "new_span",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+        )
+        .drop("span_id")
+    )
+
+
+@register(
+    "repeated_ngram_spans",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+                  THEN text || ' alpha beta gamma delta epsilon zeta eta theta'
+                       || ' iota kappa lambda mu nu xi omicron pi rho sigma tau'
+                       || ' upsilon phi chi psi omega'
+                  ELSE text END AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(t, ' ') AS tk FROM seeded
+    ), grams AS (
+      SELECT doc_id,
+             unnest([{'pos': i,
+                      's': array_to_string(tk[i:i + 19], ' ')}
+                     for i in range(1, greatest(len(tk) - 19, 0) + 1)],
+                    recursive := true)
+      FROM toks
+    ), rep AS (
+      SELECT s FROM grams GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.pos FROM grams g SEMI JOIN rep USING (s)
+    ), marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 19) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR pos > max(pos + 19) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS new_span
+      FROM hits
+    ), numbered AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 19 AS INT) AS span_end
+    FROM numbered
+    GROUP BY doc_id, span_id
+    """,
+)
+def repeated_ngram_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-gram repeated-span detection over a corpus seeded with a
+    shared 25-token tail on every 9th doc — the detector must recover
+    exactly those tail spans (body text never repeats cross-doc in the
+    random corpus), per-row value-hashed."""
+    docs = load(spark, sf_dir, "documents")
+    shared = (
+        " alpha beta gamma delta epsilon zeta eta theta"
+        " iota kappa lambda mu nu xi omicron pi rho sigma tau"
+        " upsilon phi chi psi omega"
+    )
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(shared))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = repeated_ngram_spans(seeded, n=20)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+    )

@@ -328,3 +328,21 @@ class TestIdempotenceLaws:
         out = df.select(once.alias("r1"), redact_pii(once).alias("r2")).collect()
         for r in out:
             assert r["r1"] == r["r2"], r
+
+
+class TestRepeatedSpans:
+    def test_shared_tail_recovered_and_merged(self, spark):
+        from readur_spark.ml.decontam import repeated_ngram_spans
+
+        shared = " ".join(f"s{i}" for i in range(25))
+        rows = [
+            Row(doc_id=1, text=" ".join(f"a{i}" for i in range(30)) + " " + shared),
+            Row(doc_id=2, text=" ".join(f"b{i}" for i in range(10)) + " " + shared),
+            Row(doc_id=3, text=" ".join(f"c{i}" for i in range(40))),
+        ]
+        out = repeated_ngram_spans(spark.createDataFrame(rows), n=20)
+        spans = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in out.collect()}
+        # overlapping hit grams merge into ONE maximal span per doc,
+        # covering exactly the 25-token shared tail
+        assert spans == {1: (31, 55), 2: (11, 35)}
+        assert out.filter(F.col("doc_id") == 3).count() == 0
