@@ -358,3 +358,120 @@ def repeated_ngram_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_start").cast("int").alias("span_start"),
         F.col("span_end").cast("int").alias("span_end"),
     )
+
+
+def remove_spans(docs: DataFrame, spans: DataFrame,
+                 *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Apply substring-dedup decisions: drop every token inside a
+    repeated span, keep everything else in order. Pure Catalyst:
+    spans collapse to one array per doc (tiny), join back on doc id,
+    and a zip_with/filter pass drops covered positions — no explode of
+    the token stream, no Python. Docs without spans pass through
+    unchanged (left join)."""
+    span_arrs = spans.groupBy(F.col(id_col).alias("_id")).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("_spans")
+    )
+    t = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(t))
+    kept = F.filter(
+        F.arrays_zip(idx.alias("pos"), t.alias("tok")),
+        lambda z: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (z["pos"] >= sp["s"]) & (z["pos"] <= sp["e"]),
+        ),
+    )
+    cleaned = F.when(
+        F.col("_spans").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(F.transform(kept, lambda z: z["tok"]), " "))
+    return docs.join(span_arrs, docs[id_col] == span_arrs["_id"], "left").drop(
+        "_id"
+    ).withColumn("cleaned_text", cleaned).drop("_spans")
+
+
+@register(
+    "dedup_substring_clean",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+                  THEN text || ' alpha beta gamma delta epsilon zeta eta theta'
+                       || ' iota kappa lambda mu nu xi omicron pi rho sigma tau'
+                       || ' upsilon phi chi psi omega'
+                  ELSE text END AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(t, ' ') AS tk FROM seeded
+    ), grams AS (
+      SELECT doc_id,
+             unnest([{'pos': i,
+                      's': array_to_string(tk[i:i + 19], ' ')}
+                     for i in range(1, greatest(len(tk) - 19, 0) + 1)],
+                    recursive := true)
+      FROM toks
+    ), rep AS (
+      SELECT s FROM grams GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.pos FROM grams g SEMI JOIN rep USING (s)
+    ), marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 19) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR pos > max(pos + 19) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS new_span
+      FROM hits
+    ), numbered AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 19 AS e
+      FROM numbered GROUP BY doc_id, span_id
+    ), positions AS (
+      SELECT doc_id,
+             unnest([{'pos': i, 'tok': tk[i]}
+                     for i in range(1, len(tk) + 1)], recursive := true)
+      FROM toks
+    )
+    , kept AS (
+      SELECT p.doc_id,
+             string_agg(p.tok, ' ' ORDER BY p.pos) AS ct
+      FROM positions p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans sp
+        WHERE sp.doc_id = p.doc_id AND p.pos BETWEEN sp.s AND sp.e
+      )
+      GROUP BY p.doc_id
+    )
+    -- LEFT JOIN keeps docs whose every token was removed (rare but
+    -- real: the corpus contains whole short docs repeated inside
+    -- longer ones) as empty cleaned_text, matching the engine
+    SELECT t.doc_id, coalesce(k.ct, '') AS cleaned_text
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection + removal composed: seed shared 25-token tails, find
+    the repeated 20-gram spans, strip them — every affected doc comes
+    back as its original body, byte-for-byte, and untouched docs pass
+    through byte-identical."""
+    docs = load(spark, sf_dir, "documents")
+    shared = (
+        " alpha beta gamma delta epsilon zeta eta theta"
+        " iota kappa lambda mu nu xi omicron pi rho sigma tau"
+        " upsilon phi chi psi omega"
+    )
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(shared))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    spans = repeated_ngram_spans(seeded, n=20)
+    return remove_spans(seeded, spans).select("doc_id", "cleaned_text")

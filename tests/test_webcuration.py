@@ -346,3 +346,20 @@ class TestRepeatedSpans:
         # covering exactly the 25-token shared tail
         assert spans == {1: (31, 55), 2: (11, 35)}
         assert out.filter(F.col("doc_id") == 3).count() == 0
+
+
+    def test_remove_spans_strips_exact_tail(self, spark):
+        from readur_spark.ml.decontam import remove_spans
+
+        docs = spark.createDataFrame([
+            Row(doc_id=1, text="a b c d e f g h"),
+            Row(doc_id=2, text="x y z"),
+        ])
+        spans = spark.createDataFrame(
+            [Row(doc_id=1, span_start=3, span_end=5)]
+        )
+        out = {
+            r["doc_id"]: r["cleaned_text"]
+            for r in remove_spans(docs, spans).collect()
+        }
+        assert out == {1: "a b f g h", 2: "x y z"}
