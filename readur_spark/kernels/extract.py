@@ -99,9 +99,8 @@ def _extract_pdf(url: str, data: bytes, settings: dict) -> ExtractResult:
     quick_text: str | None = None
     try:
         quick_text = pdf.parse_pdf_text_layer(data)
-    except Exception as e:  # malformed structure → cascade continues
+    except Exception:  # malformed structure → cascade continues
         quick_text = None
-        quick_err = str(e)
     if quick_text is not None:
         word_count_gate = len(quick_text.split())
         if word_count_gate > 5:  # enhanced.rs:1155 — >5-word acceptance

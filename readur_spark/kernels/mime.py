@@ -180,13 +180,17 @@ def normalize_etag(etag: str) -> str:
     src/webdav_xml_parser.rs:538-560 (and the one-time backfill,
     migrations/20250620100020): trim, strip repeated weak indicators
     (`W/` / `w/`, re-trimming after each), then one level of
-    surrounding quotes. Change detection compares normalized etags so
-    quote/weak-prefix formatting differences never force re-downloads."""
+    surrounding quotes; a whitespace-only remainder normalizes to ""
+    (webdav_xml_parser.rs:562-565 — e.g. '" "' → ''). Change detection
+    compares normalized etags so quote/weak-prefix formatting
+    differences never force re-downloads."""
     result = etag.strip()
     while result.startswith(("W/", "w/")):
         result = result[2:].strip()
     if result.startswith('"') and result.endswith('"') and len(result) > 1:
         result = result[1:-1]
+    if result.strip() == "":
+        return ""
     return result
 
 

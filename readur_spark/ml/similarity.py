@@ -452,10 +452,13 @@ def quantization_scale(
     quantized dot product proportional to the true dot product;
     per-dimension affine ranges would add candidate-dependent shift
     terms that scramble the ranking."""
-    norm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
-        )
+    norm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+        F.lit(1e-12),  # all-zero vectors contribute 0, not NaN
     )
     row = vectors.select(
         F.max(
@@ -464,7 +467,8 @@ def quantization_scale(
             )
         ).alias("s")
     ).first()
-    return float(row["s"]) or 1.0
+    # empty input → s is None; degenerate (≤0 / None) → identity scale
+    return float(row["s"]) if row["s"] else 1.0
 
 
 def quantize_vector(vec, scale: float):

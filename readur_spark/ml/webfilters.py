@@ -257,13 +257,16 @@ def with_hash_split(
 
     Content-addressed splits survive re-partitioning, incremental
     ingest, and engine changes — the property RNG-based sampling lacks.
-    Zero shuffles: it is a projection.
+    Zero shuffles: it is a projection. Adds ONLY `out_col` — the hash
+    prefix stays internal to the expression so callers never have to
+    project a helper column away (split_hash_sample exposes it
+    explicitly for its oracle).
     """
     h = F.substring(F.md5(F.encode(F.col(key_col), "UTF-8")), 1, 2)
-    return df.withColumn("h2", h).withColumn(
+    return df.withColumn(
         out_col,
-        F.when(F.col("h2") < train_hi, "train")
-        .when(F.col("h2") < valid_hi, "valid")
+        F.when(h < train_hi, "train")
+        .when(h < valid_hi, "valid")
         .otherwise("test"),
     )
 
@@ -286,10 +289,15 @@ from readur_spark.queries.tables import SYNTH_URL_SQL as _URL_SQL  # noqa: E402
     """,
 )
 def split_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc deterministic split assignment (hash-checked per row)."""
+    """Per-doc deterministic split assignment (hash-checked per row).
+    Exposes the md5 prefix `h2` explicitly so the oracle pins the hash
+    input bytes, not just the bucket edges."""
     docs = load(spark, sf_dir, "documents")
     with_url = docs.select("doc_id", synthetic_url().alias("url"))
-    return with_hash_split(with_url, "url").select("doc_id", "h2", "split")
+    h2 = F.substring(F.md5(F.encode(F.col("url"), "UTF-8")), 1, 2)
+    return with_hash_split(with_url, "url").select(
+        "doc_id", h2.alias("h2"), "split"
+    )
 
 
 def stratified_sample(

@@ -192,9 +192,15 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def normalize_etag_col(etag: Column) -> Column:
     """Catalyst twin of kernels.mime.normalize_etag: one regex strips
     all repeated weak indicators (with interleaved whitespace), one
-    strips the surrounding quote pair."""
-    t = F.regexp_replace(F.trim(etag), r"^([Ww]/\s*)+", "")
-    return F.regexp_replace(t, r'^"(.*)"$', "$1")
+    strips the surrounding quote pair, and a whitespace-only remainder
+    collapses to "" (webdav_xml_parser.rs:562-565). Whitespace handling
+    is regex-based (`\\s`) because Spark's trim() strips spaces only,
+    while the kernel's str.strip() — like Rust's str::trim — strips
+    tabs/newlines too."""
+    trimmed = F.regexp_replace(etag, r"^\s+|\s+$", "")
+    t = F.regexp_replace(trimmed, r"^([Ww]/\s*)+", "")
+    unquoted = F.regexp_replace(t, r'^"(.*)"$', "$1")
+    return F.when(unquoted.rlike(r"^\s*$"), F.lit("")).otherwise(unquoted)
 
 
 @register(
@@ -202,26 +208,32 @@ def normalize_etag_col(etag: Column) -> Column:
     oracle="""
     WITH seeded AS (
       SELECT doc_id,
-             CASE doc_id % 5
+             CASE doc_id % 6
                WHEN 0 THEN '"tag-' || doc_id || '"'
                WHEN 1 THEN 'W/"tag-' || doc_id || '"'
                WHEN 2 THEN '  w/ W/"tag-' || doc_id || '"  '
                WHEN 3 THEN 'tag-' || doc_id
-               ELSE 'W/tag-' || doc_id
+               WHEN 4 THEN 'W/tag-' || doc_id
+               ELSE '" "'
              END AS etag
       FROM documents
+    ), un AS (
+      SELECT doc_id, etag,
+             regexp_replace(
+               regexp_replace(trim(etag), '^([Ww]/\\s*)+', ''),
+               '^"(.*)"$', '\\1') AS u
+      FROM seeded
     )
     SELECT doc_id, etag AS raw_etag,
-           regexp_replace(
-             regexp_replace(trim(etag), '^([Ww]/\\s*)+', ''),
-             '^"(.*)"$', '\\1') AS etag_n
-    FROM seeded
+           CASE WHEN trim(u) = '' THEN '' ELSE u END AS etag_n
+    FROM un
     """,
 )
 def etag_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ETag normalization over a deterministic formatting matrix
-    (quoted, weak, repeated-weak + whitespace, bare) — byte-for-byte
-    hash-checked."""
+    (quoted, weak, repeated-weak + whitespace, bare, quoted-whitespace)
+    — byte-for-byte hash-checked, including the whitespace-only → ''
+    collapse (webdav_xml_parser.rs:562-565)."""
     docs = load(spark, sf_dir, "documents")
     seeded = docs.select(
         "doc_id",
@@ -232,8 +244,9 @@ def etag_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit('  w/ W/"tag-'), F.col("doc_id").cast("string"), F.lit('"  ')),
                 F.concat(F.lit("tag-"), F.col("doc_id").cast("string")),
                 F.concat(F.lit("W/tag-"), F.col("doc_id").cast("string")),
+                F.lit('" "'),
             ),
-            (F.col("doc_id") % 5 + 1).cast("int"),
+            (F.col("doc_id") % 6 + 1).cast("int"),
         ).alias("etag"),
     )
     return seeded.select(

@@ -149,7 +149,15 @@ def stream_curate(
             "url", "text", "n_words", "split"
         )
         if os.path.isdir(output_dir):
-            existing = spark.read.parquet(output_dir).select("url")
+            # explicit schema: a pre-created/empty output dir (mkdir
+            # before first commit, or a crash between mkdir and write)
+            # must read as EMPTY, not kill the stream with an
+            # 'Unable to infer schema' AnalysisException
+            existing = (
+                spark.read.schema(split.schema)
+                .parquet(output_dir)
+                .select("url")
+            )
             split = split.join(existing, "url", "left_anti")
         if not split.take(1):
             return

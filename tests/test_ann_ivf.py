@@ -133,3 +133,40 @@ class TestQuantizedAnn:
             ).collect()
         ]
         assert composed_full == ivf_only
+
+
+class TestQuantizationScaleGuards:
+    """ADVICE r2: degenerate inputs must fall back to the identity
+    scale instead of raising / poisoning the max with NaN."""
+
+    def test_empty_input_returns_identity(self, spark):
+        from readur_spark.ml.similarity import quantization_scale
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        assert quantization_scale(empty) == 1.0
+
+    def test_all_zero_vector_does_not_poison(self, spark):
+        from pyspark.sql import Row
+
+        from readur_spark.ml.similarity import quantization_scale
+
+        df = spark.createDataFrame(
+            [Row(vec_id=0, embedding=[0.0, 0.0]),
+             Row(vec_id=1, embedding=[3.0, 4.0])]
+        )
+        s = quantization_scale(df)
+        # normalized (3,4)/5 → max |component| = 0.8; the zero vector
+        # contributes 0 (epsilon-guarded norm), not NaN
+        assert abs(s - 0.8) < 1e-9
+
+
+def test_hash_split_adds_only_split_column(spark):
+    """ADVICE r2: with_hash_split must not leak its h2 helper column
+    into caller schemas (shard writers inherit the projection)."""
+    from pyspark.sql import Row
+
+    from readur_spark.ml.webfilters import with_hash_split
+
+    df = spark.createDataFrame([Row(url="u%d" % i) for i in range(10)])
+    out = with_hash_split(df, "url")
+    assert out.columns == ["url", "split"]

@@ -264,6 +264,10 @@ class TestEtagNormalization:
         ("bare-tag", "bare-tag"),
         ('"', '"'),           # single quote: len<=1 guard, unchanged
         ('""', ""),           # empty quoted etag
+        ('" "', ""),          # quoted whitespace → "" (parser.rs:562-565)
+        ('"  \t "', ""),      # ...any whitespace-only remainder
+        ("W/ \" \"", ""),     # weak + quoted whitespace
+        ('" a "', " a "),     # inner whitespace PRESERVED when non-empty
     ]
 
     def test_kernel_table(self):

@@ -17,7 +17,7 @@ def _docs(spark, n=120):
             url=f"https://x.example/{i}", text=f"doc {i}")
         for i in range(n)
     ]
-    return with_hash_split(spark.createDataFrame(rows), "url").drop("h2")
+    return with_hash_split(spark.createDataFrame(rows), "url")
 
 
 def test_layout_and_roundtrip(spark, tmp_path):
