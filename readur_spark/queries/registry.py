@@ -4,6 +4,16 @@ Every implemented operator from SURVEY.md §2 registers here twice:
 a Spark callable (spark, sf_dir) → DataFrame and (when SQL-expressible)
 a DuckDB oracle string over the same parquet views. Column aliases MUST
 match — the driver hash-compares values after sorting columns by name.
+
+ORDER MATTERS: the round driver's CORRECTNESS artifact hash-checks a
+window of the FIRST 50 registered queries, and the registry has grown
+past that (79 in round 2 — the byte-identity extraction backbone and
+the whole curation tier landed outside the window). `_PRIORITY` pins
+the 50 most load-bearing oracle-checked queries to the front of
+`queries()`/`oracle_sql()`; variants, demos, and rows-only algorithmic
+surfaces (pytest-pinned instead) trail behind. Everything still
+registers and still runs — the ordering only decides which queries get
+the standing hard-signal artifact each round.
 """
 
 from __future__ import annotations
@@ -14,6 +24,73 @@ from pyspark.sql import DataFrame, SparkSession
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
+
+# The driver's hard-check window (insertion order of queries() dict).
+# Selection: extraction backbone first (the north-rule byte-identity
+# contract), then dedup, the curation/decontamination tier, text QC,
+# search, ANN, facets/analytics, ops, streaming twins, crawl sync.
+_PRIORITY: list[str] = [
+    # extraction backbone — byte-identical text per url
+    "extract_text_passthrough",
+    "extract_wordcount_by_lang",
+    "ignored_files_gate",
+    # dedup family
+    "dedup_exact_groups",
+    "duplicate_groups",
+    "dedup_jaccard_pairs",
+    "dedup_near_components",
+    "embedding_neardup_pairs",
+    # curation / decontamination tier (whole chains value-hashed)
+    "curation_pipeline",
+    "training_yield_report",
+    "pii_redaction",
+    "repeated_ngram_spans",
+    "dedup_substring_clean",
+    "decontaminate_overlap",
+    "site_boilerplate",
+    "qc_web_filters",
+    "split_hash_sample",
+    "sample_stratified",
+    "pack_sequences",
+    "chunk_for_embedding",
+    # text QC
+    "qc_token_count",
+    "qc_token_count_bpe",
+    "qc_quality_score",
+    "qc_langid_english",
+    "qc_repetition",
+    "qc_fingerprint",
+    "qc_script_detect",
+    "qc_length_percentiles",
+    # search
+    "search_simple_and",
+    "search_phrase",
+    "search_boolean",
+    "search_rank_tf",
+    "search_fuzzy_trigram",
+    "search_filename",
+    "search_snippets_first",
+    "search_tfidf_postings",
+    # ANN (oracle-bearing paths)
+    "ann_cosine_topk",
+    "ann_multi_query_topk",
+    "ann_lsh_bucketed",
+    # facets / analytics
+    "facet_source_counts",
+    "facet_token_explode",
+    "status_conditional_counts",
+    "daily_analytics_rollup",
+    "label_join_counts",
+    # ops / consistency
+    "requeue_antijoin",
+    "consistency_orphan_events",
+    "bulk_delete_accounting",
+    # streaming batch-twins
+    "windowed_event_counts",
+    "sessionize_events",
+    # crawl sync (composed: canonicalize + etag normalize + triage)
+    "sync_change_plan",
+]
 
 
 def register(name: str, oracle: str | None = None):
@@ -26,14 +103,25 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _ordered(d: dict) -> dict:
+    out = {name: d[name] for name in _PRIORITY if name in d}
+    out.update((name, v) for name, v in d.items() if name not in out)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
+
+
+def priority_window() -> list[str]:
+    """The names pinned to the front of the registry, in order."""
+    return list(_PRIORITY)
 
 
 _LOADED = False

@@ -51,6 +51,41 @@ def test_every_oracle_key_has_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+class TestPriorityWindow:
+    """The driver hash-checks the FIRST 50 registered queries; pin what
+    occupies that window (VERDICT r2 top item)."""
+
+    def test_priority_names_all_registered(self):
+        from readur_spark.queries.registry import priority_window
+
+        missing = [n for n in priority_window() if n not in QUERIES]
+        assert missing == [], f"stale priority entries: {missing}"
+
+    def test_window_is_fully_oracle_checked(self):
+        first50 = list(QUERIES)[:50]
+        rows_only = [n for n in first50 if n not in ORACLES]
+        assert rows_only == [], f"rows-only queries in the window: {rows_only}"
+
+    def test_backbone_inside_window(self):
+        first50 = set(list(QUERIES)[:50])
+        backbone = {
+            "extract_text_passthrough",
+            "extract_wordcount_by_lang",
+            "pii_redaction",
+            "repeated_ngram_spans",
+            "dedup_substring_clean",
+            "training_yield_report",
+            "curation_pipeline",
+        }
+        assert backbone <= first50, backbone - first50
+
+    def test_priority_prefix_matches_registry_order(self):
+        from readur_spark.queries.registry import priority_window
+
+        want = [n for n in priority_window() if n in QUERIES]
+        assert list(QUERIES)[: len(want)] == want
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, duck):
     q = QUERIES[name]
