@@ -105,11 +105,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.redact_pii:
         out = out.withColumn("text", redact_pii(F.col("text")))
 
-    # 4. deterministic split + 5. shard write
+    # 4. deterministic split
     split = with_hash_split(out, "url").select(
         "url", "text", "n_words", "split"
     )
-    if args.append and os.path.isdir(args.output):
+    appending = args.append and os.path.isdir(args.output)
+    if appending:
         # incremental ingest: anti-join against the urls already
         # shipped (slim column read of the existing layout — at scale
         # this is the url-only projection of a partition-pruned scan)
@@ -117,43 +118,64 @@ def main(argv: list[str] | None = None) -> int:
 
         existing = read_training_shards(spark, args.output, args.fmt).select("url")
         split = split.join(existing, "url", "left_anti")
-        if not split.take(1):
+
+    # 5. materialize ONCE, then write. The gates + dedup semi-join
+    # (+ PII regex pass + append anti-join) execute a single time: the
+    # yields summary forces the persisted plan BEFORE any write mutates
+    # the output directory the append anti-join reads, and the shard
+    # write consumes the cached rows. (Previously the summary ran after
+    # the write and re-executed the whole plan — doubling the job at
+    # scale and, in append mode, silently depending on Spark's one-time
+    # file-index listing not being refreshed.) The Observation reports
+    # how many rows crossed the pipeline exactly once — the test pins
+    # observed == rows written.
+    from pyspark import StorageLevel
+    from pyspark.sql import Observation
+
+    obs = Observation("curation_rows")
+    split = split.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    split = split.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        yields = {
+            r["split"]: {"n_docs": r["n_docs"], "total_words": r["total_words"]}
+            for r in split.groupBy("split").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_words").cast("long").alias("total_words"),
+            ).collect()
+        }
+        if appending and not yields:
+            # (don't touch obs here: AQE prunes a provably-empty plan
+            # to a local relation and the metrics row never material-
+            # izes — and 0 rows shipped needs no accounting anyway)
             print(json.dumps({"status": "up_to_date", "output": args.output}))
             return 0
+        # snapshot now: an Observation is single-action — reading it
+        # after the write (a second action over the cached plan) fails.
+        # Zero-row plans produce an EMPTY metrics row (the aggregation
+        # short-circuits), so only read it when rows actually flowed.
+        rows_observed = int(obs.get["n_rows"]) if yields else 0
         write_training_shards(
             split, args.output,
             partition_cols=["split"], id_col="url",
             max_records_per_file=args.max_records_per_file, fmt=args.fmt,
-            mode="append",
+            mode="append" if appending else "overwrite",
         )
-    else:
-        write_training_shards(
-            split, args.output,
-            partition_cols=["split"], id_col="url",
-            max_records_per_file=args.max_records_per_file, fmt=args.fmt,
-        )
+        if args.compact:
+            from readur_spark.operators.sinks import compact_shards
 
-    # yields BEFORE compaction: in append mode split's plan reads the
-    # pre-compaction output files for the anti-join, which compaction
-    # replaces
-    yields = {
-        r["split"]: {"n_docs": r["n_docs"], "total_words": r["total_words"]}
-        for r in split.groupBy("split").agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_words").cast("long").alias("total_words"),
-        ).collect()
-    }
-
-    if args.compact:
-        from readur_spark.operators.sinks import compact_shards
-
-        compact_shards(
-            spark, args.output, partition_cols=["split"], id_col="url",
-            max_records_per_file=args.max_records_per_file, fmt=args.fmt,
-        )
-    print(json.dumps({"status": "written", "output": args.output,
-                      "yields": yields}))
-    return 0
+            compact_shards(
+                spark, args.output, partition_cols=["split"], id_col="url",
+                max_records_per_file=args.max_records_per_file, fmt=args.fmt,
+            )
+        print(json.dumps({
+            "status": "written",
+            "output": args.output,
+            "yields": yields,
+            "rows_observed": rows_observed,
+        }))
+        return 0
+    finally:
+        split.unpersist()
 
 
 if __name__ == "__main__":

@@ -145,6 +145,72 @@ def test_curation_append_is_incremental(tmp_path, pages_parquet):
     assert again["status"] == "up_to_date"
 
 
+def _gate_passing_text(i: int) -> str:
+    """60 words, mean word length in [3,10], ≥2 distinct stopwords,
+    high unique ratio — clears every C4/Gopher gate."""
+    words = ["the", "and"] + [f"w{i}x{j}" for j in range(58)]
+    return " ".join(words)
+
+
+def _curate_plain(input_path: str, output: str, extra: list[str]) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+         "--input", input_path, "--output", output,
+         "--min-words", "5", "--cpus", "4", *extra],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_curation_append_new_rows_yields_delta(tmp_path):
+    """ADVICE r2: --append with genuinely NEW input must report the
+    delta's yields (not silently zero) and the layout must hold
+    old + new. Also pins the single-execution contract: rows_observed
+    (the Observation on the curated plan) == rows actually written."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_docs(path, lo, hi):
+        pq.write_table(
+            pa.table({
+                "url": [f"https://h{i}.example/d{i}.txt" for i in range(lo, hi)],
+                "extracted_text": [_gate_passing_text(i) for i in range(lo, hi)],
+            }),
+            path,
+        )
+
+    in1 = str(tmp_path / "in1.parquet")
+    in2 = str(tmp_path / "in2.parquet")
+    write_docs(in1, 0, 20)
+    write_docs(in2, 0, 32)  # the first 20 plus 12 genuinely new docs
+    shards = str(tmp_path / "shards")
+
+    first = _curate_plain(in1, shards, [])
+    n_first = sum(v["n_docs"] for v in first["yields"].values())
+    assert n_first == 20
+    assert first["rows_observed"] == n_first
+
+    second = _curate_plain(in2, shards, ["--append"])
+    assert second["status"] == "written"
+    n_second = sum(v["n_docs"] for v in second["yields"].values())
+    assert n_second == 12  # only the delta
+    assert second["rows_observed"] == n_second
+
+    n_layout = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{shards}/*/*.parquet')"
+    ).fetchone()[0]
+    assert n_layout == 32
+    n_distinct = duckdb.sql(
+        f"SELECT count(DISTINCT url) FROM read_parquet('{shards}/*/*.parquet')"
+    ).fetchone()[0]
+    assert n_distinct == 32  # no double-shipped urls
+
+
 def test_curation_append_then_compact(tmp_path, pages_parquet):
     """--append --compact together: delta write, then layout rewrite;
     row set preserved."""
