@@ -135,12 +135,17 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate sets stay bounded at 10^9 vectors — unlike a
     low-cardinality label key, which degenerates to all-pairs per
     label). The oracle recomputes the identical buckets from the same
-    literal plane matrix."""
-    emb = load(spark, sf_dir, "embeddings")
-    bucketed = with_lsh_bucket(
-        emb.select("vec_id", "embedding"),
-        dim=_NEARDUP_DIM, n_planes=_NEARDUP_PLANES, seed=_NEARDUP_SEED,
+    literal plane matrix.
+
+    Boundary discipline: bucket ids come back SLIM (id, bucket) from
+    the Arrow stage; the embedding payload attaches JVM-side via a key
+    join, so no vector ever crosses the Python boundary outbound —
+    pinned by a plan test."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ids = lsh_bucket_ids(
+        emb, dim=_NEARDUP_DIM, n_planes=_NEARDUP_PLANES, seed=_NEARDUP_SEED,
     )
+    bucketed = emb.join(ids, "vec_id")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
@@ -209,6 +214,73 @@ def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- LSH-bucketed ANN (scale path) ------------------------------------------
+
+
+def lsh_bucket_ids(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SLIM bucket assignment: (id, bucket) only. The Arrow boundary
+    reads the minimal (id, vector) projection and returns no vector —
+    callers that need the embedding back attach it JVM-side (join on
+    id, or a broadcast semi-join for small candidate sets) instead of
+    shipping the payload through Python twice. Same planes/buckets as
+    with_lsh_bucket (pinned by tests)."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def bucketize(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], "bucket": pd.Series([], dtype="int64")})
+                continue
+            signs = (mat @ planes.T) > 0
+            bucket = (signs.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket})
+
+    slim = vectors.select(id_col, vec_col)
+    id_type = slim.schema[id_col].dataType
+    return slim.mapInPandas(
+        bucketize, schema="%s %s, bucket long" % (id_col, id_type.simpleString())
+    )
+
+
+def lsh_bucket_ids_multi(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int,
+    seed: int,
+    n_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SLIM multi-table bucket assignment: (id, buckets array) only —
+    the with_lsh_buckets math without the payload crossing back."""
+    tables = np.stack(
+        [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )
+    flat = tables.reshape(n_tables * n_planes, dim)
+
+    def bucketize(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], "buckets": pd.Series([], dtype="object")})
+                continue
+            signs = (mat @ flat.T > 0).reshape(len(mat), n_tables, n_planes)
+            b = (signs.astype(np.int64) << np.arange(n_planes)).sum(axis=2)
+            yield pd.DataFrame({id_col: pdf[id_col], "buckets": list(b)})
+
+    slim = vectors.select(id_col, vec_col)
+    id_type = slim.schema[id_col].dataType
+    return slim.mapInPandas(
+        bucketize,
+        schema="%s %s, buckets array<long>" % (id_col, id_type.simpleString()),
+    )
 
 
 def with_lsh_bucket(
@@ -291,7 +363,13 @@ def ann_lsh_topk(
     """ANN: only vectors sharing the query's bucket in ≥1 of n_tables
     LSH tables are reranked exactly. Recall is tuned by (n_planes down,
     n_tables up); measured against brute force in pytest
-    (tests/test_lsh_recall.py)."""
+    (tests/test_lsh_recall.py).
+
+    Boundary discipline: the Arrow stage emits only (id, buckets); the
+    bucket filter reduces to a small candidate id set, and the rerank
+    attaches embeddings JVM-side with a broadcast semi-join — the
+    payload never crosses the Python boundary outbound, and only
+    candidate vectors are ever scored."""
     q = np.asarray(query_vec, dtype=np.float64)
     q_buckets = []
     for t in range(n_tables):
@@ -299,12 +377,15 @@ def ann_lsh_topk(
         q_buckets.append(
             int(((q @ planes.T > 0).astype(np.int64) << np.arange(n_planes)).sum())
         )
-    bucketed = with_lsh_buckets(vectors, dim, n_planes, seed, n_tables, vec_col)
+    ids = lsh_bucket_ids_multi(
+        vectors, dim, n_planes, seed, n_tables, id_col=id_col, vec_col=vec_col
+    )
     cond = None
     for t, qb in enumerate(q_buckets):
         c = F.element_at(F.col("buckets"), t + 1) == qb
         cond = c if cond is None else (cond | c)
-    cands = bucketed.filter(cond).drop("buckets")
+    cand_ids = ids.filter(cond).select(id_col)
+    cands = vectors.join(F.broadcast(cand_ids), id_col, "left_semi")
     return brute_force_topk(cands, query_vec, id_col, vec_col, k)
 
 
@@ -403,6 +484,147 @@ def with_ivf_cluster(
     return vectors.mapInPandas(assign, schema=fields + ", cluster long")
 
 
+def ivf_cluster_ids(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SLIM nearest-centroid assignment: (id, cluster) only. The Arrow
+    boundary reads the minimal (id, vector) projection and emits no
+    vector back; the index builder re-attaches the payload JVM-side.
+    The row vector is NOT normalized before the argmax — cosine argmax
+    is invariant to the (positive) row norm, which both cuts flops and
+    makes the assignment exactly `argmax_c v·ĉ_c`, the form the DuckDB
+    oracle replays over literal centroids."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "cluster": pd.Series([], dtype="int64")}
+                )
+                continue
+            cluster = (mat @ cn.T).argmax(axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "cluster": cluster})
+
+    slim = vectors.select(id_col, vec_col)
+    id_type = slim.schema[id_col].dataType
+    return slim.mapInPandas(
+        assign, schema="%s %s, cluster long" % (id_col, id_type.simpleString())
+    )
+
+
+class IvfIndex:
+    """A MATERIALIZED IVF layout: data parquet partitioned by cluster
+    (+ stored int8 codes) and a meta.json carrying the centroids and
+    quantization scale — the corpus statistics a query needs without
+    touching the data.
+
+    This is the fix for the round-2 scale finding: the query path used
+    to re-assign the WHOLE corpus per query (a full mapInPandas matmul)
+    and then filter to the probed clusters. Now assignment happens ONCE
+    at build time; a query is a partition-pruned scan of n_probe
+    cluster directories + exact rerank — no Python stage at query time
+    (plan-pinned). On a cluster the layout is an Iceberg table
+    partitioned by `cluster` and meta.json is table properties."""
+
+    def __init__(self, root: str):
+        import json
+        import os
+
+        self.root = root
+        with open(os.path.join(root, "meta.json")) as f:
+            meta = json.load(f)
+        self.centroids = np.array(meta["centroids"], dtype=np.float64)
+        self.scale = float(meta["scale"])
+        self.id_col = meta["id_col"]
+        self.vec_col = meta["vec_col"]
+
+    @property
+    def data_path(self) -> str:
+        import os
+
+        return os.path.join(self.root, "data")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.data_path)
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float | None = None,
+) -> IvfIndex:
+    """Build the stored IVF layout: one slim assignment pass (the only
+    Python stage in the index lifecycle), JVM-side payload re-attach,
+    int8 codes as a Catalyst projection, partitioned write, then an
+    atomic meta.json publication (SnapshotStore's rename pattern)."""
+    import json
+    import os
+
+    slim = vectors.select(id_col, vec_col)
+    ids = ivf_cluster_ids(slim, centroids, id_col=id_col, vec_col=vec_col)
+    if scale is None:
+        scale = quantization_scale(slim, vec_col)
+    data = (
+        slim.join(ids, id_col)
+        .withColumn("code", quantize_vector(F.col(vec_col), scale))
+    )
+    data.write.partitionBy("cluster").mode("overwrite").parquet(
+        os.path.join(root, "data")
+    )
+    meta = {
+        "centroids": [[float(x) for x in row] for row in centroids],
+        "scale": float(scale),
+        "dim": int(centroids.shape[1]),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    tmp = os.path.join(root, ".meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, "meta.json"))
+    return IvfIndex(root)
+
+
+def ivf_probe_clusters(
+    centroids: np.ndarray, query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The n_probe clusters nearest the query (cosine) — a driver-side
+    computation over the index's stored centroid statistics."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    return [int(c) for c in np.argsort(-(cn @ qn))[:n_probe]]
+
+
+def ann_ivf_index_topk(
+    spark: SparkSession,
+    index: IvfIndex,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Query the stored IVF layout: partition-pruned scan of the probed
+    cluster directories + exact cosine rerank. No Python stage, no
+    full-corpus touch — the scan reads n_probe/n_clusters of the data
+    (Iceberg partition pruning at scale; parquet directory pruning
+    here, pinned by an inputFiles test)."""
+    probe = ivf_probe_clusters(index.centroids, query_vec, n_probe)
+    cands = index.read(spark).filter(F.col("cluster").isin(probe))
+    return brute_force_topk(cands, query_vec, index.id_col, index.vec_col, k)
+
+
 def ann_ivf_topk(
     vectors: DataFrame,
     query_vec: list[float],
@@ -412,31 +634,104 @@ def ann_ivf_topk(
     k: int = 10,
     n_probe: int = 2,
 ) -> DataFrame:
-    """IVF probe: rerank only the n_probe clusters nearest the query.
-    Stored IVF tables partition by cluster so the probe prunes
-    partitions (Iceberg partition pruning at scale); here the filter
-    prunes after assignment. Recall pytest-verified vs brute force."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    cn = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
-    )
-    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
+    """Index-FREE IVF probe (assignment inline): the one-shot
+    formulation for ad-hoc exploration where no stored layout exists.
+    Production queries go through build_ivf_index + ann_ivf_index_topk
+    — this inline form re-assigns the corpus per call and exists as the
+    semantic reference the index path is pinned against in pytest."""
+    probe = ivf_probe_clusters(centroids, query_vec, n_probe)
     clustered = with_ivf_cluster(vectors, centroids, vec_col)
-    cands = clustered.filter(F.col("cluster").isin([int(p) for p in probe]))
+    cands = clustered.filter(F.col("cluster").isin(probe))
     return brute_force_topk(cands, query_vec, id_col, vec_col, k)
 
 
-@register("ann_ivf_probe")  # non-SQL: algorithmic; pytest-verified recall
-def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    sample = np.array(
-        [r["embedding"] for r in emb.limit(256).collect()], dtype=np.float64
+# Registered-query index parameters: centroids are SEEDED RANDOM
+# directions, not k-means-trained — the correctness surface needs a
+# deterministic, literal-embeddable partition of the space (the same
+# trick as the LSH plane oracles); centroid QUALITY only moves recall,
+# which the k-means path covers in pytest (test_ann_ivf.py).
+_IVF_DIM = 64
+_IVF_CLUSTERS = 8
+_IVF_SEED = 7
+_IVF_PROBE = 3
+
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> IvfIndex:
+    """Build (once per process per sf_dir) the materialized index the
+    registered queries scan. The driver contract is stateless, so the
+    build rides the first query call; a real deployment builds the
+    index as its own job and queries it forever."""
+    import os
+    import tempfile
+
+    root = _IVF_INDEX_CACHE.get(sf_dir)
+    if root is None or not os.path.isfile(os.path.join(root, "meta.json")):
+        root = tempfile.mkdtemp(prefix="readur_ivf_")
+        emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cents = random_hyperplanes(_IVF_DIM, _IVF_CLUSTERS, _IVF_SEED)
+        build_ivf_index(emb, cents, root)
+        _IVF_INDEX_CACHE[sf_dir] = root
+    return IvfIndex(root)
+
+
+def _ivf_probe_oracle() -> str:
+    """DuckDB replay of the materialized-IVF probe over LITERAL
+    centroids: per-vector cluster = argmax of the centroid dots (first
+    max, like numpy argmax via list_position), probed set = clusters
+    whose query-dot clears the n_probe-th largest, then exact cosine
+    top-10 inside the probed slice."""
+    cents = random_hyperplanes(_IVF_DIM, _IVF_CLUSTERS, _IVF_SEED)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def dots(expr: str) -> str:
+        terms = []
+        for row in cn:
+            lits = "[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+            terms.append("list_dot_product(%s, %s)" % (expr, lits))
+        return "[" + ", ".join(terms) + "]"
+
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), qd AS (
+      SELECT qv, {dots("qv")} AS qds FROM q
+    ), probe AS (
+      SELECT qv, qds, list_sort(qds, 'DESC')[{_IVF_PROBE}] AS cut FROM qd
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0
+    ), ed AS (
+      SELECT vec_id, v, {dots("v")} AS ds FROM e
+    ), ec AS (
+      SELECT vec_id, v, list_position(ds, list_max(ds)) AS cl1 FROM ed
     )
-    cents = kmeans_centroids(sample, n_clusters=8)
+    SELECT ec.vec_id, round(list_cosine_similarity(ec.v, probe.qv), 3) AS sim
+    FROM ec, probe
+    WHERE probe.qds[ec.cl1] >= probe.cut
+    ORDER BY round(list_cosine_similarity(ec.v, probe.qv), 3) DESC, ec.vec_id
+    LIMIT 10
+    """
+
+
+@register("ann_ivf_probe", oracle=_ivf_probe_oracle())
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF query against the MATERIALIZED index (build amortized across
+    calls): partition-pruned scan of the probed clusters + exact
+    rerank. Oracle replays cluster assignment and probing from the same
+    literal centroid matrix, so the bucketed-candidate semantics are
+    value-hash-checked — upgraded from rows-only in round 2."""
+    index = _ivf_index_for(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in qrow["embedding"]]
-    return ann_ivf_topk(emb.filter("vec_id != 0"), qv, cents, n_probe=3)
+    probe = ivf_probe_clusters(index.centroids, qv, _IVF_PROBE)
+    cands = (
+        index.read(spark)
+        .filter(F.col("cluster").isin(probe))
+        .filter(F.col("vec_id") != 0)
+    )
+    return brute_force_topk(cands, qv, index.id_col, index.vec_col, 10)
 
 
 # ---------------------------------------------------------------------------
@@ -506,14 +801,35 @@ def ann_quantized_topk(
 
     if scale is None:
         scale = quantization_scale(vectors, vec_col)
-    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-    q_query = [int(round(x / qn / scale * 127.0)) for x in query_vec]
-    qq = F.array(*[F.lit(int(x)) for x in q_query])
     codes = vectors.select(
         F.col(id_col),
         F.col(vec_col),
         quantize_vector(F.col(vec_col), scale).alias("code"),
     )
+    return _quantized_rank_rerank(
+        codes, query_vec, scale,
+        id_col=id_col, vec_col=vec_col, k=k, rerank_factor=rerank_factor,
+    )
+
+
+def _quantized_rank_rerank(
+    codes: DataFrame,
+    query_vec: list[float],
+    scale: float,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    rerank_factor: int,
+) -> DataFrame:
+    """The shared two-stage ranking over a frame that already carries
+    int8 `code`s (computed inline, or read back from a stored IVF
+    layout): integer dot-product candidate scan → exact cosine rerank."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q_query = [int(round(x / qn / scale * 127.0)) for x in query_vec]
+    qq = F.array(*[F.lit(int(x)) for x in q_query])
     int_dot = F.aggregate(
         F.zip_with(F.col("code"), qq, lambda a, b: (a * b).cast("long")),
         F.lit(0).cast("long"),
@@ -562,29 +878,54 @@ def ann_ivf_quantized_topk(
     candidates inside the probed slice, exact cosine reranks the final
     k. At 10^9+ vectors the scan touches n_probe/n_clusters of the
     corpus at 1/8th the bytes — the two prunings multiply."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    cn = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
-    )
-    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
+    probe = ivf_probe_clusters(centroids, query_vec, n_probe)
     clustered = with_ivf_cluster(vectors, centroids, vec_col)
-    cands = clustered.filter(F.col("cluster").isin([int(p) for p in probe]))
+    cands = clustered.filter(F.col("cluster").isin(probe))
     return ann_quantized_topk(
         cands, query_vec, id_col=id_col, vec_col=vec_col, k=k,
         rerank_factor=rerank_factor, scale=scale,
     )
 
 
-@register("ann_ivf_quantized")  # non-SQL: algorithmic; pytest-verified recall
-def ann_ivf_quantized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    sample = np.array(
-        [r["embedding"] for r in emb.limit(256).collect()], dtype=np.float64
+def ann_ivf_index_quantized_topk(
+    spark: SparkSession,
+    index: IvfIndex,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """The production IVF-PQ-shaped query over the MATERIALIZED layout:
+    partition-pruned scan of probed clusters reading the STORED int8
+    codes (no re-quantization pass), integer candidate ranking, exact
+    rerank of the final slice. Scan bytes: n_probe/n_clusters of the
+    corpus at 1/8th width — both prunings multiply, and no Python stage
+    exists at query time."""
+    probe = ivf_probe_clusters(index.centroids, query_vec, n_probe)
+    cands = index.read(spark).filter(F.col("cluster").isin(probe))
+    return _quantized_rank_rerank(
+        cands, query_vec, index.scale,
+        id_col=index.id_col, vec_col=index.vec_col,
+        k=k, rerank_factor=rerank_factor,
     )
-    cents = kmeans_centroids(sample, n_clusters=8)
+
+
+@register("ann_ivf_quantized")  # non-SQL: int8 rounding is not portably
+def ann_ivf_quantized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×int8 against the materialized index (stored codes; rows-only
+    driver check — float→int8 rounding isn't portably SQL-expressible;
+    recall + full-probe≡brute-force pinned in pytest)."""
+    index = _ivf_index_for(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in qrow["embedding"]]
-    return ann_ivf_quantized_topk(
-        emb.filter("vec_id != 0"), qv, cents, n_probe=3
+    probe = ivf_probe_clusters(index.centroids, qv, _IVF_PROBE)
+    cands = (
+        index.read(spark)
+        .filter(F.col("cluster").isin(probe))
+        .filter(F.col("vec_id") != 0)
+    )
+    return _quantized_rank_rerank(
+        cands, qv, index.scale,
+        id_col=index.id_col, vec_col=index.vec_col, k=10, rerank_factor=4,
     )

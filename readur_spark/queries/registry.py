@@ -71,10 +71,12 @@ _PRIORITY: list[str] = [
     "search_filename",
     "search_snippets_first",
     "search_tfidf_postings",
-    # ANN (oracle-bearing paths)
+    # ANN (oracle-bearing paths; ann_ivf_probe queries the materialized
+    # cluster-partitioned index — new oracle in round 3)
     "ann_cosine_topk",
     "ann_multi_query_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_probe",
     # facets / analytics
     "facet_source_counts",
     "facet_token_explode",
@@ -84,7 +86,6 @@ _PRIORITY: list[str] = [
     # ops / consistency
     "requeue_antijoin",
     "consistency_orphan_events",
-    "bulk_delete_accounting",
     # streaming batch-twins
     "windowed_event_counts",
     "sessionize_events",

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from readur_spark.ml.similarity import (
@@ -170,3 +171,158 @@ def test_hash_split_adds_only_split_column(spark):
     df = spark.createDataFrame([Row(url="u%d" % i) for i in range(10)])
     out = with_hash_split(df, "url")
     assert out.columns == ["url", "split"]
+
+
+class TestIvfIndexMaterialized:
+    """Round-3 fix: the registered IVF query path scans a STORED
+    cluster-partitioned layout instead of re-assigning the whole corpus
+    per query. Pins: result parity with the inline formulation, no
+    Python stage at query time, and genuine directory pruning."""
+
+    @pytest.fixture(scope="class")
+    def index(self, spark, sf_dir, tmp_path_factory):
+        from readur_spark.ml.similarity import (
+            build_ivf_index,
+            random_hyperplanes,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        cents = random_hyperplanes(64, 8, seed=7)
+        root = str(tmp_path_factory.mktemp("ivf_index"))
+        return build_ivf_index(emb, cents, root)
+
+    @pytest.fixture(scope="class")
+    def query_vec(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        row = emb.filter("vec_id = 0").select("embedding").first()
+        return [float(x) for x in row["embedding"]]
+
+    def test_index_path_matches_inline(self, spark, sf_dir, index, query_vec):
+        from readur_spark.ml.similarity import (
+            ann_ivf_index_topk,
+            ann_ivf_topk,
+            random_hyperplanes,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        cents = random_hyperplanes(64, 8, seed=7)
+        inline = [tuple(r) for r in ann_ivf_topk(emb, query_vec, cents, n_probe=3).collect()]
+        stored = [
+            tuple(r)
+            for r in ann_ivf_index_topk(spark, index, query_vec, n_probe=3).collect()
+        ]
+        assert stored == inline
+
+    def test_query_plan_has_no_python_stage(self, spark, index, query_vec):
+        from readur_spark.ml.similarity import ann_ivf_index_topk
+
+        df = ann_ivf_index_topk(spark, index, query_vec, n_probe=3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "ArrowEval" not in plan, plan[:800]
+        assert "MapInPandas" not in plan
+
+    def test_query_scan_prunes_to_probed_dirs(self, spark, index, query_vec):
+        """The cluster predicate must land in the scan's
+        PartitionFilters (directory pruning — Iceberg partition pruning
+        at scale), and the pruned scan must read exactly the probed
+        directories' contents."""
+        from readur_spark.ml.similarity import ivf_probe_clusters
+
+        probe = ivf_probe_clusters(index.centroids, query_vec, 3)
+        cands = index.read(spark).filter(F.col("cluster").isin(probe))
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf_lines and any("cluster" in l for l in pf_lines), plan[:800]
+
+        # semantic twin: the filtered scan equals a direct read of only
+        # the probed directories
+        direct = spark.read.parquet(
+            *[f"{index.data_path}/cluster={c}" for c in probe]
+        )
+        assert cands.count() == direct.count() > 0
+
+    def test_quantized_index_full_probe_huge_rerank_is_exact(
+        self, spark, sf_dir, index, query_vec
+    ):
+        from readur_spark.ml.similarity import (
+            ann_ivf_index_quantized_topk,
+            brute_force_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        exact = [tuple(r) for r in brute_force_topk(emb, query_vec).collect()]
+        stored = [
+            tuple(r)
+            for r in ann_ivf_index_quantized_topk(
+                spark, index, query_vec, n_probe=8, rerank_factor=1000
+            ).collect()
+        ]
+        assert stored == exact
+
+    def test_slim_assignment_matches_with_ivf_cluster(self, spark, sf_dir):
+        from readur_spark.ml.similarity import (
+            ivf_cluster_ids,
+            random_hyperplanes,
+            with_ivf_cluster,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        ).limit(200)
+        cents = random_hyperplanes(64, 8, seed=7)
+        slim = {r["vec_id"]: r["cluster"] for r in ivf_cluster_ids(emb, cents).collect()}
+        full = {r["vec_id"]: r["cluster"] for r in with_ivf_cluster(emb, cents).collect()}
+        assert slim == full
+
+
+class TestSlimLshBoundary:
+    """Round-3 fix: LSH bucket assignment crosses the Python boundary
+    as (id, bucket) only; embeddings attach JVM-side."""
+
+    def test_slim_buckets_match_full(self, spark, sf_dir):
+        from readur_spark.ml.similarity import lsh_bucket_ids, with_lsh_bucket
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        ).limit(200)
+        slim = {r["vec_id"]: r["bucket"] for r in lsh_bucket_ids(emb, 64, 6, 42).collect()}
+        full = {r["vec_id"]: r["bucket"] for r in with_lsh_bucket(emb, 64, 6, 42).collect()}
+        assert slim == full
+
+    def test_slim_multi_matches_full(self, spark, sf_dir):
+        from readur_spark.ml.similarity import (
+            lsh_bucket_ids_multi,
+            with_lsh_buckets,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        ).limit(100)
+        slim = {
+            r["vec_id"]: list(r["buckets"])
+            for r in lsh_bucket_ids_multi(emb, 64, 6, 42, 3).collect()
+        }
+        full = {
+            r["vec_id"]: list(r["buckets"])
+            for r in with_lsh_buckets(emb, 64, 6, 42, 3).collect()
+        }
+        assert slim == full
+
+    def test_neardup_python_stage_emits_no_embedding(self, spark, sf_dir):
+        """Every MapInPandas node in the near-dup plan outputs only
+        (vec_id, bucket) — the payload never crosses outbound."""
+        from readur_spark.ml.similarity import embedding_neardup_pairs
+
+        df = embedding_neardup_pairs(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = [l for l in plan.splitlines() if "MapInPandas" in l]
+        assert lines, "expected a MapInPandas assignment stage"
+        for l in lines:
+            out = l.rsplit("[", 1)[-1]
+            assert "embedding" not in out, l
