@@ -60,13 +60,13 @@ _PRIORITY: list[str] = [
     "qc_langid_english",
     "qc_repetition",
     "qc_fingerprint",
-    "qc_script_detect",
     "qc_length_percentiles",
     # search
     "search_simple_and",
     "search_phrase",
     "search_boolean",
     "search_rank_tf",
+    "search_rank_tsrank",
     "search_fuzzy_trigram",
     "search_filename",
     "search_snippets_first",

@@ -90,6 +90,120 @@ def search_rank_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tf.alias("rank_tf")).filter(F.col("rank_tf") > 0)
 
 
+_TSRANK_AND_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE list_contains(string_split(text, ' '), 'spark')
+        AND list_contains(string_split(text, ' '), 'join')
+    ), pos AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS p
+      FROM toks
+    ), clamped AS (
+      SELECT DISTINCT doc_id, tok, least(p, 16383) AS p
+      FROM pos WHERE tok IN ('spark', 'join')
+    ), capped AS (
+      SELECT doc_id, tok, p FROM (
+        SELECT doc_id, tok, p,
+               row_number() OVER (PARTITION BY doc_id, tok ORDER BY p) AS rn
+        FROM clamped
+      ) WHERE rn <= 256
+    ), pairs AS (
+      SELECT a.doc_id, abs(a.p - b.p) AS dist
+      FROM capped a JOIN capped b
+        ON a.doc_id = b.doc_id AND a.tok = 'spark' AND b.tok = 'join'
+    ), curw AS (
+      SELECT doc_id,
+             0.1 * sqrt(CASE WHEN dist > 100 THEN 1e-30
+                        ELSE 1.0 / (1.005 + 0.05 * exp(dist * dist / 1500.0))
+                        END) AS w
+      FROM pairs
+    )
+    SELECT doc_id, round(1.0 - product(1.0 - w), 6) AS rank_ts
+    FROM curw GROUP BY doc_id
+"""
+
+
+@register("search_rank_tsrank", oracle=_TSRANK_AND_ORACLE)
+def search_rank_tsrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 with REAL ts_rank semantics (tsrank.c calc_rank_and — see
+    kernels/tsrank.py): the reference's default Simple-mode ranking,
+    ts_rank(tsvector, plainto_tsquery('spark join')), for documents
+    matching both terms. The oracle replays the full algorithm in SQL:
+    tsvector position rules (clamp 16383, dedup, cap 256), the
+    word_distance proximity kernel over all cross-term position pairs,
+    and the 1−Π(1−curw) OR-combination. search_rank_tf remains the
+    documented cheap approximation."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    matched = docs.filter(
+        match_all_terms(F.col("text"), ["spark", "join"])
+    ).select("doc_id", "text")
+
+    def rank(batches):
+        from readur_spark.kernels.tsrank import ts_rank_simple
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "rank_ts": [
+                        round(ts_rank_simple(t, ["spark", "join"]), 6)
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return matched.mapInPandas(rank, schema="doc_id long, rank_ts double")
+
+
+_TSRANK_OR_ORACLE = """
+    WITH m AS (
+      SELECT doc_id,
+             least(len(list_filter(string_split(text, ' '),
+                                   x -> x = 'spark')), 256) AS n
+      FROM documents
+      WHERE list_contains(string_split(text, ' '), 'spark')
+    ), h AS (
+      SELECT doc_id, sum(1.0 / (j * j)) AS h2
+      FROM (SELECT doc_id, unnest(range(1, n + 1)) AS j FROM m)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, round(0.1 * h2 / 1.64493406685, 6) AS rank_ts
+    FROM h
+"""
+
+
+@register("search_rank_tsrank_single", oracle=_TSRANK_OR_ORACLE)
+def search_rank_tsrank_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-term ts_rank (tsrank.c calc_rank_or): occurrences decay
+    quadratically — the closed form 0.1·Σ_{j≤n} j⁻² / (π²/6), n capped
+    at the tsvector position limit. Distinguishes documents the raw-tf
+    rank treats monotonically but with ts_rank's saturation curve."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    matched = docs.filter(
+        match_all_terms(F.col("text"), ["spark"])
+    ).select("doc_id", "text")
+
+    def rank(batches):
+        from readur_spark.kernels.tsrank import ts_rank_simple
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "rank_ts": [
+                        round(ts_rank_simple(t, ["spark"]), 6)
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return matched.mapInPandas(rank, schema="doc_id long, rank_ts double")
+
+
 # ---- B6: fuzzy trigram similarity ------------------------------------------
 
 
