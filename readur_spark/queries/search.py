@@ -207,11 +207,33 @@ def search_rank_tsrank_single(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- B6: fuzzy trigram similarity ------------------------------------------
 
 
-def trigram_set(col: Column) -> Column:
-    """Distinct character trigrams of a string, as a Catalyst
-    expression (no UDF): substring windows over 1..len-2."""
-    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - 2, F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(3))))
+def trigram_set(col: Column, padded: bool = True) -> Column:
+    """Distinct character trigrams of a string as a Catalyst expression
+    (no UDF).
+
+    padded=True (default) is pg_trgm parity (contrib/pg_trgm
+    trgm_op.c): the string lowercases and splits into alphanumeric
+    words; each word pads with TWO leading and ONE trailing space, so a
+    word of length n yields n+1 trigrams ('  w', ' wo', ..., 'rd ') and
+    similarity VALUES — and 0.3-threshold crossings — match what
+    Postgres computes. padded=False keeps the round-2 raw sliding
+    window (substring windows over 1..len-2) for callers that want
+    plain character shingles."""
+    if not padded:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(col) - 2, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: col.substr(i, F.lit(3)))
+        )
+    words = F.filter(
+        F.split(F.lower(col), r"[^a-z0-9]+"), lambda w: w != F.lit("")
+    )
+
+    def word_trigrams(w):
+        padded_w = F.concat(F.lit("  "), w, F.lit(" "))
+        idx = F.sequence(F.lit(1), F.length(w) + 1)
+        return F.transform(idx, lambda i: padded_w.substr(i, F.lit(3)))
+
+    return F.array_distinct(F.flatten(F.transform(words, word_trigrams)))
 
 
 def fuzzy_match(
@@ -243,8 +265,9 @@ def fuzzy_match(
 def trigram_similarity(a: Column, b: Column) -> Column:
     """pg_trgm formula |∩| / |∪| over trigram sets
     (src/db/documents/search.rs:85-89; threshold 0.3 at :123-127).
-    Note: unpadded trigrams (pg_trgm pads with 2 leading + 1 trailing
-    space) — documented deviation, pinned by tests."""
+    With the padded default of trigram_set this now reproduces
+    pg_trgm's similarity() VALUES (round-2's unpadded deviation is
+    retired; the raw window remains via trigram_set(col, padded=False))."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -255,10 +278,11 @@ def trigram_similarity(a: Column, b: Column) -> Column:
     oracle="""
     WITH trg AS (
       SELECT doc_id,
-             list_distinct([source[i:i+2] FOR i IN range(1, greatest(len(source)-2,0)+1)]) AS tg
+             list_distinct([('  ' || lower(source) || ' ')[i:i+2]
+                            FOR i IN range(1, len(source) + 2)]) AS tg
       FROM documents
     ), q AS (
-      SELECT list_distinct(['src1'[i:i+2] FOR i IN range(1, 3)]) AS qt
+      SELECT list_distinct([('  src1 ')[i:i+2] FOR i IN range(1, 6)]) AS qt
     )
     SELECT doc_id,
            round(CAST(len(list_intersect(tg, qt)) AS DOUBLE) /
@@ -272,11 +296,13 @@ def search_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy match of the query 'src1' against the short `source`
     strings — the reference applies pg_trgm similarity to filename-
     length fields (src/db/documents/search.rs:85-89, threshold 0.3 at
-    :123-127), where trigram Jaccard is actually discriminative.
-    (Against multi-KB document trigram sets a 3-char query can never
-    clear 0.3, which made the earlier form a vacuous zero-row check.)
-    Result grades: exact source 1.0, prefix matches 0.667, sibling
-    sources 0.333."""
+    :123-127). PADDED trigrams as of round 3 (pg_trgm's 2-leading/
+    1-trailing space rule), so similarity VALUES match what Postgres
+    computes: exact source 1.0, same-prefix siblings graded by shared
+    padded trigrams. The oracle re-derives the padded sets (sources are
+    single alphanumeric words, so the word split reduces to the bare
+    string there; multi-word padding is pinned against pg_trgm's
+    documented similarity('word','two words')=0.363636 in pytest)."""
     docs = load(spark, sf_dir, "documents")
     doc_tg = trigram_set(F.col("source"))
     q_tg = trigram_set(F.lit("src1"))
