@@ -180,13 +180,20 @@ def orientation_correction(img: np.ndarray) -> tuple[np.ndarray, bool]:
     return img, False
 
 
-def smart_resize(img: np.ndarray) -> tuple[np.ndarray, bool]:
+def smart_resize(
+    img: np.ndarray, target_dpi: int = 300
+) -> tuple[np.ndarray, bool]:
     """enhanced.rs:354-386 — >2048 max-dim downscale to 2048;
-    min-dim <300 upscale so min-dim = 600. (Reference uses Lanczos3;
-    we use NumPy nearest-index sampling — the OCR branch consuming the
-    pixels is capability-gated, so resized pixels never feed the
-    byte-identical contract. The *decision* thresholds are what's
-    golden.)"""
+    min-dim <300 upscale so min-dim = 600. `target_dpi` is the
+    settings' ocr_dpi knob, accepted and IGNORED exactly as the
+    reference does (the parameter is `_target_dpi` at enhanced.rs:353;
+    the resize rules are the fixed thresholds regardless) — the knob is
+    read at the call site (enhanced.rs:138 parity) so the settings
+    surface matches, but it cannot change output bytes. (Reference uses
+    Lanczos3; we use NumPy nearest-index sampling — the OCR branch
+    consuming the pixels is capability-gated, so resized pixels never
+    feed the byte-identical contract. The *decision* thresholds are
+    what's golden.)"""
     h, w = img.shape
     scale = None
     if max(w, h) > 2048:
@@ -406,6 +413,7 @@ def adaptive_contrast_enhancement(
     path, 'Basic contrast enhancement' for the fallback."""
     h, w = img.shape
     if h * w > ADAPTIVE_THRESHOLD_MAX_PIXELS:
+        _log_histogram_eq_mode(settings)
         out = histogram_equalization(img)
         if quality["contrast"] < 0.3:
             out = contrast_stretching(out)
@@ -423,10 +431,29 @@ def adaptive_contrast_enhancement(
     try:
         return adaptive_threshold(img, size), "Contrast enhancement"
     except Exception:
+        _log_histogram_eq_mode(settings)
         out = histogram_equalization(img)
         if quality["contrast"] < 0.3:
             out = contrast_stretching(out)
         return out, "Basic contrast enhancement"
+
+
+def _log_histogram_eq_mode(settings: dict) -> None:
+    """The reference's ONLY read of the ocr_histogram_equalization knob
+    (enhanced.rs:684-688): it never forces or suppresses the EQ
+    fallback — the fallback triggers on size/panic either way — it only
+    distinguishes 'user enabled' from 'fallback' in the log line.
+    Mirrored exactly."""
+    import logging
+
+    mode = (
+        "user enabled"
+        if settings.get("ocr_histogram_equalization")
+        else "fallback"
+    )
+    logging.getLogger(__name__).info(
+        "Applying histogram equalization for contrast enhancement (%s)", mode
+    )
 
 
 # --- A29: morphological open + close ---------------------------------------
@@ -492,7 +519,9 @@ def preprocess_image(
         img, rotated = orientation_correction(img)
         if rotated:
             steps.append("Orientation correction")
-    img, resized = smart_resize(img)
+    img, resized = smart_resize(
+        img, target_dpi=settings.get("ocr_dpi", 300)  # enhanced.rs:138
+    )
     if resized:
         steps.append("Smart resize")
     if settings.get("enable_image_preprocessing"):

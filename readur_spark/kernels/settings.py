@@ -5,9 +5,27 @@ reference. In the Spark engine this dict is broadcast to executors and
 closed over by the pandas UDFs (the reference's "UDF surface" is
 exactly this parameterization — SURVEY.md §2 end note).
 
-Only knobs that affect extraction *output bytes* are kept; server-ops
+Only knobs the reference ENGINE actually reads are kept; server-ops
 knobs (webdav, retention, concurrency) live elsewhere or are replaced
-by Spark-level configuration.
+by Spark-level configuration, and three knobs the reference merely
+stores/roundtrips without ever reading are deliberately DROPPED rather
+than carried as dead surface (each verified by grep of the reference's
+src/ outside the models/db/routes settings plumbing):
+
+  - auto_detect_language_combination (settings.rs:310): defined,
+    persisted (db/settings.rs:29), never read by any extraction path —
+    language combinations come from preferred_languages
+    (enhanced.rs:246-271, mirrored in kernels/ocr_config.py).
+  - auto_rotate_images (settings.rs:323): defined/persisted; rotation
+    is gated by ocr_detect_orientation (enhanced.rs:133-135), which
+    preprocess_image honors.
+  - ocr_upscale_factor (settings.rs:350): defined/persisted; upscaling
+    is the fixed min-dim<300 → 600 rule (enhanced.rs:368-374).
+
+(ocr_dpi and ocr_histogram_equalization ARE read by the reference —
+enhanced.rs:138 and :684 — and are wired below with the reference's
+exact semantics: read-and-ignored resize hint, log-message-only EQ
+mode.)
 """
 
 from __future__ import annotations
@@ -17,11 +35,6 @@ DEFAULT_SETTINGS: dict = {
     "ocr_language": "eng",
     "preferred_languages": ["eng"],
     "primary_language": "eng",
-    # REFERENCE-DEAD KNOB: stored/roundtripped by the settings API but
-    # never read by the reference engine (grep of src/ finds no use
-    # outside models/db/routes settings surfaces). Kept for settings-
-    # object parity; deliberately unread here too.
-    "auto_detect_language_combination": False,
     # src/models/settings.rs:313 + src/config.rs:323; the upload gate
     # (routes/documents/crud.rs:167). Read by kernels.text.
     # read_plain_text (A8 size gate).
@@ -33,11 +46,7 @@ DEFAULT_SETTINGS: dict = {
     # filter_allowed_pages (A7 ingest gate) and kernels.mime.
     # is_allowed_file_type.
     "allowed_file_types": ["pdf", "png", "jpg", "jpeg", "tiff", "bmp", "txt", "html"],
-    # src/models/settings.rs:323-324. auto_rotate_images is a
-    # REFERENCE-DEAD KNOB (settings surface only; the ladder's rotation
-    # is gated by ocr_detect_orientation, enhanced.rs:133-135) —
-    # mirrored unread.
-    "auto_rotate_images": True,
+    # src/models/settings.rs:324
     "enable_image_preprocessing": False,
     # src/models/settings.rs:326-328. Read by queries.facets.paginate,
     # kernels.snippets (DEFAULT_SNIPPET_LENGTH), and queries.search.
@@ -50,8 +59,9 @@ DEFAULT_SETTINGS: dict = {
     "ocr_page_segmentation_mode": 3,
     "ocr_engine_mode": 3,
     "ocr_min_confidence": 30.0,
-    # REFERENCE-DEAD KNOB: passed to smart_resize_for_ocr as
-    # `_target_dpi` and ignored (enhanced.rs:138,353) — mirrored unread.
+    # Passed to smart_resize as target_dpi at the preprocess call
+    # (enhanced.rs:138) and ignored inside the resize exactly as the
+    # reference's `_target_dpi` is (enhanced.rs:353) — read-site parity.
     "ocr_dpi": 300,
     "ocr_enhance_contrast": True,
     "ocr_remove_noise": True,
@@ -63,14 +73,10 @@ DEFAULT_SETTINGS: dict = {
     "ocr_morphological_operations": False,
     "ocr_adaptive_threshold_window_size": 15,
     # In the reference this knob only switches a log message — the EQ
-    # fallback itself triggers on size/panic (enhanced.rs:642-645,684-
-    # 688). Mirrored: the A27 path takes the same decisions without
-    # reading it.
+    # fallback itself triggers on size/panic (enhanced.rs:642-645,
+    # 684-688). Mirrored exactly: kernels.image._log_histogram_eq_mode
+    # reads it for the 'user enabled' vs 'fallback' provenance line.
     "ocr_histogram_equalization": False,
-    # REFERENCE-DEAD KNOB (settings surface only; upscaling is the
-    # fixed min-dim<300 → 600 rule, enhanced.rs:368-374) — mirrored
-    # unread.
-    "ocr_upscale_factor": 1.0,
     # Dimension reject-gate before OCR (enhanced_processing.rs:98-104;
     # error string from ocr/error.rs:19). Read by kernels.extract.
     # _extract_image. The reference's EnhancedOcrService defaults to
