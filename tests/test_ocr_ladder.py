@@ -176,3 +176,105 @@ def _defaults() -> dict:
     from readur_spark.kernels.settings import DEFAULT_SETTINGS
 
     return dict(DEFAULT_SETTINGS)
+
+
+class TestArgvGoldens:
+    """Byte-for-byte subprocess contracts (VERDICT r2 item 7): the
+    three ocrmypdf strategy argv lists and the full command lines the
+    real backend would exec, pinned against src/ocr/enhanced.rs:1009-
+    1051 so the contract can't drift while the binary is absent."""
+
+    # enhanced.rs:1011-1021 / :1026-1037 / :1042-1051, argument order
+    # exactly as .arg() chains them
+    GOLDEN = [
+        ("standard",
+         ["--force-ocr", "-O2", "--deskew", "--clean", "--language", "eng"]),
+        ("recovery",
+         ["--force-ocr", "--fix-metadata", "--remove-background", "-O1",
+          "--language", "eng"]),
+        ("minimal", ["--force-ocr", "--skip-big", "--language", "eng"]),
+    ]
+
+    def test_strategy_table_is_byte_identical(self):
+        from readur_spark.kernels.ocr_ladder import OCR_STRATEGIES
+
+        assert OCR_STRATEGIES == self.GOLDEN
+
+    def test_backend_command_lines(self, monkeypatch):
+        """The real backend execs `ocrmypdf <strategy args> <in> <out>`
+        — positional paths LAST, mirroring the .arg(&file_path)
+        .arg(&temp_ocr_path) tail of every strategy."""
+        import subprocess
+
+        from readur_spark.kernels import ocr_ladder as mod
+
+        captured = []
+
+        class P:
+            returncode = 1
+            stderr = b""
+            stdout = b""
+
+        def fake_run(cmd, **kw):
+            captured.append(list(cmd))
+            return P()
+
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        backend = mod.OcrmypdfBackend()
+        for name, args in self.GOLDEN:
+            backend.run(b"%PDF-1.4", args, timeout_s=10)
+        assert len(captured) == 3
+        for (name, args), cmd in zip(self.GOLDEN, captured):
+            assert cmd[0] == "ocrmypdf"
+            assert cmd[1:-2] == args, (name, cmd)
+            assert cmd[-2].endswith("in.pdf") and cmd[-1].endswith("out.pdf")
+
+    def test_ladder_attempts_argv_in_degradation_order(self):
+        """Driving the ladder records the strategies in the reference's
+        order with the exact argv each rung passes the backend."""
+        from readur_spark.kernels.ocr_ladder import pdf_ocr_ladder
+
+        seen = []
+
+        class Recorder:
+            def available(self):
+                return True
+
+            def run(self, pdf, args, timeout_s):
+                from readur_spark.kernels.ocr_ladder import BackendResult
+
+                seen.append(list(args))
+                # fail the first two rungs, succeed on the third
+                ok = len(seen) == 3
+                return BackendResult(
+                    returncode=0 if ok else 1, ocr_pdf=pdf if ok else None
+                )
+
+            def sidecar(self, ocr_pdf, timeout_s):
+                return "text"
+
+        res = pdf_ocr_ladder("u.pdf", b"%PDF", Recorder())
+        assert seen == [args for _, args in self.GOLDEN]
+        assert res.strategies_attempted == ["standard", "recovery", "minimal"]
+
+    def test_tesseract_config_string_golden(self):
+        """A20's invocation config: '--psm {0..13} --oem {0..3}' with
+        PsmAuto/Default fallbacks and primary-first language combo
+        (enhanced.rs:275-318, :246-271)."""
+        from readur_spark.kernels.ocr_config import resolve_tesseract_config
+
+        cfg = resolve_tesseract_config(
+            {
+                "preferred_languages": ["deu", "eng"],
+                "primary_language": "eng",
+                "ocr_page_segmentation_mode": 6,
+                "ocr_engine_mode": 1,
+            }
+        )
+        assert ("--psm %d --oem %d" % (cfg["psm"], cfg["oem"])) == "--psm 6 --oem 1"
+        assert cfg["lang"] == "eng+deu"
+        # fallbacks: out-of-range → PsmAuto(3) / Default(3)
+        cfg = resolve_tesseract_config(
+            {"ocr_page_segmentation_mode": 99, "ocr_engine_mode": -1}
+        )
+        assert ("--psm %d --oem %d" % (cfg["psm"], cfg["oem"])) == "--psm 3 --oem 3"
