@@ -113,3 +113,88 @@ def test_stream_curate_gates_and_appends(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_kill_mid_batch_before_commit_then_resume(spark, tmp_path, monkeypatch):
+    """Streaming kill/resume, crash BEFORE the snapshot commit: the
+    injected fault kills the query mid-batch, the streaming checkpoint
+    never acknowledges the batch, and the restart replays it to exactly
+    one committed snapshot — the streaming twin of the batch
+    kill/resume test in test_checkpoint.py."""
+    from readur_spark.streaming import ingest as ingest_mod
+
+    input_dir = str(tmp_path / "incoming")
+    os.makedirs(input_dir)
+    store = SnapshotStore(str(tmp_path / "extracted"))
+    ckpt = str(tmp_path / "ckpt")
+    corpus = generate_pages(100, seed=11)
+    _write_slice(corpus, 0, 100, os.path.join(input_dir, "a.parquet"))
+
+    real = ingest_mod.extract_corpus
+    calls = {"n": 0}
+
+    def flaky(df, settings=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected mid-batch crash")
+        return real(df, settings)
+
+    monkeypatch.setattr(ingest_mod, "extract_corpus", flaky)
+
+    q = stream_extract(spark, input_dir, store, ckpt, available_now=True)
+    try:
+        q.awaitTermination(300)
+    except Exception:
+        pass  # the injected crash surfaces as StreamingQueryException
+    assert store.is_empty()  # nothing half-committed is visible
+
+    q2 = stream_extract(spark, input_dir, store, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    assert calls["n"] >= 2
+    done = store.read(spark)
+    assert done is not None and done.count() > 0
+    assert done.groupBy("sha256").count().filter("count > 1").count() == 0
+    assert len(store.snapshots()) == 1
+
+
+def test_kill_after_commit_before_ack_skips_on_replay(spark, tmp_path):
+    """Crash AFTER the snapshot commit but BEFORE the streaming
+    checkpoint acknowledges the batch: the replayed batch finds its
+    manifest (commits are keyed by batch id) and skips — exactly one
+    snapshot, no duplicate rows."""
+    input_dir = str(tmp_path / "incoming")
+    os.makedirs(input_dir)
+    ckpt = str(tmp_path / "ckpt")
+    corpus = generate_pages(80, seed=13)
+    _write_slice(corpus, 0, 80, os.path.join(input_dir, "a.parquet"))
+
+    class CrashAfterCommitStore(SnapshotStore):
+        def __init__(self, root):
+            super().__init__(root)
+            self.crashes_left = 1
+
+        def commit(self, df, run_id, meta=None, url_buckets=None):
+            sid = super().commit(df, run_id, meta=meta, url_buckets=url_buckets)
+            if self.crashes_left:
+                self.crashes_left -= 1
+                raise RuntimeError("injected crash after commit")
+            return sid
+
+    store = CrashAfterCommitStore(str(tmp_path / "extracted"))
+    q = stream_extract(spark, input_dir, store, ckpt, available_now=True)
+    try:
+        q.awaitTermination(300)
+    except Exception:
+        pass
+    # the commit itself landed (manifest published before the crash)
+    assert len(store.snapshots()) == 1
+    n1 = store.read(spark).count()
+
+    q2 = stream_extract(spark, input_dir, store, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    assert len(store.snapshots()) == 1  # replay skipped, no second commit
+    assert store.read(spark).count() == n1
+    assert (
+        store.read(spark).groupBy("sha256").count().filter("count > 1").count()
+        == 0
+    )
