@@ -410,15 +410,20 @@ def search_via_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def search_tfidf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AND query ranked by exact fixed-point tf-idf from the
     posting index (rarer terms dominate; value-hash-checked because the
-    weighting is integer math, not libm floats)."""
+    weighting is integer math, not libm floats). N comes from the
+    parquet footer statistic (tables.table_row_count) — no extra
+    full-table job per query."""
     from readur_spark.operators.posting import (
         build_postings,
         search_postings_tfidf,
     )
+    from readur_spark.queries.tables import table_row_count
 
     docs = load(spark, sf_dir, "documents")
     postings = build_postings(docs, "doc_id", "text")
-    return search_postings_tfidf(postings, ["spark", "join"], docs.count())
+    return search_postings_tfidf(
+        postings, ["spark", "join"], table_row_count(sf_dir, "documents")
+    )
 
 
 # ---- B12: search suggestions (driver-side pure function) -------------------
