@@ -180,6 +180,58 @@ def orientation_correction(img: np.ndarray) -> tuple[np.ndarray, bool]:
     return img, False
 
 
+def _lanczos3_kernel(x: np.ndarray) -> np.ndarray:
+    """lanczos(x, 3) = sinc(x)·sinc(x/3) for |x| < 3, else 0 — the
+    `image` crate's FilterType::Lanczos3 kernel (np.sinc is the
+    normalized sin(πx)/(πx))."""
+    out = np.zeros_like(x, dtype=np.float64)
+    m = np.abs(x) < 3.0
+    xm = x[m]
+    out[m] = np.sinc(xm) * np.sinc(xm / 3.0)
+    return out
+
+
+def _lanczos3_axis0(arr: np.ndarray, n_out: int) -> np.ndarray:
+    """One separable resampling pass along axis 0: per output row,
+    windowed-sinc weights over the source support, normalized over the
+    in-bounds window (the image crate's edge handling), accumulated in
+    float. O(n_out · support · width) — the true convolution cost, no
+    dense weight matrix."""
+    n_in = arr.shape[0]
+    if n_in == n_out:
+        return arr.astype(np.float64)
+    ratio = n_in / n_out
+    sratio = max(ratio, 1.0)
+    support = 3.0 * sratio
+    out = np.empty((n_out, arr.shape[1]), dtype=np.float64)
+    centers = ratio * (np.arange(n_out) + 0.5)
+    for o in range(n_out):
+        c = centers[o]
+        lo = max(int(np.floor(c - support)), 0)
+        hi = min(int(np.ceil(c + support)) + 1, n_in)
+        x = (np.arange(lo, hi) + 0.5 - c) / sratio
+        w = _lanczos3_kernel(x)
+        s = w.sum()
+        if s == 0.0:
+            s = 1.0
+        out[o] = (w / s) @ arr[lo:hi]
+    return out
+
+
+def lanczos3_resize(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    """Separable Lanczos3 resampling — the algorithm behind the
+    reference's image::resize calls (enhanced.rs:383 smart resize,
+    file_service.rs:316-339 thumbnails, both FilterType::Lanczos3):
+    vertical then horizontal windowed-sinc passes, float accumulation,
+    clamp + round to u8. Replaces round-2's nearest-index sampling;
+    byte-level parity with the Rust crate is untestable in this
+    container (no image crate to diff against) but the filter, support,
+    normalization, and edge handling follow its documented algorithm."""
+    tmp = _lanczos3_axis0(img.astype(np.float64), nh)
+    out = _lanczos3_axis0(tmp.T, nw).T
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def smart_resize(
     img: np.ndarray, target_dpi: int = 300
 ) -> tuple[np.ndarray, bool]:
@@ -189,11 +241,8 @@ def smart_resize(
     reference does (the parameter is `_target_dpi` at enhanced.rs:353;
     the resize rules are the fixed thresholds regardless) — the knob is
     read at the call site (enhanced.rs:138 parity) so the settings
-    surface matches, but it cannot change output bytes. (Reference uses
-    Lanczos3; we use NumPy nearest-index sampling — the OCR branch
-    consuming the pixels is capability-gated, so resized pixels never
-    feed the byte-identical contract. The *decision* thresholds are
-    what's golden.)"""
+    surface matches, but it cannot change output bytes. Resampling is
+    Lanczos3 (enhanced.rs:383's FilterType::Lanczos3) as of round 3."""
     h, w = img.shape
     scale = None
     if max(w, h) > 2048:
@@ -203,9 +252,7 @@ def smart_resize(
     if scale is None:
         return img, False
     nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-    rows = (np.arange(nh) * (h / nh)).astype(np.int64).clip(0, h - 1)
-    cols = (np.arange(nw) * (w / nw)).astype(np.int64).clip(0, w - 1)
-    return img[rows][:, cols], True
+    return lanczos3_resize(img, nw, nh), True
 
 
 def analyze_image_quality(img: np.ndarray) -> dict:

@@ -13,10 +13,11 @@ Reference semantics (yonasBSD/readur, src/services/file_service.rs):
 
 Engine deviations (documented): output is 8-bit grayscale PNG via the
 engine's own codec (the container has no JPEG encoder; format recorded
-in the output row), resampling is nearest-index (no Lanczos without an
-image library — the *decision* surface: dispatch, fit-box math,
-fallbacks, is what's pinned), and placeholders are deterministic
-label-derived patterns instead of font renders.
+in the output row), and placeholders are deterministic label-derived
+patterns instead of font renders. Resampling is Lanczos3 as of round 3
+(kernels.image.lanczos3_resize — the same algorithm as the reference's
+image::resize(FilterType::Lanczos3) at file_service.rs:331; round 2's
+nearest-index deviation is retired).
 """
 
 from __future__ import annotations
@@ -25,7 +26,11 @@ import hashlib
 
 import numpy as np
 
-from readur_spark.kernels.image import decode_png_gray, encode_png_gray
+from readur_spark.kernels.image import (
+    decode_png_gray,
+    encode_png_gray,
+    lanczos3_resize,
+)
 from readur_spark.kernels.mime import url_extension
 
 THUMB_MAX = 200  # file_service.rs:318
@@ -42,11 +47,6 @@ def fit_box(w: int, h: int, box: int = THUMB_MAX) -> tuple[int, int]:
     return max(1, int(w * scale)), max(1, int(h * scale))
 
 
-def _resize_nearest(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
-    h, w = img.shape
-    rows = (np.arange(nh) * (h / nh)).astype(np.int64).clip(0, h - 1)
-    cols = (np.arange(nw) * (w / nw)).astype(np.int64).clip(0, w - 1)
-    return img[rows][:, cols]
 
 
 def placeholder_thumbnail(label: str) -> bytes:
@@ -78,7 +78,7 @@ def generate_thumbnail(url: str, data: bytes) -> dict:
             return _row(url, placeholder_thumbnail(ext.upper()), "placeholder")
         h, w = img.shape
         nw, nh = fit_box(w, h)
-        thumb = _resize_nearest(img, nw, nh)
+        thumb = lanczos3_resize(img, nw, nh)
         return _row(url, encode_png_gray(thumb), "image", nw, nh)
     if ext == "pdf":
         # pdftoppm is capability-gated out in this container; the

@@ -230,3 +230,56 @@ def test_ladder_morphology_needs_knob_and_noise():
     )
     assert "Noise reduction" in steps_off
     assert "Morphological operations" not in steps_off
+
+
+class TestLanczos3Resize:
+    """kernels.image.lanczos3_resize — the image crate's Lanczos3
+    algorithm (windowed sinc, support 3, normalized in-bounds weights);
+    round-3 replacement for nearest-index sampling (A22/A35)."""
+
+    def test_identity_when_same_size(self):
+        from readur_spark.kernels.image import lanczos3_resize
+
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 256, size=(40, 30), dtype=np.uint8)
+        out = lanczos3_resize(img, 30, 40)
+        # ratio 1 → kernel hits integer offsets where sinc() = 0 except
+        # the center → exact identity
+        assert np.array_equal(out, img)
+
+    def test_constant_image_stays_constant(self):
+        from readur_spark.kernels.image import lanczos3_resize
+
+        img = np.full((100, 80), 137, dtype=np.uint8)
+        out = lanczos3_resize(img, 20, 25)
+        assert out.shape == (25, 20)
+        assert np.all(out == 137)
+
+    def test_two_to_one_averages(self):
+        from readur_spark.kernels.image import lanczos3_resize
+
+        # 1×2 → 1×1: symmetric weights → plain average
+        img = np.array([[10, 20]], dtype=np.uint8)
+        out = lanczos3_resize(img, 1, 1)
+        assert out.shape == (1, 1)
+        assert out[0, 0] == 15
+
+    def test_downscale_antialiases_checkerboard(self):
+        from readur_spark.kernels.image import lanczos3_resize
+
+        # 1-px checkerboard downscaled 4× must land near the 127.5 mean
+        # (nearest sampling returns pure 0 or 255 — the aliasing the
+        # filter exists to remove)
+        img = np.indices((64, 64)).sum(axis=0) % 2 * 255
+        out = lanczos3_resize(img.astype(np.uint8), 16, 16)
+        assert 96 <= out.astype(np.float64).mean() <= 160
+        assert out.std() < 64
+
+    def test_ramp_preserved(self):
+        from readur_spark.kernels.image import lanczos3_resize
+
+        img = np.tile(np.linspace(0, 255, 200, dtype=np.uint8), (20, 1))
+        out = lanczos3_resize(img, 50, 10)
+        mid = out[5].astype(np.float64)
+        # monotone non-decreasing ramp away from the edges
+        assert np.all(np.diff(mid[2:-2]) >= 0)
