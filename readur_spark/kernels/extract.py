@@ -195,7 +195,7 @@ def _extract_image(url: str, data: bytes, mime_type: str, settings: dict) -> Ext
         # reference without the ocr feature: Err("OCR feature not
         # enabled") (enhanced.rs:1601-1607) → classify → 'other'
         return _failed(url, mime_type, size, "OCR feature not enabled", stage="ocr")
-    img = image.decode_png_gray(data)
+    img = image.decode_image_gray(data)
     if img is None:
         return _failed(
             url, mime_type, size, "corrupted internal structure: undecodable image",

@@ -169,6 +169,21 @@ def decode_png_gray(data: bytes) -> np.ndarray | None:
     return img
 
 
+def decode_image_gray(data: bytes) -> np.ndarray | None:
+    """Sniff-and-decode like the reference's image::load_from_memory
+    (magic-byte dispatch): engine PNG first, then baseline JPEG
+    (kernels/jpeg.py); None = undecodable."""
+    if not data:
+        return None
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_gray(data)
+    if data[:2] == b"\xFF\xD8":
+        from readur_spark.kernels.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(data)
+    return None
+
+
 # --- preprocessing ladder (A21-A29, NumPy-vectorized) ----------------------
 
 

@@ -3,39 +3,54 @@
 Reference semantics (yonasBSD/readur, src/services/file_service.rs):
   - extension dispatch (:285-313): images → resized thumbnail; pdf →
     pdftoppm first page (subprocess, degrades to placeholder on any
-    failure); txt → text thumbnail; everything else → placeholder
-    labeled with the uppercased extension
-  - image path (:316-339): resize to FIT within 200×200 preserving
-    aspect (image::resize semantics), encode
-  - pdf path (:341-385): external pdftoppm — capability-gated here
+    failure); txt → text thumbnail; doc/docx → placeholder("DOC");
+    everything else → placeholder labeled with the uppercased extension
+  - image path (:315-339): resize to FIT within 200×200 preserving
+    aspect (image::resize, Lanczos3), alpha flattened, JPEG encode
+  - pdf path (:341-409): external pdftoppm — capability-gated here
     exactly like OCR; absent binary → placeholder("PDF"), which is the
     reference's own failure fallback
+  - text path (:411-466): 200×200 solid background (34,139,34) with
+    white 2-px "character" marks on a fixed 7×12 grid for the first 15
+    lines / 25 chars of "TXT\\n<first 300 bytes>" — no font involved,
+    so the engine reproduces the pixel placement exactly
+  - placeholder (:468-493): 200×200 solid color by type — PDF
+    (220,38,27), TXT (34,139,34), DOC/DOCX (41,128,185), other
+    (108,117,125) — JPEG encoded
 
-Engine deviations (documented): output is 8-bit grayscale PNG via the
-engine's own codec (the container has no JPEG encoder; format recorded
-in the output row), and placeholders are deterministic label-derived
-patterns instead of font renders. Resampling is Lanczos3 as of round 3
-(kernels.image.lanczos3_resize — the same algorithm as the reference's
-image::resize(FilterType::Lanczos3) at file_service.rs:331; round 2's
-nearest-index deviation is retired).
+Round-3 codec parity: output is baseline YCbCr 4:4:4 JFIF JPEG at the
+`image` crate's default quality (75) via the engine's own T.81 codec
+(kernels/jpeg.py) — the PNG-output deviation of earlier rounds is
+retired. Resampling is Lanczos3 (kernels.image.lanczos3_resize), the
+same algorithm as image::resize(FilterType::Lanczos3). Remaining
+documented deviation: the engine's pixel pipeline is grayscale, so
+image thumbnails encode the gray plane replicated to RGB (the
+reference keeps source color); placeholders and text thumbnails are
+exact-color.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 
-from readur_spark.kernels.image import (
-    decode_png_gray,
-    encode_png_gray,
-    lanczos3_resize,
-)
+from readur_spark.kernels.image import decode_image_gray, lanczos3_resize
+from readur_spark.kernels.jpeg import encode_jpeg_rgb
 from readur_spark.kernels.mime import url_extension
 
 THUMB_MAX = 200  # file_service.rs:318
+JPEG_QUALITY = 75  # the image crate's JpegEncoder default, used by write_to
 
 _IMAGE_EXTS = {"jpg", "jpeg", "png", "bmp", "tiff", "gif"}
+
+# file_service.rs:475-481 placeholder color map
+_PLACEHOLDER_COLORS = {
+    "PDF": (220, 38, 27),
+    "TXT": (34, 139, 34),
+    "DOC": (41, 128, 185),
+    "DOCX": (41, 128, 185),
+}
+_PLACEHOLDER_DEFAULT = (108, 117, 125)
+_TEXT_BG = (34, 139, 34)  # generate_text_thumbnail's Rgb([34,139,34])
 
 
 def fit_box(w: int, h: int, box: int = THUMB_MAX) -> tuple[int, int]:
@@ -47,31 +62,53 @@ def fit_box(w: int, h: int, box: int = THUMB_MAX) -> tuple[int, int]:
     return max(1, int(w * scale)), max(1, int(h * scale))
 
 
-
-
 def placeholder_thumbnail(label: str) -> bytes:
-    """Deterministic 200×200 placeholder: banded pattern seeded from
-    the label (the reference renders the label text; without fonts the
-    engine encodes it in the pattern — same role: a stable, clearly
-    non-content thumbnail)."""
-    seed = int.from_bytes(
-        hashlib.sha256(label.encode("utf-8")).digest()[:4], "big"
-    )
-    base = 64 + (seed % 128)
-    img = np.full((THUMB_MAX, THUMB_MAX), base, dtype=np.uint8)
-    band = 8 + (seed % 24)
-    idx = (np.arange(THUMB_MAX) // band) % 2 == 0
-    img[idx, :] = np.uint8((base + 48) % 256)
-    return encode_png_gray(img)
+    """200×200 solid-color JPEG placeholder, colors per
+    file_service.rs:475-481 (PDF red, TXT green, DOC blue, else gray)."""
+    color = _PLACEHOLDER_COLORS.get(label, _PLACEHOLDER_DEFAULT)
+    img = np.empty((THUMB_MAX, THUMB_MAX, 3), dtype=np.uint8)
+    img[:] = color
+    return encode_jpeg_rgb(img, JPEG_QUALITY)
+
+
+def text_thumbnail_pixels(data: bytes) -> np.ndarray:
+    """Pixel-exact reimplementation of generate_text_based_thumbnail
+    (file_service.rs:411-466): green background; for each of the first
+    15 lines of "TXT\\n<text>" place a white 2-px mark per character
+    (≤25/line) at x=10+7·char, y=20+12·line. The reference truncates at
+    300 *bytes* before trimming; mirrored here with a lossy decode."""
+    text = data.decode("utf-8", errors="replace") if data else ""
+    if len(data or b"") > 300:
+        text = data[:300].decode("utf-8", errors="replace")
+    preview = "TXT\n" + text.strip()
+    img = np.empty((THUMB_MAX, THUMB_MAX, 3), dtype=np.uint8)
+    img[:] = _TEXT_BG
+    for line_idx, line in enumerate(preview.split("\n")[:15]):
+        line = line[:-1] if line.endswith("\r") else line  # Rust lines()
+        y = 20 + line_idx * 12
+        if y >= THUMB_MAX - 10:
+            break
+        for char_idx in range(min(len(line), 25)):
+            x = 10 + char_idx * 7
+            if x >= THUMB_MAX - 10:
+                break
+            img[y, x] = (255, 255, 255)
+            if x + 1 < THUMB_MAX:
+                img[y, x + 1] = (255, 255, 255)
+    return img
+
+
+def text_thumbnail(data: bytes) -> bytes:
+    return encode_jpeg_rgb(text_thumbnail_pixels(data), JPEG_QUALITY)
 
 
 def generate_thumbnail(url: str, data: bytes) -> dict:
     """One page → thumbnail row: dispatch by url extension
     (file_service.rs:289-313), fit-box resize for decodable images,
-    placeholder fallbacks everywhere the reference falls back."""
+    reference-parity fallbacks everywhere else."""
     ext = url_extension(url)
     if ext in _IMAGE_EXTS:
-        img = decode_png_gray(data)
+        img = decode_image_gray(data)
         if img is None:
             # undecodable image → placeholder (the reference's error
             # arm returns Err → caller placeholder)
@@ -79,26 +116,29 @@ def generate_thumbnail(url: str, data: bytes) -> dict:
         h, w = img.shape
         nw, nh = fit_box(w, h)
         thumb = lanczos3_resize(img, nw, nh)
-        return _row(url, encode_png_gray(thumb), "image", nw, nh)
+        rgb = np.repeat(thumb[..., None], 3, axis=2)
+        return _row(url, encode_jpeg_rgb(rgb, JPEG_QUALITY), "image", nw, nh)
     if ext == "pdf":
         # pdftoppm is capability-gated out in this container; the
         # reference degrades to placeholder on any pdftoppm failure
         return _row(url, placeholder_thumbnail("PDF"), "placeholder")
     if ext == "txt":
-        return _row(url, placeholder_thumbnail("TXT"), "placeholder")
+        return _row(url, text_thumbnail(data or b""), "text")
+    if ext in ("doc", "docx"):
+        return _row(url, placeholder_thumbnail("DOC"), "placeholder")
     label = ext.upper() if ext else "FILE"
     return _row(url, placeholder_thumbnail(label), "placeholder")
 
 
 def _row(
-    url: str, png: bytes, kind: str, w: int | None = None, h: int | None = None
+    url: str, jpg: bytes, kind: str, w: int | None = None, h: int | None = None
 ) -> dict:
     if w is None or h is None:
         w = h = THUMB_MAX
     return {
         "url": url,
-        "thumbnail": png,
-        "thumb_format": "png",
+        "thumbnail": jpg,
+        "thumb_format": "jpeg",
         "thumb_kind": kind,
         "thumb_width": w,
         "thumb_height": h,

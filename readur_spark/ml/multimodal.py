@@ -6,7 +6,7 @@ shapes, partitioning, UDF signatures — while codec-dependent steps
 follow the container reality (no PIL/cv2/ffmpeg):
 
   - image: REAL path for the engine's own PNG subset
-    (kernels.image.decode_png_gray + preprocessing ladder A21-A29) and
+    (kernels.image.decode_image_gray + preprocessing ladder A21-A29) and
     header-only dimension sniffing for PNG/JPEG/GIF/BMP; full decode
     of other formats is a stubbed capability, reported per row as
     decode_status='unsupported_codec' (never an exception — the
@@ -71,7 +71,7 @@ def image_metadata_table(pages: DataFrame) -> DataFrame:
                 if not meta:
                     row["decode_status"] = "unknown_format"
                 else:
-                    arr = img_k.decode_png_gray(data)
+                    arr = img_k.decode_image_gray(data)
                     if arr is not None:
                         processed, applied = img_k.preprocess_image(
                             arr, dict(DEFAULT_SETTINGS)

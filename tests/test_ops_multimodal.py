@@ -146,17 +146,37 @@ class TestThumbnails:
     def test_image_thumbnail_roundtrip(self):
         import numpy as np
 
-        from readur_spark.kernels.image import decode_png_gray, encode_png_gray
+        from readur_spark.kernels.image import encode_png_gray
+        from readur_spark.kernels.jpeg import decode_jpeg_gray
         from readur_spark.kernels.thumbnails import generate_thumbnail
 
         img = np.tile(np.arange(256, dtype=np.uint8), (300, 2))[:, :400]
         row = generate_thumbnail("https://x.example/a.png", encode_png_gray(img))
         assert row["thumb_kind"] == "image"
+        assert row["thumb_format"] == "jpeg"
         assert (row["thumb_width"], row["thumb_height"]) == (200, 150)
-        decoded = decode_png_gray(bytes(row["thumbnail"]))
+        decoded = decode_jpeg_gray(bytes(row["thumbnail"]))
         assert decoded.shape == (150, 200)
 
+    def test_jpeg_input_decodes(self):
+        # the image branch accepts real baseline JPEG payloads (.jpg
+        # urls carried PNG-or-nothing before the round-3 codec landed)
+        import numpy as np
+
+        from readur_spark.kernels.jpeg import encode_jpeg_gray
+        from readur_spark.kernels.thumbnails import generate_thumbnail
+
+        img = np.tile(np.arange(256, dtype=np.uint8), (300, 2))[:, :400]
+        row = generate_thumbnail(
+            "https://x.example/photo.jpg", encode_jpeg_gray(img, 90)
+        )
+        assert row["thumb_kind"] == "image"
+        assert (row["thumb_width"], row["thumb_height"]) == (200, 150)
+
     def test_dispatch_and_placeholders_deterministic(self):
+        import numpy as np
+
+        from readur_spark.kernels.jpeg import decode_jpeg_rgb
         from readur_spark.kernels.thumbnails import generate_thumbnail
 
         pdf = generate_thumbnail("https://x.example/doc.pdf", b"%PDF-1.4")
@@ -165,11 +185,45 @@ class TestThumbnails:
         pdf2 = generate_thumbnail("https://y.example/other.pdf", b"junk")
         assert bytes(pdf["thumbnail"]) == bytes(pdf2["thumbnail"])
         txt = generate_thumbnail("https://x.example/n.txt", b"hello")
+        assert txt["thumb_kind"] == "text"
         assert bytes(txt["thumbnail"]) != bytes(pdf["thumbnail"])
         corrupt = generate_thumbnail("https://x.example/broken.png", b"\x00bad")
         assert corrupt["thumb_kind"] == "placeholder"
         noext = generate_thumbnail("https://x.example/page", b"<html>")
         assert noext["thumb_kind"] == "placeholder"
+        # reference color map (file_service.rs:475-481): PDF red,
+        # DOC blue, unknown gray — solid fills survive JPEG near-losslessly
+        doc = generate_thumbnail("https://x.example/r.docx", b"PK")
+        for row, expect in ((pdf, (220, 38, 27)), (doc, (41, 128, 185)),
+                            (noext, (108, 117, 125))):
+            rgb = decode_jpeg_rgb(bytes(row["thumbnail"]))
+            assert rgb.shape == (200, 200, 3)
+            err = np.abs(rgb.astype(int) - np.array(expect)).max()
+            assert err <= 3, (expect, err)
+
+    def test_text_thumbnail_pixel_placement(self):
+        # generate_text_based_thumbnail parity (file_service.rs:411-466):
+        # white 2-px marks at x=10+7c / y=20+12l over the green fill
+        import numpy as np
+
+        from readur_spark.kernels.thumbnails import text_thumbnail_pixels
+
+        px = text_thumbnail_pixels(b"hello world\nsecond line")
+        assert px.shape == (200, 200, 3)
+        # line 0 is the "TXT" type indicator: 3 chars at y=20
+        assert (px[20, 10] == 255).all() and (px[20, 11] == 255).all()
+        assert (px[20, 10 + 2 * 7] == 255).all()
+        assert tuple(px[20, 10 + 3 * 7]) == (34, 139, 34)
+        # line 1 = "hello world" (11 chars incl. space) at y=32
+        assert (px[32, 10] == 255).all()
+        assert (px[32, 10 + 10 * 7] == 255).all()
+        assert tuple(px[32, 10 + 11 * 7]) == (34, 139, 34)
+        # line 2 = "second line" at y=44
+        assert (px[44, 10] == 255).all()
+        # >25 chars are clipped; >300-byte payloads truncate first
+        long = text_thumbnail_pixels(b"x" * 400)
+        assert (long[32, 10 + 24 * 7] == 255).all()
+        assert tuple(long[32, 10 + 25 * 7]) == (34, 139, 34)
 
     def test_thumbnail_table_covers_every_page(self, spark):
         from readur_spark.corpus import synthetic_pages
