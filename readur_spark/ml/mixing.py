@@ -1,0 +1,174 @@
+"""Data-mixture planning: sample a corpus to target bucket proportions.
+
+A training-data pipeline rarely feeds the raw crawl distribution to the
+trainer; it resamples to a target mixture (per language, per domain,
+per quality tier), downsampling over-represented buckets and repeating
+("epoch-ing") under-represented ones up to a cap — the standard recipe
+in the public LLM-data literature (the Pile / ROOTS / Llama data-mix
+descriptions all publish per-source weights and epoch caps).
+
+The reference engine (yonasBSD/readur) has no mixing tier — this is
+part of the engine's training-pipeline extension, alongside dedup and
+decontamination.
+
+Design for 10^12 rows:
+  - the plan is derived from ONE slim aggregation (bucket -> count,
+    K rows for K buckets) broadcast back onto the corpus — the payload
+    is never shuffled;
+  - membership is content-addressed (md5 of a stable key, the same
+    convention as webfilters.with_hash_split): reproducible across
+    engines, partitionings, and incremental runs — no RNG state;
+  - up-sampling replicates rows with a bounded `epoch` index via one
+    explode whose fan-out is capped by max_epochs, so the output size
+    is plan-bounded, not data-dependent.
+
+Determinism contract: row (key) survives at fractional epoch e iff
+unit(key) < frac(e), where unit(key) = int(md5(key)[:8], 16) / 2^32 —
+both sides of the oracle compute the identical double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import (
+    SYNTH_URL_SQL,
+    load,
+    synthetic_url,
+    table_row_count,
+)
+
+
+def hash_unit(key: Column) -> Column:
+    """Deterministic unit-interval value from a key: first 8 md5 hex
+    chars as an integer over 2^32. Exact in double (2^32 < 2^53)."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(key, "UTF-8")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def plan_mixture(
+    counts: dict[str, int],
+    targets: dict[str, float],
+    budget_rows: int,
+    max_epochs: float = 4.0,
+) -> dict[str, float]:
+    """Pure planning step: bucket -> fractional epochs.
+
+    wanted_b = budget * target_b (targets are taken as given, not
+    renormalized — a target map summing to <1 reserves budget);
+    epochs_b = min(max_epochs, wanted_b / count_b). epochs < 1 is a
+    downsampling rate; epochs > 1 replicates. Buckets absent from
+    `targets` get 0 (excluded)."""
+    plan: dict[str, float] = {}
+    for bucket, n in counts.items():
+        target = targets.get(bucket, 0.0)
+        if n <= 0 or target <= 0.0:
+            plan[bucket] = 0.0
+            continue
+        plan[bucket] = min(max_epochs, (budget_rows * target) / n)
+    return plan
+
+
+def with_mixture_epochs(
+    df: DataFrame,
+    bucket_col: str,
+    targets: dict[str, float],
+    budget_rows: int,
+    *,
+    key_col: str = "url",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Resample `df` to the target mixture; adds `epoch` (1-based copy
+    index). Fully distributed: slim count agg -> broadcast plan join ->
+    projection + capped explode. The payload columns ride along
+    untouched (never shuffled — the only exchange carries K bucket
+    counts)."""
+    counts = df.groupBy(bucket_col).agg(F.count("*").alias("_n"))
+    tmap = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    # coalesce the map lookup: a bucket absent from `targets` yields NULL,
+    # and Spark's least() SKIPS nulls (least(4.0, NULL) = 4.0) — without
+    # the coalesce an untargeted bucket would be max-epoch'd, not dropped.
+    target = F.coalesce(tmap[F.col(bucket_col)], F.lit(0.0))
+    plan = counts.select(
+        F.col(bucket_col),
+        F.least(
+            F.lit(float(max_epochs)),
+            (F.lit(budget_rows) * target) / F.col("_n"),
+        ).alias("_epochs"),
+    )
+    joined = df.join(F.broadcast(plan), bucket_col, "inner")
+    u = hash_unit(F.col(key_col))
+    whole = F.floor(F.col("_epochs")).cast("long")
+    frac = F.col("_epochs") - F.floor(F.col("_epochs"))
+    n_copies = whole + F.when(u < frac, F.lit(1)).otherwise(F.lit(0))
+    return (
+        joined.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_epochs", "_n_copies")
+    )
+
+
+# ---- driver-contract query ---------------------------------------------
+
+
+_TARGETS = {"en": 0.4, "zh": 0.25, "de": 0.15, "fr": 0.15, "es": 0.05}
+_MAX_EPOCHS = 4.0
+
+# SQL twin of the targets map; CASTs keep DuckDB in double arithmetic
+# (bare 0.4 is DECIMAL there, which rounds differently from Spark).
+_TARGET_SQL = (
+    "CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)"
+    " WHEN 'zh' THEN CAST(0.25 AS DOUBLE)"
+    " WHEN 'de' THEN CAST(0.15 AS DOUBLE)"
+    " WHEN 'fr' THEN CAST(0.15 AS DOUBLE)"
+    " WHEN 'es' THEN CAST(0.05 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+)
+
+
+@register(
+    "mixture_sample_by_lang",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, lang, {SYNTH_URL_SQL} AS url FROM documents
+    ),
+    plan AS (
+      SELECT lang,
+             LEAST(CAST(4.0 AS DOUBLE),
+                   ((SELECT count(*) FROM documents) * {_TARGET_SQL})
+                     / count(*)) AS epochs
+      FROM u GROUP BY lang
+    ),
+    j AS (
+      SELECT u.doc_id, u.lang,
+             CAST(floor(p.epochs) AS BIGINT)
+             + CASE WHEN CAST(concat('0x', substr(md5(u.url), 1, 8)) AS UBIGINT)
+                         / 4294967296.0
+                       < p.epochs - floor(p.epochs)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM u JOIN plan p USING (lang)
+    )
+    SELECT j.doc_id, j.lang, CAST(r.u + 1 AS BIGINT) AS epoch
+    FROM j, UNNEST(range(j.n_copies)) AS r(u)
+    """,
+)
+def mixture_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample `documents` to a fixed language mixture (en 40 / zh 25 /
+    de 15 / fr 15 / es 5) at budget = |documents|: zh is up-sampled
+    past 1 epoch, es down-sampled to ~a third — both arms of the
+    planner exercised and value-hash-checked against DuckDB."""
+    docs = load(spark, sf_dir, "documents").withColumn("url", synthetic_url())
+    budget = table_row_count(sf_dir, "documents")
+    out = with_mixture_epochs(
+        docs, "lang", _TARGETS, budget, key_col="url", max_epochs=_MAX_EPOCHS
+    )
+    return out.select(
+        "doc_id", "lang", F.col("epoch").cast("long").alias("epoch")
+    )

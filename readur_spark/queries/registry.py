@@ -139,6 +139,7 @@ def _load_all() -> None:
     from readur_spark.ml import dedup as ml_dedup  # noqa: F401
     from readur_spark.ml import multimodal, similarity, textqc  # noqa: F401
     from readur_spark.ml import decontam as ml_decontam  # noqa: F401
+    from readur_spark.ml import mixing as ml_mixing  # noqa: F401
     from readur_spark.ml import packing as ml_packing  # noqa: F401
     from readur_spark.ml import webfilters as ml_webfilters  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
