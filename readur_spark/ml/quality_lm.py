@@ -1,0 +1,172 @@
+"""CCNet-style statistical-LM quality filtering, integer-exact.
+
+The public CCNet / ccnet-data recipe (Wenzek et al., "CCNet: Extracting
+High Quality Monolingual Datasets from Web Crawl Data") scores each
+document with a language-model perplexity and buckets the corpus into
+head / middle / tail quality tiers. This module re-expresses that with
+a corpus-trained unigram LM whose surprisal is computed in EXACT
+integer arithmetic — `floor(log2(T / (c+1)))` via `length(bin(x)) - 1`
+— so the score is bit-identical on every engine (the repo convention:
+no libm in oracle-checked ranking paths, see operators/posting.py).
+
+The reference engine (yonasBSD/readur) has no LM filter; its nearest
+analogue is the OCR quality gate (src/ocr/enhanced.rs:1487-1558). This
+is part of the training-pipeline extension tier.
+
+Scale design (10^12 docs):
+  - tokenization is a Catalyst split/explode of a SLIM (doc_id, token)
+    projection — the payload never rides through the explode;
+  - the vocab is one map-side-combinable wordcount capped to the top
+    64 Ki types (ORDER BY count DESC, token — deterministic ties), a
+    TakeOrderedAndProject, then BROADCAST back onto the token stream:
+    no corpus-side shuffle to look up counts;
+  - per-doc scoring is sum/count aggregated on doc_id — tokens of one
+    doc are co-located after the explode, so the partial agg collapses
+    to ~1 row/doc/partition before the only shuffle (slim longs);
+  - the total-token count T is an index-build statistic (one slim agg,
+    like the posting index's N); at scale it comes from the vocab
+    table's own metadata, not a corpus re-scan.
+
+Semantics: surprisal_bits(t) = floor(log2(T div (c_t + 1))), where c_t
+is the corpus count of t inside the capped vocab and 0 for
+out-of-vocab types (add-one smoothed, so the argument is >= 0 and
+log2 is defined; a singleton vocabulary yields T div (T+1) = 0 bits).
+Documents with zero alphabetic tokens carry no LM evidence and are
+excluded (they are the C4 gates' job, not the LM's).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load
+
+TOKEN_SPLIT_RE = "[^a-z]+"
+VOCAB_CAP = 65536
+# head/middle/tail thresholds on mean surprisal, in centi-bits/token:
+# fluent in-distribution text sits low; gibberish / OOV-heavy text high.
+HEAD_MAX_CBITS = 800
+MIDDLE_MAX_CBITS = 1100
+
+
+def tokenize_alpha(text: Column) -> Column:
+    """Lowercased alphabetic word array (empties removed)."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda x: x != F.lit("")
+    )
+
+
+def int_log2(x: Column) -> Column:
+    """floor(log2(x)) for integer x >= 1 via binary-string length —
+    exact on every engine, unlike libm log2 near powers of two.
+    bin(0) is '0' so x = 0 maps to 0 bits."""
+    return (F.length(F.bin(x)) - F.lit(1)).cast("long")
+
+
+def unigram_vocab(
+    toks: DataFrame, cap: int = VOCAB_CAP
+) -> tuple[DataFrame, int]:
+    """(vocab DataFrame (token, c), total token count T).
+
+    T is the full stream's count (including tail types outside the
+    cap) — the model's denominator must cover all evidence."""
+    total = toks.count()
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(cap)
+    )
+    return vocab, total
+
+
+def score_unigram_surprisal(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_cap: int = VOCAB_CAP,
+) -> DataFrame:
+    """Per-document mean unigram surprisal in centi-bits/token plus a
+    CCNet-style head/middle/tail bucket. Output:
+    (id_col, n_tokens, sum_bits, mean_cbits, ppl_bucket)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize_alpha(F.col(text_col))).alias("token")
+    )
+    vocab, total = unigram_vocab(toks, cap=vocab_cap)
+    # surprisal per token: T div (c+1); OOV has c = 0.
+    scored = toks.join(F.broadcast(vocab), "token", "left").select(
+        F.col(id_col),
+        int_log2(
+            F.expr(f"{total}L div (coalesce(c, 0L) + 1L)")
+        ).alias("bits"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("bits").alias("sum_bits"),
+    )
+    mean_cbits = F.expr("(100L * sum_bits) div n_tokens")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "sum_bits",
+        mean_cbits.alias("mean_cbits"),
+        F.when(mean_cbits < HEAD_MAX_CBITS, "head")
+        .when(mean_cbits < MIDDLE_MAX_CBITS, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+# ---- driver-contract query ---------------------------------------------
+
+
+@register(
+    "qc_lm_surprisal_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.token
+      FROM documents,
+           UNNEST(list_filter(
+             regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+             x -> x <> '')) AS t(token)
+    ),
+    vocab AS (
+      SELECT token, count(*) AS c FROM toks
+      GROUP BY token ORDER BY c DESC, token LIMIT {VOCAB_CAP}
+    ),
+    tot AS (SELECT count(*) AS t FROM toks),
+    scored AS (
+      SELECT toks.doc_id,
+             length(bin((SELECT t FROM tot) // (coalesce(v.c, 0) + 1))) - 1
+               AS bits
+      FROM toks LEFT JOIN vocab v USING (token)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(bits) AS sum_bits
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, sum_bits,
+           (100 * sum_bits) // n_tokens AS mean_cbits,
+           CASE WHEN (100 * sum_bits) // n_tokens < {HEAD_MAX_CBITS}
+                  THEN 'head'
+                WHEN (100 * sum_bits) // n_tokens < {MIDDLE_MAX_CBITS}
+                  THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM agg
+    """,
+)
+def qc_lm_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM surprisal per document with CCNet
+    head/middle/tail buckets, value-hash-checked: the DuckDB twin
+    rebuilds the identical capped vocab and integer-log2 scores."""
+    docs = load(spark, sf_dir, "documents")
+    return score_unigram_surprisal(docs).select(
+        "doc_id",
+        "n_tokens",
+        "sum_bits",
+        "mean_cbits",
+        "ppl_bucket",
+    )
