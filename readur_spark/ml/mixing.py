@@ -116,6 +116,47 @@ def with_mixture_epochs(
     )
 
 
+def with_training_order(
+    df: DataFrame,
+    seed: str,
+    n_shards: int,
+    *,
+    key_col: str = "url",
+) -> DataFrame:
+    """Deterministic seeded global shuffle into training shards.
+
+    Training dataloaders need a reproducible random-looking order that
+    changes per epoch/seed. This assigns every row a content-addressed
+    order hash (md5 of seed || key — 15 hex chars, so the value fits a
+    BIGINT on every engine), a shard = hash mod n_shards, and a
+    within-shard position. Adds columns: `shard`, `pos`.
+
+    Scale: one shuffle on `shard` (uniform by construction — the hash
+    is uniform, so no skew), then a per-shard sort; choose n_shards so
+    a shard fits a task (10^12 rows / 10^6 shards = 10^6 rows/shard).
+    No global sort, no driver collect; re-seeding changes only the
+    hash column, not the plan shape.
+    """
+    order_hash = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit(seed), F.col(key_col)), "UTF-8")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_oh", key_col)
+    return (
+        df.withColumn("_oh", order_hash)
+        .withColumn("shard", F.pmod(F.col("_oh"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_oh")
+    )
+
+
 # ---- driver-contract query ---------------------------------------------
 
 
@@ -172,3 +213,30 @@ def mixture_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", F.col("epoch").cast("long").alias("epoch")
     )
+
+
+@register(
+    "training_order_shuffle",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {SYNTH_URL_SQL} AS url FROM documents
+    ),
+    h AS (
+      SELECT doc_id, url,
+             CAST(concat('0x', substr(md5('ep1' || url), 1, 15)) AS BIGINT)
+               AS oh
+      FROM u
+    )
+    SELECT doc_id, CAST(oh % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY oh % 8 ORDER BY oh, url)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic training-order shuffle into 8 shards —
+    shard + within-shard position value-hash-checked against DuckDB's
+    identical md5 order hash."""
+    docs = load(spark, sf_dir, "documents").withColumn("url", synthetic_url())
+    out = with_training_order(docs, "ep1", 8, key_col="url")
+    return out.select("doc_id", "shard", "pos")

@@ -95,3 +95,66 @@ class TestWithMixtureEpochs:
         )
         row = df.agg(F.min("u"), F.max("u")).collect()[0]
         assert 0.0 <= row[0] and row[1] < 1.0
+
+
+class TestWithTrainingOrder:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [(f"https://h{i % 7}.example/d{i}", i) for i in range(500)]
+        return spark.createDataFrame(rows, "url string, v long")
+
+    def test_partition_of_rows(self, corpus):
+        from readur_spark.ml.mixing import with_training_order
+
+        out = with_training_order(corpus, "s0", 8)
+        assert out.count() == 500  # a shuffle, not a sample
+        # pos is a contiguous 1..n index within each shard
+        bad = (
+            out.groupBy("shard")
+            .agg(F.count("*").alias("n"), F.max("pos").alias("m"),
+                 F.min("pos").alias("lo"))
+            .filter((F.col("m") != F.col("n")) | (F.col("lo") != 1))
+            .count()
+        )
+        assert bad == 0
+
+    def test_seed_changes_order_not_membership(self, corpus):
+        from readur_spark.ml.mixing import with_training_order
+
+        a = with_training_order(corpus, "epoch1", 8).select(
+            "url", "shard", "pos"
+        )
+        b = with_training_order(corpus, "epoch2", 8).select(
+            "url", "shard", "pos"
+        )
+        assert sorted(r["url"] for r in a.collect()) == sorted(
+            r["url"] for r in b.collect()
+        )
+        assert sorted(map(tuple, a.collect())) != sorted(
+            map(tuple, b.collect())
+        )
+
+    def test_deterministic_under_repartition(self, corpus):
+        from readur_spark.ml.mixing import with_training_order
+
+        a = sorted(map(tuple, with_training_order(corpus, "s", 4).collect()))
+        b = sorted(
+            map(
+                tuple,
+                with_training_order(corpus.repartition(13), "s", 4).collect(),
+            )
+        )
+        assert a == b
+
+    def test_shards_balanced(self, corpus):
+        from readur_spark.ml.mixing import with_training_order
+
+        counts = [
+            r["n"]
+            for r in with_training_order(corpus, "s", 8)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        assert len(counts) == 8
+        assert max(counts) < 2.0 * min(counts)  # uniform hash, no skew
