@@ -1,0 +1,169 @@
+"""URL-level curation gates: the first stage of a web-crawl pipeline.
+
+The public curation recipes (C4, RefinedWeb, FineWeb) all filter on the
+URL before touching page bytes: domain blocklists (the UT1 adult/
+malware lists in RefinedWeb), keyword gates on the URL string, and
+structural sanity (IP hosts, ports, absurd lengths). Dropping a page
+here costs a string compare; dropping it after extraction costs a
+fetch + parse — at 10^12 pages the order matters.
+
+The reference engine's nearest analogue is its source-scope allow/deny
+configuration (WebDAV/S3 source folder filters, src/services/
+source_sync.rs) — generalized here to open-web URL hygiene.
+
+Scale design:
+  - host/domain parsing is pure Catalyst regex/array ops on the url
+    column — codegen, no Python, no shuffle;
+  - the blocklist joins on the REGISTRABLE domain (last-two-labels
+    approximation of eTLD+1 — a public-suffix list would refine
+    multi-label TLDs like co.uk; documented deviation), broadcast:
+    even the UT1 list (~4M domains) is a few hundred MB broadcast,
+    against which the corpus never shuffles;
+  - all gates produce boolean columns so Catalyst can push the
+    conjunction into the scan when the caller filters immediately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import SYNTH_URL_SQL, load, synthetic_url
+
+# Shared regexes — Java and RE2/DuckDB agree on this subset.
+HOST_RE = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+IP_HOST_RE = r"^\d+\.\d+\.\d+\.\d+$"
+# explicit port in the authority (the host class stops at ':', so the
+# port must be matched on the raw url, not the parsed host)
+PORT_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*:\d+"
+# C4-style URL keyword gate (the public recipe's token idea, tiny
+# illustrative list — swap for a full soup list in production).
+URL_BADWORD_RE = "(porn|casino|viagra|xxx)"
+MAX_URL_LEN = 2048
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host part of the url ('' when unparseable)."""
+    return F.regexp_extract(F.lower(url), HOST_RE, 1)
+
+
+def registrable_domain(host: Column) -> Column:
+    """Last-two-labels approximation of the registrable (eTLD+1)
+    domain: 'a.b.example.com' -> 'example.com'."""
+    parts = F.split(host, r"\.")
+    return F.when(
+        F.size(parts) >= 2,
+        F.concat(
+            F.element_at(parts, -2), F.lit("."), F.element_at(parts, -1)
+        ),
+    ).otherwise(host)
+
+
+def with_url_gates(
+    df: DataFrame,
+    blocklist: DataFrame | None = None,
+    *,
+    url_col: str = "url",
+) -> DataFrame:
+    """Adds host, domain, and the gate booleans + an overall url_keep.
+
+    `blocklist` is a 1-column DataFrame (`domain`) of blocked
+    registrable domains; it is broadcast — pass the UT1-style list as
+    a small dimension table, never a literal IN-list.
+    """
+    url = F.col(url_col)
+    host = url_host(url)
+    out = df.withColumn("host", host).withColumn(
+        "domain", registrable_domain(F.col("host"))
+    )
+    gates = {
+        "url_bad_host": F.col("host") == "",
+        "url_ip_host": F.col("host").rlike(IP_HOST_RE),
+        "url_has_port": F.lower(url).rlike(PORT_RE),
+        "url_too_long": F.length(url) > MAX_URL_LEN,
+        "url_badword": F.lower(url).rlike(URL_BADWORD_RE),
+    }
+    for name, cond in gates.items():
+        out = out.withColumn(name, cond)
+    if blocklist is not None:
+        hit = (
+            blocklist.select(F.col("domain").alias("domain"))
+            .distinct()
+            .withColumn("url_blocked_domain", F.lit(True))
+        )
+        out = out.join(F.broadcast(hit), "domain", "left").withColumn(
+            "url_blocked_domain",
+            F.coalesce(F.col("url_blocked_domain"), F.lit(False)),
+        )
+    else:
+        out = out.withColumn("url_blocked_domain", F.lit(False))
+    keep = ~(
+        F.col("url_bad_host")
+        | F.col("url_ip_host")
+        | F.col("url_has_port")
+        | F.col("url_too_long")
+        | F.col("url_badword")
+        | F.col("url_blocked_domain")
+    )
+    return out.withColumn("url_keep", keep)
+
+
+# ---- driver-contract query ---------------------------------------------
+
+_BLOCKED = ["src3.example", "src7.example"]
+_BLOCKED_SQL = "('src3.example'), ('src7.example')"
+
+
+@register(
+    "url_filter_gates",
+    oracle=rf"""
+    WITH u AS (
+      SELECT doc_id, {SYNTH_URL_SQL} AS url FROM documents
+    ),
+    h AS (
+      SELECT doc_id, url,
+             regexp_extract(lower(url), '{HOST_RE}', 1) AS host
+      FROM u
+    ),
+    d AS (
+      SELECT doc_id, url, host,
+             CASE WHEN len(string_split(host, '.')) >= 2
+                  THEN string_split(host, '.')[-2] || '.'
+                       || string_split(host, '.')[-1]
+                  ELSE host END AS domain
+      FROM h
+    ),
+    bl(domain) AS (VALUES {_BLOCKED_SQL})
+    SELECT d.doc_id, d.host, d.domain,
+           d.host = '' AS url_bad_host,
+           regexp_matches(d.host, '{IP_HOST_RE}') AS url_ip_host,
+           regexp_matches(lower(d.url), '^[a-z][a-z0-9+.-]*://[^/?#]*:\d+') AS url_has_port,
+           length(d.url) > {MAX_URL_LEN} AS url_too_long,
+           regexp_matches(lower(d.url), '{URL_BADWORD_RE}') AS url_badword,
+           bl.domain IS NOT NULL AS url_blocked_domain,
+           NOT (d.host = '' OR regexp_matches(d.host, '{IP_HOST_RE}')
+                OR regexp_matches(lower(d.url), '^[a-z][a-z0-9+.-]*://[^/?#]*:\d+') OR length(d.url) > {MAX_URL_LEN}
+                OR regexp_matches(lower(d.url), '{URL_BADWORD_RE}')
+                OR bl.domain IS NOT NULL) AS url_keep
+    FROM d LEFT JOIN bl USING (domain)
+    """,
+)
+def url_filter_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL hygiene gates over the documents table's synthetic urls with
+    a 2-domain blocklist — every gate boolean value-hash-checked."""
+    docs = load(spark, sf_dir, "documents").withColumn("url", synthetic_url())
+    bl = spark.createDataFrame([(d,) for d in _BLOCKED], "domain string")
+    out = with_url_gates(docs, bl)
+    return out.select(
+        "doc_id",
+        "host",
+        "domain",
+        "url_bad_host",
+        "url_ip_host",
+        "url_has_port",
+        "url_too_long",
+        "url_badword",
+        "url_blocked_domain",
+        "url_keep",
+    )
