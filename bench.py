@@ -56,6 +56,10 @@ HEADLINE_QUERIES = [
     "system_metrics",
     "training_yield_report",
     "search_tfidf_postings",
+    "url_filter_gates",
+    "mixture_sample_by_lang",
+    "training_order_shuffle",
+    "qc_lm_surprisal_buckets",
 ]
 
 
