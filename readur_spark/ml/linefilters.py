@@ -125,6 +125,28 @@ def remove_frequent_lines(
     )
 
 
+def with_dup_line_stats(
+    df: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signal: the fraction of
+    non-blank lines that are duplicates of an earlier line in the SAME
+    document (the paper drops docs above ~0.3). Pure projection —
+    array_distinct over the split, no shuffle."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    n = F.size(lines)
+    d = F.size(F.array_distinct(lines))
+    return (
+        df.withColumn("n_lines_nonblank", n)
+        .withColumn("n_lines_distinct", d)
+        .withColumn(
+            "dup_line_fraction",
+            F.when(n > 0, (n - d) / n).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 # ---- driver-contract queries -------------------------------------------
 
 _GATE_SQL = (
@@ -200,4 +222,36 @@ def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines").cast("long").alias("n_lines"),
         F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
         "clean_text",
+    )
+
+
+@register(
+    "qc_dup_line_fraction",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         x -> trim(x) <> '') AS ls
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ls) AS n_lines_nonblank,
+           len(list_distinct(ls)) AS n_lines_distinct,
+           CASE WHEN len(ls) > 0
+                THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+                     / len(ls)
+                ELSE 0.0 END AS dup_line_fraction
+    FROM l
+    """,
+)
+def qc_dup_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line fraction (Gopher repetition
+    rule) — exact IEEE division of small ints, value-hash-stable."""
+    docs = load(spark, sf_dir, "documents")
+    out = with_dup_line_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_lines_nonblank").cast("long").alias("n_lines_nonblank"),
+        F.col("n_lines_distinct").cast("long").alias("n_lines_distinct"),
+        F.col("dup_line_fraction").cast("double").alias("dup_line_fraction"),
     )

@@ -102,3 +102,30 @@ class TestLineDedup:
         orig = {r["doc_id"]: r["text"] for r in corpus.collect()}
         for r in out.collect():
             assert r["clean_text"] == orig[r["doc_id"]]
+
+
+class TestDupLineStats:
+    def test_fraction(self, spark):
+        from readur_spark.ml.linefilters import with_dup_line_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "a\nb\n\na\nc"),   # 4 non-blank, 3 distinct -> 0.25
+                (2, "x\nx\nx"),        # 3 non-blank, 1 distinct -> 2/3
+                (3, ""),               # no non-blank lines -> 0.0
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in with_dup_line_stats(df).collect()}
+        assert got[1]["dup_line_fraction"] == 0.25
+        assert got[2]["dup_line_fraction"] == pytest.approx(2 / 3)
+        assert got[3]["dup_line_fraction"] == 0.0
+        assert got[1]["n_lines_nonblank"] == 4
+        assert got[1]["n_lines_distinct"] == 3
+
+    def test_pure_projection(self, spark):
+        from readur_spark.ml.linefilters import with_dup_line_stats
+        from readur_spark.plans.audit import has_no_shuffle
+
+        df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+        assert has_no_shuffle(with_dup_line_stats(df))
