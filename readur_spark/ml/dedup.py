@@ -443,7 +443,7 @@ def minhash_signatures_jvm(
     )
 
 
-def minhash_lsh_pairs_jvm(
+def minhash_band_table_jvm(
     docs: DataFrame,
     id_col: str,
     text_col: str,
@@ -451,13 +451,14 @@ def minhash_lsh_pairs_jvm(
     n_bands: int = 16,
     n_shingle: int = 3,
 ) -> DataFrame:
-    """Banded LSH over the JVM signatures: band hash = xxhash64 of the
-    band's slice rendered to one string; candidates = equi-join on
-    (band_id, band_hash) — identical bucketed shape to the Python
-    path's lsh_candidate_pairs, end-to-end JVM."""
+    """(id, band_id, band_hash) band table over the JVM signatures:
+    band hash = xxhash64 of the band's slice rendered to one string.
+    This is the MATERIALIZABLE artifact of the LSH index — a corpus
+    stores it partitioned by (band_id, band_hash) so later deltas
+    probe it without touching corpus text."""
     r = n_perm // n_bands
     sigs = minhash_signatures_jvm(docs, id_col, text_col, n_perm, n_shingle)
-    bands = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(*[
@@ -476,7 +477,27 @@ def minhash_lsh_pairs_jvm(
                 for j in range(n_bands)
             ])
         ).alias("b"),
-    ).select("id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    ).select(
+        "id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+
+
+def minhash_lsh_pairs_jvm(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Banded LSH over the JVM signatures: candidates = equi-join on
+    (band_id, band_hash) — identical bucketed shape to the Python
+    path's lsh_candidate_pairs, end-to-end JVM."""
+    bands = minhash_band_table_jvm(
+        docs, id_col, text_col, n_perm, n_bands, n_shingle
+    )
     # pre-partition on the join key: the signature aggregate is small
     # enough that AQE would coalesce it to one partition, serializing
     # the (potentially explosive) bucket self-join into a single task
@@ -505,4 +526,68 @@ def dedup_minhash_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy().agg(
         F.count("*").alias("n_candidate_pairs"),
         F.countDistinct("id_a").alias("n_docs_with_candidates"),
+    )
+
+
+def incremental_neardup_new_ids(
+    new_docs: DataFrame,
+    existing_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Ids of NEW documents that are near-dup candidates of an EXISTING
+    corpus — the continuous-crawl workflow: the corpus's band table
+    (minhash_band_table_jvm, stored partitioned by its key) is probed
+    by the delta's bands with one slim semi-join; corpus text is never
+    re-read and the delta never self-joins. At 10^12 stored docs the
+    probe cost is proportional to the DELTA, not the corpus."""
+    new_bands = minhash_band_table_jvm(
+        new_docs, id_col, text_col, n_perm, n_bands, n_shingle
+    )
+    keys = existing_bands.select("band_id", "band_hash")
+    return (
+        new_bands.join(keys, ["band_id", "band_hash"], "left_semi")
+        .select("id")
+        .distinct()
+    )
+
+
+@register("incremental_neardup_plan")  # non-SQL: algorithmic (xxhash64
+# family); equivalence to the full-corpus pair formulation is
+# pytest-pinned in tests/test_incremental_dedup.py
+def incremental_neardup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl triage: treat the first 80% of documents as the
+    stored corpus and the rest as the incoming delta; report how many
+    delta docs are exact dups (sha), near-dup candidates (band probe),
+    or novel."""
+    docs = load(spark, sf_dir, "documents")
+    cut = F.expr("percentile(doc_id, 0.8)")
+    k = docs.agg(cut.alias("k")).collect()[0]["k"]
+    existing = docs.filter(F.col("doc_id") <= k)
+    new = docs.filter(F.col("doc_id") > k)
+    existing_bands = minhash_band_table_jvm(
+        existing, "doc_id", "text", n_perm=64, n_bands=16, n_shingle=3
+    )
+    near_ids = incremental_neardup_new_ids(
+        new, existing_bands, "doc_id", "text",
+        n_perm=64, n_bands=16, n_shingle=3,
+    )
+    exact_ids = (
+        new.withColumn("h", F.sha2(F.col("text"), 256))
+        .join(
+            existing.select(F.sha2(F.col("text"), 256).alias("h")).distinct(),
+            "h",
+            "left_semi",
+        )
+        .select("doc_id")
+    )
+    n_new = new.count()
+    n_exact = exact_ids.count()
+    n_near = near_ids.count()
+    return spark.createDataFrame(
+        [(int(n_new), int(n_exact), int(n_near))],
+        "n_new long, n_exact_dup long, n_near_candidates long",
     )
