@@ -53,22 +53,29 @@ _PRIORITY: list[str] = [
     "sample_stratified",
     "pack_sequences",
     "chunk_for_embedding",
+    # round-3 curation tier (mixture planning, LM quality, URL and
+    # line-level gates — each a distinct operator family)
+    "mixture_sample_by_lang",
+    "qc_lm_surprisal_buckets",
+    "url_filter_gates",
+    "c4_line_filter_clean",
+    "line_dedup_clean",
     # text QC
     "qc_token_count",
-    "qc_token_count_bpe",
     "qc_quality_score",
     "qc_langid_english",
     "qc_repetition",
     "qc_fingerprint",
     "qc_length_percentiles",
-    # search
+    # search (phrase/boolean/filename are thin variants of the same
+    # FTS predicate machinery as search_simple_and — they, plus
+    # qc_token_count_bpe and status_conditional_counts, moved out of
+    # the window in round 3 to admit the new tier; all remain
+    # oracle-checked in pytest's entry-contract parametrization)
     "search_simple_and",
-    "search_phrase",
-    "search_boolean",
     "search_rank_tf",
     "search_rank_tsrank",
     "search_fuzzy_trigram",
-    "search_filename",
     "search_snippets_first",
     "search_tfidf_postings",
     # ANN (oracle-bearing paths; ann_ivf_probe queries the materialized
@@ -80,7 +87,6 @@ _PRIORITY: list[str] = [
     # facets / analytics
     "facet_source_counts",
     "facet_token_explode",
-    "status_conditional_counts",
     "daily_analytics_rollup",
     "label_join_counts",
     # ops / consistency
