@@ -167,3 +167,70 @@ def url_filter_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_blocked_domain",
         "url_keep",
     )
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    max_per_domain: int,
+    *,
+    url_col: str = "url",
+    key_col: str = "url",
+) -> DataFrame:
+    """RefinedWeb-style per-domain cap: keep at most `max_per_domain`
+    rows per registrable domain, chosen by content-addressed md5 order
+    (reproducible across partitionings and engines; no RNG).
+
+    Scale: one shuffle on `domain`; rank within domain is a window
+    whose state is one counter per key. Skewed mega-domains are
+    exactly the rows this operator exists to cut — the window scans
+    a skewed domain's rows but keeps only K, and the rank predicate
+    is applied before anything downstream shuffles again.
+    """
+    from pyspark.sql import Window
+
+    host = url_host(F.col(url_col))
+    order = F.md5(F.encode(F.col(key_col), "UTF-8"))
+    w = Window.partitionBy("domain").orderBy(order.alias("o"), key_col)
+    return (
+        df.withColumn("domain", registrable_domain(host))
+        .withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("domain_rank") <= max_per_domain)
+    )
+
+
+@register(
+    "domain_cap_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {SYNTH_URL_SQL} AS url FROM documents
+    ),
+    d AS (
+      SELECT doc_id, url,
+             regexp_extract(lower(url), '{HOST_RE}', 1) AS host
+      FROM u
+    ),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(host, '.')) >= 2
+                  THEN string_split(host, '.')[-2] || '.'
+                       || string_split(host, '.')[-1]
+                  ELSE host END AS domain,
+             row_number() OVER (
+               PARTITION BY CASE WHEN len(string_split(host, '.')) >= 2
+                    THEN string_split(host, '.')[-2] || '.'
+                         || string_split(host, '.')[-1]
+                    ELSE host END
+               ORDER BY md5(url), url
+             ) AS domain_rank
+      FROM d
+    )
+    SELECT doc_id, domain, CAST(domain_rank AS BIGINT) AS domain_rank
+    FROM r WHERE domain_rank <= 10
+    """,
+)
+def domain_cap_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap documents at 10 per registrable domain, content-addressed —
+    winners and ranks value-hash-checked against DuckDB."""
+    docs = load(spark, sf_dir, "documents").withColumn("url", synthetic_url())
+    out = domain_cap_sample(docs, 10)
+    return out.select("doc_id", "domain", "domain_rank")

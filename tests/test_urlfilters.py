@@ -122,3 +122,32 @@ class TestPlanShape:
         assert shuffle_count(with_url_gates(df, None)) == 0
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+class TestDomainCap:
+    def test_cap_and_determinism(self, spark):
+        from readur_spark.ml.urlfilters import domain_cap_sample
+
+        rows = [(f"https://{'big' if i % 4 else 'small'}.net/d{i}",)
+                for i in range(100)]
+        df = spark.createDataFrame(rows, "url string")
+        out = domain_cap_sample(df, 5)
+        counts = {r["domain"]: r["n"] for r in
+                  out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+        assert counts["big.net"] == 5    # 75 rows capped to 5
+        assert counts["small.net"] == 5  # 25 rows capped to 5
+        # content-addressed: same winners under any partitioning
+        a = sorted(r["url"] for r in out.collect())
+        b = sorted(
+            r["url"]
+            for r in domain_cap_sample(df.repartition(13), 5).collect()
+        )
+        assert a == b
+
+    def test_under_cap_domains_untouched(self, spark):
+        from readur_spark.ml.urlfilters import domain_cap_sample
+
+        df = spark.createDataFrame(
+            [(f"https://h{i}.org/x",) for i in range(7)], "url string"
+        )
+        assert domain_cap_sample(df, 10).count() == 7
