@@ -324,6 +324,18 @@ def main() -> None:
         "extraction": extraction,
     }
 
+    # Always-present host-window bracket: the Spark-free kernel pool's
+    # 8-vs-32-proc throughput in the same minutes tells any reader
+    # whether this run's numbers came from a clean or congested window
+    # (the shared host drifts 2-4x; see BASELINE.md scaling sections).
+    raw_w8, raw_w32 = _calibrate_raw(8), _calibrate_raw(32)
+    if raw_w8 and raw_w32:
+        result["window_raw_pool"] = {
+            "docs_per_sec_8p": raw_w8,
+            "docs_per_sec_32p": raw_w32,
+            "efficiency_8_to_32": round((raw_w32 / raw_w8) / 4.0, 3),
+        }
+
     if do_scaling and cpus >= 4:
         lo = max(cpus // 4, 1)
         raw_lo_1 = _calibrate_raw(lo)
