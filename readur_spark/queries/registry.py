@@ -52,9 +52,11 @@ _PRIORITY: list[str] = [
     "split_hash_sample",
     "sample_stratified",
     "pack_sequences",
-    "chunk_for_embedding",
     # round-3 curation tier (mixture planning, LM quality, URL and
-    # line-level gates — each a distinct operator family)
+    # line-level gates — each a distinct operator family — plus the
+    # composed chain; chunk_for_embedding ceded its slot, its packing
+    # family stays window-covered by pack_sequences)
+    "web_curation_report",
     "mixture_sample_by_lang",
     "qc_lm_surprisal_buckets",
     "url_filter_gates",
