@@ -170,3 +170,116 @@ def qc_lm_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_cbits",
         "ppl_bucket",
     )
+
+
+def score_bigram_surprisal(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_cap: int = VOCAB_CAP,
+) -> DataFrame:
+    """Per-document mean CONDITIONAL surprisal, bigram model:
+    bits(cur | prev) = floor(log2(c(prev) div (c(prev,cur) + 1))),
+    integer-exact like the unigram path. A deterministic continuation
+    (c_bg = c_prev) scores 0 bits; an unseen bigram after a common
+    token scores ~log2(c_prev). Both count tables are derived from the
+    bigram stream itself (so c_prev >= c_bg always), capped to the top
+    `vocab_cap` entries (count desc, token asc — deterministic ties)
+    and broadcast; a context outside the capped prev table scores 0
+    bits (no evidence — documented cap semantics, mirrored in the
+    oracle). Docs with < 2 alphabetic tokens carry no bigram evidence
+    and are excluded.
+
+    Scale: one slim (id, prev, cur) explode; two map-side-combinable
+    count aggs whose results broadcast; one partial-agg shuffle on the
+    doc id. No libm, no Python."""
+    t = tokenize_alpha(F.col(text_col))
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("prev"),
+                F.element_at(t, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = docs.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    bgc = (
+        bg.groupBy("prev", "cur")
+        .agg(F.count("*").alias("c_bg"))
+        .orderBy(F.col("c_bg").desc(), "prev", "cur")
+        .limit(vocab_cap)
+    )
+    pc = (
+        bg.groupBy("prev")
+        .agg(F.count("*").alias("c_prev"))
+        .orderBy(F.col("c_prev").desc(), "prev")
+        .limit(vocab_cap)
+    )
+    scored = (
+        bg.join(F.broadcast(pc), "prev", "left")
+        .join(F.broadcast(bgc), ["prev", "cur"], "left")
+        .select(
+            F.col(id_col),
+            int_log2(
+                F.expr("coalesce(c_prev, 0L) div (coalesce(c_bg, 0L) + 1L)")
+            ).alias("bits"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.sum("bits").alias("sum_bits")
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        "sum_bits",
+        F.expr("(100L * sum_bits) div n_bigrams").alias("mean_cbits"),
+    )
+
+
+@register(
+    "qc_lm_bigram_surprisal",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                         '{TOKEN_SPLIT_RE}'), x -> x <> '') AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ts[r.i] AS prev, ts[r.i + 1] AS cur
+      FROM t, UNNEST(range(1, len(ts))) AS r(i)
+      WHERE len(ts) >= 2
+    ),
+    bgc AS (
+      SELECT prev, cur, count(*) AS c_bg FROM bg
+      GROUP BY prev, cur ORDER BY c_bg DESC, prev, cur LIMIT {VOCAB_CAP}
+    ),
+    pc AS (
+      SELECT prev, count(*) AS c_prev FROM bg
+      GROUP BY prev ORDER BY c_prev DESC, prev LIMIT {VOCAB_CAP}
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             length(bin(coalesce(pc.c_prev, 0)
+                        // (coalesce(bgc.c_bg, 0) + 1))) - 1 AS bits
+      FROM bg
+      LEFT JOIN pc USING (prev)
+      LEFT JOIN bgc USING (prev, cur)
+    )
+    SELECT doc_id, count(*) AS n_bigrams, sum(bits) AS sum_bits,
+           (100 * sum(bits)) // count(*) AS mean_cbits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def qc_lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional surprisal per document — the vocab caps,
+    integer log2, and cap semantics all replayed exactly in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    return score_bigram_surprisal(docs).select(
+        "doc_id", "n_bigrams", "sum_bits", "mean_cbits"
+    )

@@ -131,3 +131,58 @@ class TestPlanShape:
         vocab, total = unigram_vocab(toks, cap=1)
         assert total == 6  # includes the capped-out b and c
         assert vocab.count() == 1
+
+
+class TestBigramScoring:
+    def test_hand_computed(self, spark):
+        """corpus bigrams: (the,cat) x2, (cat,sat) x1, (the,dog) x1.
+        c_prev: the=3, cat=1.
+        doc 1 'the cat sat': (the,cat): 3 div 3 = 1 -> 0 bits;
+                             (cat,sat): 1 div 2 = 0 -> 0 bits.
+        doc 2 'the cat':     (the,cat): 0 bits.
+        doc 3 'the dog':     (the,dog): 3 div 2 = 1 -> 0 bits."""
+        from readur_spark.ml.quality_lm import score_bigram_surprisal
+
+        docs = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the cat"), (3, "the dog")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in score_bigram_surprisal(docs).collect()}
+        assert got[1]["n_bigrams"] == 2 and got[1]["sum_bits"] == 0
+        assert got[2]["n_bigrams"] == 1
+        assert got[3]["sum_bits"] == 0
+
+    def test_unseen_bigram_costs_context_bits(self, spark):
+        """With 'the' appearing 8x as context, an unseen continuation
+        (c_bg=0) costs floor(log2(8 div 1)) = 3 bits... measured via a
+        doc whose bigram is rare: (the, zzz) occurs once -> c_bg=1,
+        bits = floor(log2(9 div 2)) = 2."""
+        from readur_spark.ml.quality_lm import score_bigram_surprisal
+
+        rows = [(i, "the end") for i in range(8)] + [(100, "the zzz")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in score_bigram_surprisal(docs).collect()}
+        # c_prev(the)=9; doc100 (the,zzz): c_bg=1 -> 9 div 2 = 4 -> 2 bits
+        assert got[100]["sum_bits"] == 2
+        # (the,end): c_bg=8 -> 9 div 9 = 1 -> 0 bits
+        assert got[0]["sum_bits"] == 0
+
+    def test_short_docs_excluded(self, spark):
+        from readur_spark.ml.quality_lm import score_bigram_surprisal
+
+        docs = spark.createDataFrame(
+            [(1, "single"), (2, ""), (3, "two tokens")],
+            "doc_id long, text string",
+        )
+        assert [r["doc_id"] for r in score_bigram_surprisal(docs).collect()] == [3]
+
+    def test_jvm_only_plan(self, spark):
+        from readur_spark.ml.quality_lm import score_bigram_surprisal
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta w{i % 5} gamma") for i in range(50)],
+            "doc_id long, text string",
+        )
+        out = score_bigram_surprisal(docs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "ArrowEval" not in plan
