@@ -356,3 +356,52 @@ def qc_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", *[expr.alias(name) for name, expr in sig.items()]
     )
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, t.token
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS t(token)
+    ),
+    counts AS (
+      SELECT lang, token, count(*) AS n FROM toks GROUP BY lang, token
+    ),
+    ranked AS (
+      SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, token) AS rnk
+      FROM counts
+    )
+    SELECT lang, token, n, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens per language (vocabulary head — the exact
+    aggregate a count-min sketch approximates at stream scale; batch
+    side it is one map-side-combinable count + a per-lang top-K
+    window over the SLIM (lang, token, n) aggregate, never the token
+    stream). Deterministic ties (count desc, token asc)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "token", "n", "rnk")
+    )
