@@ -6,7 +6,12 @@ Runs downstream of jobs/run_extraction.py over a snapshot store (or
 any parquet of extracted documents) and applies the curation tier
 end-to-end:
 
-    C4/Gopher document gates (ml/webfilters.web_filter_signals)
+    [--url-gates] URL hygiene + domain blocklist (ml/urlfilters)
+    → [--domain-cap N] per-domain cap (content-addressed)
+    → [--nfc] Unicode NFC + whitespace normalization (ml/normalize)
+    → [--line-filter] C4 line gates (ml/linefilters)
+    → [--lm-filter] drop LM-surprisal tail bucket (ml/quality_lm)
+    → C4/Gopher document gates (ml/webfilters.web_filter_signals)
     → exact dedup winners (first url per sha256)
     → optional PII redaction (ml/webfilters.redact_pii)
     → deterministic train/valid/test hash split
@@ -41,6 +46,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--url-col", default="url")
     p.add_argument("--min-words", type=int, default=50)
     p.add_argument("--redact-pii", action="store_true")
+    p.add_argument("--url-gates", action="store_true",
+                   help="apply URL hygiene gates (ml/urlfilters) first")
+    p.add_argument("--domain-blocklist", default=None,
+                   help="text file of blocked registrable domains, one "
+                        "per line (used with --url-gates)")
+    p.add_argument("--domain-cap", type=int, default=None,
+                   help="keep at most N docs per registrable domain "
+                        "(content-addressed)")
+    p.add_argument("--nfc", action="store_true",
+                   help="Unicode NFC + whitespace normalization before "
+                        "hashing/gating")
+    p.add_argument("--line-filter", action="store_true",
+                   help="apply the C4 line gates to each document")
+    p.add_argument("--lm-filter", action="store_true",
+                   help="drop LM-surprisal 'tail' bucket docs "
+                        "(ml/quality_lm, corpus-trained)")
     p.add_argument("--fmt", choices=["parquet", "json"], default="parquet")
     p.add_argument("--max-records-per-file", type=int, default=100_000)
     p.add_argument("--append", action="store_true",
@@ -83,6 +104,62 @@ def main(argv: list[str] | None = None) -> int:
             return 0
     else:
         docs = spark.read.parquet(args.input)
+
+    # 0. round-3 hygiene tier (all opt-in; each stage is a projection
+    # or a slim broadcast/semi-join — see the ml modules' scale notes)
+    if args.url_gates:
+        from readur_spark.ml.urlfilters import with_url_gates
+
+        bl = None
+        if args.domain_blocklist:
+            bl = (
+                spark.read.text(args.domain_blocklist)
+                .select(F.trim(F.col("value")).alias("domain"))
+                .filter(F.col("domain") != "")
+            )
+        gate_cols = [
+            "host", "domain", "url_bad_host", "url_ip_host",
+            "url_has_port", "url_too_long", "url_badword",
+            "url_blocked_domain", "url_keep",
+        ]
+        docs = (
+            with_url_gates(docs, bl, url_col=args.url_col)
+            .filter(F.col("url_keep"))
+            .drop(*gate_cols)
+        )
+    if args.domain_cap:
+        from readur_spark.ml.urlfilters import domain_cap_sample
+
+        docs = domain_cap_sample(
+            docs, args.domain_cap,
+            url_col=args.url_col, key_col=args.url_col,
+        ).drop("domain", "domain_rank")
+    if args.nfc:
+        from readur_spark.ml.normalize import (
+            clean_whitespace,
+            nfc_normalize_col,
+        )
+
+        docs = docs.withColumn(
+            args.text_col,
+            clean_whitespace(nfc_normalize_col(F.col(args.text_col))),
+        )
+    if args.line_filter:
+        from readur_spark.ml.linefilters import c4_line_filter
+
+        docs = (
+            c4_line_filter(docs, text_col=args.text_col, out_col="__clean")
+            .withColumn(args.text_col, F.col("__clean"))
+            .drop("__clean", "n_lines", "n_lines_kept")
+        )
+    if args.lm_filter:
+        from readur_spark.ml.quality_lm import score_unigram_surprisal
+
+        keep_ids = score_unigram_surprisal(
+            docs, text_col=args.text_col, id_col=args.url_col
+        ).filter(F.col("ppl_bucket") != "tail").select(args.url_col)
+        docs = docs.join(keep_ids, args.url_col, "left_semi")
+
     text = F.col(args.text_col)
 
     # 1. document gates

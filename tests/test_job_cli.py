@@ -243,3 +243,44 @@ def test_curation_append_then_compact(tmp_path, pages_parquet):
         f"SELECT count(*) FROM read_parquet('{shards}/*/*.parquet')"
     ).fetchone()[0]
     assert n_after == n_total
+
+
+def test_curation_job_round3_gates(tmp_path, pages_parquet):
+    """--url-gates/--domain-blocklist/--domain-cap/--nfc/--line-filter/
+    --lm-filter compose with the base pipeline; the blocked dominant
+    host is absent from the written shards."""
+    store = str(tmp_path / "gstore")
+    r1 = _run_job(["--input", pages_parquet, "--store", store,
+                   "--run-id", "g1", "--cpus", "8"])
+    assert r1["status"] == "committed"
+
+    bl = tmp_path / "blocklist.txt"
+    bl.write_text("host0.example\n")
+    shards = str(tmp_path / "gshards")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+         "--input", store, "--output", shards,
+         "--min-words", "5", "--cpus", "8",
+         "--url-gates", "--domain-blocklist", str(bl),
+         "--domain-cap", "50", "--nfc", "--line-filter", "--lm-filter"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines()
+            if l.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["status"] == "written"
+    assert sum(v["n_docs"] for v in summary["yields"].values()) > 0
+
+    from pyspark.sql import functions as F
+
+    from readur_spark.session import get_spark
+
+    spark = get_spark(8)
+    written = spark.read.parquet(shards)
+    assert written.filter(
+        F.col("url").contains("//host0.example/")
+    ).count() == 0
+    assert written.count() > 0
