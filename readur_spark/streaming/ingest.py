@@ -105,10 +105,23 @@ def stream_curate(
     redact: bool = False,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    url_gates: bool = False,
+    blocked_domains: list[str] | None = None,
+    nfc: bool = False,
+    line_filter: bool = False,
 ):
-    """Continuous curation: extracted-docs stream → C4/Gopher gates →
-    (optional) PII scrub → hash split → shard append. The batch
-    curation job (jobs/run_curation.py) run as a watcher.
+    """Continuous curation: extracted-docs stream → [url gates] →
+    [NFC] → [C4 line gates] → C4/Gopher doc gates → (optional) PII
+    scrub → hash split → shard append. The batch curation job
+    (jobs/run_curation.py) run as a watcher; the optional hygiene
+    stages are the job's round-3 flags — only the STATELESS ones
+    (per-row projections / a static blocklist join) are offered here,
+    because they are trigger-invariant: the same row gets the same
+    verdict in any micro-batch. The LM-surprisal filter is deliberately
+    absent — its vocabulary is a corpus-global statistic, and training
+    it per micro-batch would score early batches against a different
+    model than late ones (run it as the batch job over the
+    accumulated layout instead).
 
     Per micro-batch the foreachBatch body anti-joins against the urls
     already shipped, so restarts and replays are idempotent at the
@@ -136,6 +149,43 @@ def stream_curate(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if url_gates:
+            from readur_spark.ml.urlfilters import with_url_gates
+
+            bl = None
+            if blocked_domains:
+                bl = spark.createDataFrame(
+                    [(d,) for d in blocked_domains], "domain string"
+                )
+            batch_df = (
+                with_url_gates(batch_df, bl, url_col="url")
+                .filter(F.col("url_keep"))
+                .drop(
+                    "host", "domain", "url_bad_host", "url_ip_host",
+                    "url_has_port", "url_too_long", "url_badword",
+                    "url_blocked_domain", "url_keep",
+                )
+            )
+        if nfc:
+            from readur_spark.ml.normalize import (
+                clean_whitespace,
+                nfc_normalize_col,
+            )
+
+            batch_df = batch_df.withColumn(
+                "extracted_text",
+                clean_whitespace(nfc_normalize_col(F.col("extracted_text"))),
+            )
+        if line_filter:
+            from readur_spark.ml.linefilters import c4_line_filter
+
+            batch_df = (
+                c4_line_filter(
+                    batch_df, text_col="extracted_text", out_col="__clean"
+                )
+                .withColumn("extracted_text", F.col("__clean"))
+                .drop("__clean", "n_lines", "n_lines_kept")
+            )
         text = F.col("extracted_text")
         sig = web_filter_signals(text, min_words=min_words)
         gated = batch_df.filter(text.isNotNull()).select(

@@ -198,3 +198,31 @@ def test_kill_after_commit_before_ack_skips_on_replay(spark, tmp_path):
         store.read(spark).groupBy("sha256").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_stream_curate_hygiene_stages(spark, tmp_path):
+    """The stateless round-3 hygiene flags work in the watcher: a
+    blocked host never reaches the layout, and line-filtered text
+    drops non-sentence lines."""
+    from readur_spark.pipeline import extract_corpus
+    from readur_spark.streaming.ingest import stream_curate
+
+    from readur_spark.corpus import synthetic_pages
+
+    src = str(tmp_path / "hx_in")
+    extract_corpus(synthetic_pages(spark, 120)).write.parquet(src)
+
+    out = str(tmp_path / "hx_out")
+    q = stream_curate(
+        spark, src, out, str(tmp_path / "hx_ck"), min_words=5,
+        url_gates=True, blocked_domains=["host0.example"],
+        nfc=True, line_filter=True,
+    )
+    q.awaitTermination(300)
+    from pyspark.sql import functions as F
+
+    written = spark.read.parquet(out)
+    assert written.count() > 0
+    assert written.filter(
+        F.col("url").contains("//host0.example/")
+    ).count() == 0
