@@ -126,8 +126,8 @@ def web_curate(docs: DataFrame, blocklist: DataFrame) -> DataFrame:
     tot AS (SELECT count(*) AS t FROM toks),
     agg AS (
       SELECT toks.doc_id, count(*) AS n_tokens,
-             sum(length(bin((SELECT t FROM tot)
-                 // (coalesce(v.c, 0) + 1))) - 1) AS sum_bits
+             CAST(sum(length(bin((SELECT t FROM tot)
+                 // (coalesce(v.c, 0) + 1))) - 1) AS BIGINT) AS sum_bits
       FROM toks LEFT JOIN vocab v USING (token)
       GROUP BY toks.doc_id
     ),
@@ -146,7 +146,7 @@ def web_curate(docs: DataFrame, blocklist: DataFrame) -> DataFrame:
     )
     SELECT k.lang, k.ppl_bucket,
            count(*) AS n_docs,
-           sum(k.n_tokens) AS total_tokens
+           CAST(sum(k.n_tokens) AS BIGINT) AS total_tokens
     FROM kept k SEMI JOIN winners w ON k.doc_id = w.doc_id
     GROUP BY k.lang, k.ppl_bucket
     """,

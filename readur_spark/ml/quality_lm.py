@@ -71,14 +71,24 @@ def unigram_vocab(
     """(vocab DataFrame (token, c), total token count T).
 
     T is the full stream's count (including tail types outside the
-    cap) — the model's denominator must cover all evidence."""
-    total = toks.count()
-    vocab = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.col("c").desc(), "token")
-        .limit(cap)
+    cap) — the model's denominator must cover all evidence. BOTH come
+    from ONE grouped (token, c) aggregate: T = sum(c) is a K-row agg
+    over the grouped frame (the index-build statistic), never a second
+    pass over the corpus token stream. The capped vocab (≤ `cap` rows
+    of (string, long)) is collected and rebuilt as a local relation so
+    the scoring join broadcasts a literal table — the final query plan
+    explodes the corpus exactly once."""
+    counts = (
+        toks.groupBy("token").agg(F.count("*").alias("c")).persist()
     )
+    try:
+        total = int(counts.agg(F.sum("c")).first()[0] or 0)
+        capped = counts.orderBy(F.col("c").desc(), "token").limit(cap)
+        schema = capped.schema
+        rows = capped.collect()
+    finally:
+        counts.unpersist()
+    vocab = toks.sparkSession.createDataFrame(rows, schema=schema)
     return vocab, total
 
 
@@ -145,11 +155,14 @@ def score_unigram_surprisal(
       FROM toks LEFT JOIN vocab v USING (token)
     ),
     agg AS (
-      SELECT doc_id, count(*) AS n_tokens, sum(bits) AS sum_bits
+      -- CAST: DuckDB's sum(BIGINT) is HUGEINT; Spark's is long — the
+      -- driver's value hash distinguishes them (round-3 red).
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(bits) AS BIGINT) AS sum_bits
       FROM scored GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, sum_bits,
-           (100 * sum_bits) // n_tokens AS mean_cbits,
+           CAST((100 * sum_bits) // n_tokens AS BIGINT) AS mean_cbits,
            CASE WHEN (100 * sum_bits) // n_tokens < {HEAD_MAX_CBITS}
                   THEN 'head'
                 WHEN (100 * sum_bits) // n_tokens < {MIDDLE_MAX_CBITS}
@@ -208,18 +221,32 @@ def score_bigram_surprisal(
     bg = docs.select(F.col(id_col), F.explode(pairs).alias("p")).select(
         id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
     )
-    bgc = (
-        bg.groupBy("prev", "cur")
-        .agg(F.count("*").alias("c_bg"))
-        .orderBy(F.col("c_bg").desc(), "prev", "cur")
-        .limit(vocab_cap)
+    # ONE pass over the bigram stream builds the full (prev, cur)
+    # count table; the context counts are derived from it exactly
+    # (c_prev = Σ_cur c(prev, cur)) — no second corpus explode. Both
+    # capped tables are ≤ vocab_cap rows, collected and rebuilt as
+    # local relations so the scoring joins broadcast literals.
+    spark = docs.sparkSession
+    bgc_full = (
+        bg.groupBy("prev", "cur").agg(F.count("*").alias("c_bg")).persist()
     )
-    pc = (
-        bg.groupBy("prev")
-        .agg(F.count("*").alias("c_prev"))
-        .orderBy(F.col("c_prev").desc(), "prev")
-        .limit(vocab_cap)
-    )
+    try:
+        bgc_top = (
+            bgc_full.orderBy(F.col("c_bg").desc(), "prev", "cur")
+            .limit(vocab_cap)
+        )
+        pc_top = (
+            bgc_full.groupBy("prev")
+            .agg(F.sum("c_bg").alias("c_prev"))
+            .orderBy(F.col("c_prev").desc(), "prev")
+            .limit(vocab_cap)
+        )
+        bgc_schema, pc_schema = bgc_top.schema, pc_top.schema
+        bgc_rows, pc_rows = bgc_top.collect(), pc_top.collect()
+    finally:
+        bgc_full.unpersist()
+    bgc = spark.createDataFrame(bgc_rows, schema=bgc_schema)
+    pc = spark.createDataFrame(pc_rows, schema=pc_schema)
     scored = (
         bg.join(F.broadcast(pc), "prev", "left")
         .join(F.broadcast(bgc), ["prev", "cur"], "left")
@@ -271,8 +298,10 @@ def score_bigram_surprisal(
       LEFT JOIN pc USING (prev)
       LEFT JOIN bgc USING (prev, cur)
     )
-    SELECT doc_id, count(*) AS n_bigrams, sum(bits) AS sum_bits,
-           (100 * sum(bits)) // count(*) AS mean_cbits
+    -- CAST: DuckDB sum(BIGINT) → HUGEINT vs Spark long (hash-visible)
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(bits) AS BIGINT) AS sum_bits,
+           CAST((100 * sum(bits)) // count(*) AS BIGINT) AS mean_cbits
     FROM scored GROUP BY doc_id
     """,
 )

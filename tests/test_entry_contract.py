@@ -110,6 +110,61 @@ def test_query_matches_oracle(name, spark, duck):
         raise AssertionError(f"{name}: value mismatch, first diffs {diffs}")
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_dtypes_match_spark_schema(name, spark, duck):
+    """Type-level twin of the driver's value hash (VERDICT r3 item 1).
+
+    The driver compares via pandas frames, where DuckDB's HUGEINT
+    (sum(BIGINT)) and DECIMAL render as float64 — hash-visible against
+    Spark's long even when every value is identical (`str()`-based
+    _norm above is strictly weaker and passed round 3's only red). The
+    Arrow schema preserves the exact result types, so asserting family
+    equality (int vs int, float vs float, str vs str, bool vs bool)
+    makes the whole class unrepresentable: an uncast sum() in any
+    oracle fails here, not in CORRECTNESS_r{{N}}.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    def spark_family(dt):
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return "int"
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return "float"
+        if isinstance(dt, T.StringType):
+            return "str"
+        if isinstance(dt, T.BooleanType):
+            return "bool"
+        return None  # timestamps/arrays/structs: value compare owns them
+
+    def arrow_family(t):
+        if pa.types.is_integer(t):
+            return "int"
+        if pa.types.is_floating(t):
+            return "float"
+        if pa.types.is_decimal(t):
+            return "decimal"  # never acceptable where Spark says int/float
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "str"
+        if pa.types.is_boolean(t):
+            return "bool"
+        return None
+
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_fields = {f.name.lower(): spark_family(f.dataType) for f in sdf.schema}
+    # LIMIT 0 wrap: the result schema without materializing the rows
+    tbl = duck.execute(
+        f"SELECT * FROM ({ORACLES[name]}) _dtype_probe LIMIT 0"
+    ).arrow()
+    bad = []
+    for f in tbl.schema:
+        want = spark_fields.get(f.name.lower())
+        got = arrow_family(f.type)
+        if want is not None and got != want:
+            bad.append((f.name, f"oracle={f.type}", f"spark wants {want}"))
+    assert bad == [], f"{name}: oracle/Spark dtype family mismatch: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(name, spark):
     sdf = QUERIES[name](spark, SF_DIR)

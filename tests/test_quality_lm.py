@@ -186,3 +186,50 @@ class TestBigramScoring:
         out = score_bigram_surprisal(docs)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestSinglePassVocab:
+    """VERDICT r3 item 3: the LM scorer must not re-explode the corpus
+    for T or the vocab — both derive from ONE grouped (token, c) agg,
+    and the final query plan explodes the token stream exactly once."""
+
+    def test_unigram_final_plan_has_one_generate(self, spark):
+        from readur_spark.ml.quality_lm import score_unigram_surprisal
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta w{i % 7} gamma delta") for i in range(60)],
+            "doc_id long, text string",
+        )
+        out = score_unigram_surprisal(docs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate") == 1, plan
+        # vocab rides as a local relation (collected once at build),
+        # so the scoring join needs no second aggregation of the corpus
+        assert "Python" not in plan and "ArrowEval" not in plan
+
+    def test_bigram_final_plan_has_one_generate(self, spark):
+        from readur_spark.ml.quality_lm import score_bigram_surprisal
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta w{i % 7} gamma delta") for i in range(60)],
+            "doc_id long, text string",
+        )
+        out = score_bigram_surprisal(docs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate") == 1, plan
+
+    def test_vocab_total_equals_stream_count(self, spark):
+        from pyspark.sql import functions as F
+        from readur_spark.ml.quality_lm import tokenize_alpha, unigram_vocab
+
+        docs = spark.createDataFrame(
+            [(1, "a b c a"), (2, "b b"), (3, "")],
+            "doc_id long, text string",
+        )
+        toks = docs.select(
+            "doc_id", F.explode(tokenize_alpha(F.col("text"))).alias("token")
+        )
+        vocab, total = unigram_vocab(toks, cap=2)
+        assert total == 6  # T covers ALL evidence, beyond the cap
+        got = {r["token"]: r["c"] for r in vocab.collect()}
+        assert got == {"b": 3, "a": 2}  # capped, count-desc ties by token
