@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from readur_spark.ml.linefilters import _GATE_SQL, c4_line_filter
+from readur_spark.ml.linefilters import c4_line_filter, gate_sql
 from readur_spark.ml.quality_lm import (
     HEAD_MAX_CBITS,
     MIDDLE_MAX_CBITS,
@@ -43,12 +43,33 @@ from readur_spark.queries.registry import register
 from readur_spark.queries.tables import SYNTH_URL_SQL, load, synthetic_url
 
 
-def web_curate(docs: DataFrame, blocklist: DataFrame) -> DataFrame:
+#: Registered operating point for the line gate (VERDICT r3 item 2):
+#: the synthetic corpus is single-line unpunctuated word-soup, so the
+#: terminal-punctuation rule would zero the chain (and prove nothing).
+#: The chain instead runs the length rule at 40 words — 331/500 docs
+#: pass, the rest drop — so composition bugs surface as value-hash
+#: diffs. Production web text uses the C4 defaults (5 words + punct),
+#: which c4_line_filter_clean pins separately.
+_WC_LINE_WORDS = 40
+_WC_REQUIRE_PUNCT = False
+
+
+def web_curate(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    *,
+    line_min_words: int = 5,
+    line_require_punct: bool = True,
+) -> DataFrame:
     """The composed chain; returns surviving docs with
     (doc_id, lang, clean_text, n_tokens, ppl_bucket)."""
     gated = with_url_gates(docs, blocklist).filter(F.col("url_keep"))
     cleaned = (
-        c4_line_filter(gated)
+        c4_line_filter(
+            gated,
+            min_words=line_min_words,
+            require_punct=line_require_punct,
+        )
         .filter(F.col("n_lines_kept") >= 1)
         .select("doc_id", "lang", "clean_text")
     )
@@ -103,10 +124,12 @@ def web_curate(docs: DataFrame, blocklist: DataFrame) -> DataFrame:
     cleaned AS (
       SELECT doc_id, lang,
              coalesce(array_to_string(list_filter(
-               string_split(text, chr(10)), x -> {_GATE_SQL}), chr(10)), '')
-               AS clean_text,
+               string_split(text, chr(10)),
+               x -> {gate_sql(_WC_LINE_WORDS, _WC_REQUIRE_PUNCT)}),
+               chr(10)), '') AS clean_text,
              len(list_filter(string_split(text, chr(10)),
-                 x -> {_GATE_SQL})) AS n_kept
+                 x -> {gate_sql(_WC_LINE_WORDS, _WC_REQUIRE_PUNCT)}))
+               AS n_kept
       FROM url_kept
     ),
     nonempty AS (
@@ -157,7 +180,12 @@ def web_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline."""
     docs = load(spark, sf_dir, "documents").withColumn("url", synthetic_url())
     bl = spark.createDataFrame([(d,) for d in _BLOCKED], "domain string")
-    out = web_curate(docs, bl)
+    out = web_curate(
+        docs,
+        bl,
+        line_min_words=_WC_LINE_WORDS,
+        line_require_punct=_WC_REQUIRE_PUNCT,
+    )
     return out.groupBy("lang", "ppl_bucket").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

@@ -45,24 +45,44 @@ LINE_DF_THRESHOLD = 5  # a line in >= this many docs is boilerplate
 _HASH_PREFIX = 16  # md5 hex chars per line key (64 bits)
 
 
-def _line_keep(ln: Column) -> Column:
-    """The C4 line gate as an expression over one line."""
+def _line_keep(
+    ln: Column,
+    *,
+    min_words: int = MIN_LINE_WORDS,
+    require_punct: bool = True,
+) -> Column:
+    """The C4 line gate as an expression over one line. `min_words`
+    and `require_punct` parameterize the two tunable rules (C4's paper
+    values are 5 and True); the javascript / curly-brace code gates
+    are unconditional."""
     words = F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != F.lit("")))
-    return (
-        F.rtrim(ln).rlike(TERMINAL_PUNCT_RE)
-        & (words >= MIN_LINE_WORDS)
+    keep = (
+        (words >= min_words)
         & ~F.lower(ln).contains("javascript")
         & ~ln.contains("{")
     )
+    if require_punct:
+        keep = keep & F.rtrim(ln).rlike(TERMINAL_PUNCT_RE)
+    return keep
 
 
 def c4_line_filter(
-    df: DataFrame, *, text_col: str = "text", out_col: str = "clean_text"
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    min_words: int = MIN_LINE_WORDS,
+    require_punct: bool = True,
 ) -> DataFrame:
     """Apply the C4 line gates inside each document; adds `out_col`
     plus n_lines / n_lines_kept counters. Pure projection."""
     lines = F.split(F.col(text_col), "\n")
-    kept = F.filter(lines, _line_keep)
+    kept = F.filter(
+        lines,
+        lambda ln: _line_keep(
+            ln, min_words=min_words, require_punct=require_punct
+        ),
+    )
     return (
         df.withColumn("n_lines", F.size(lines))
         .withColumn("n_lines_kept", F.size(kept))
@@ -149,13 +169,22 @@ def with_dup_line_stats(
 
 # ---- driver-contract queries -------------------------------------------
 
-_GATE_SQL = (
-    "regexp_matches(rtrim(x), '[.!?\"]$') "
-    "AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'), "
-    "w -> w <> '')) >= 5 "
-    "AND NOT contains(lower(x), 'javascript') "
-    "AND NOT contains(x, '{')"
-)
+def gate_sql(min_words: int = MIN_LINE_WORDS, require_punct: bool = True) -> str:
+    """DuckDB twin of `_line_keep` at the same operating point (the
+    oracle fragments must track the expression parameterization)."""
+    punct = (
+        "regexp_matches(rtrim(x), '[.!?\"]$') AND " if require_punct else ""
+    )
+    return (
+        punct
+        + "len(list_filter(regexp_split_to_array(trim(x), '\\s+'), "
+        + f"w -> w <> '')) >= {min_words} "
+        + "AND NOT contains(lower(x), 'javascript') "
+        + "AND NOT contains(x, '{')"
+    )
+
+
+_GATE_SQL = gate_sql()
 
 
 @register(

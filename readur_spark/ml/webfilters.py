@@ -62,12 +62,20 @@ def web_filter_signals(
     min_words: int = MIN_WORDS,
     max_words: int = MAX_WORDS,
     min_unique_ratio: float = MIN_UNIQUE_RATIO,
+    stop_words: list[str] | None = None,
+    min_stop_hits: int = MIN_STOPWORD_HITS,
 ) -> dict[str, Column]:
     """Columnar C4/Gopher signals over a text column.
 
     Returns named expressions; callers select the ones they want. All
     integer/flag outputs are exact; ratios are IEEE divisions of exact
     integers (deterministic across engines).
+
+    `stop_words` parameterizes the Gopher stopword gate the way the
+    paper does per language (its English list is one instance): the
+    gate's semantics — "a real document contains at least
+    `min_stop_hits` distinct function words of its language" — are
+    fixed; the word list is the language model.
     """
     # \s+ over trimmed text (same tokenization as textqc.token_count):
     # single-space splitting would count "" tokens on double spaces and
@@ -77,7 +85,7 @@ def web_filter_signals(
     n_words = F.size(toks)
     alpha_chars = F.length(F.regexp_replace(text, r"\s+", ""))
     mean_wl = alpha_chars.cast("double") / n_words
-    stop_arr = F.array(*[F.lit(w) for w in ENGLISH_WORDS])
+    stop_arr = F.array(*[F.lit(w) for w in (stop_words or ENGLISH_WORDS)])
     n_stop_distinct = F.size(F.array_intersect(toks, stop_arr))
     uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_words
 
@@ -85,7 +93,7 @@ def web_filter_signals(
     f_word_len = (
         ~mean_wl.between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
     ).cast("int")
-    f_stopwords = (n_stop_distinct < MIN_STOPWORD_HITS).cast("int")
+    f_stopwords = (n_stop_distinct < min_stop_hits).cast("int")
     f_repetitive = (uniq_ratio < min_unique_ratio).cast("int")
     keep = (
         (f_word_count == 0)

@@ -110,6 +110,17 @@ def test_query_matches_oracle(name, spark, duck):
         raise AssertionError(f"{name}: value mismatch, first diffs {diffs}")
 
 
+@pytest.mark.parametrize(
+    "name", ["training_yield_report", "web_curation_report", "curation_pipeline"]
+)
+def test_composed_chains_yield_rows(name, spark):
+    """VERDICT r3 item 2: an empty chain result matches any number of
+    composition bugs — the value-hash over the composed reports is only
+    evidence if the fixture actually flows rows through every stage."""
+    sdf = QUERIES[name](spark, SF_DIR)
+    assert sdf.count() > 0, f"{name} is vacuous at sf0.01"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_dtypes_match_spark_schema(name, spark, duck):
     """Type-level twin of the driver's value hash (VERDICT r3 item 1).
