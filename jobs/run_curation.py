@@ -155,10 +155,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.lm_filter:
         from readur_spark.ml.quality_lm import score_unigram_surprisal
 
-        keep_ids = score_unigram_surprisal(
+        # Anti-join the ids scored 'tail' rather than semi-joining the
+        # kept ids: documents with zero alphabetic tokens never get a
+        # score row, and the min-words document gate — not this flag —
+        # owns that decision (ADVICE r3).
+        tail_ids = score_unigram_surprisal(
             docs, text_col=args.text_col, id_col=args.url_col
-        ).filter(F.col("ppl_bucket") != "tail").select(args.url_col)
-        docs = docs.join(keep_ids, args.url_col, "left_semi")
+        ).filter(F.col("ppl_bucket") == "tail").select(args.url_col)
+        docs = docs.join(tail_ids, args.url_col, "left_anti")
 
     text = F.col(args.text_col)
 

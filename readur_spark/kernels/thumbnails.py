@@ -75,11 +75,17 @@ def text_thumbnail_pixels(data: bytes) -> np.ndarray:
     """Pixel-exact reimplementation of generate_text_based_thumbnail
     (file_service.rs:411-466): green background; for each of the first
     15 lines of "TXT\\n<text>" place a white 2-px mark per character
-    (≤25/line) at x=10+7·char, y=20+12·line. The reference truncates at
-    300 *bytes* before trimming; mirrored here with a lossy decode."""
+    (≤25/line) at x=10+7·char, y=20+12·line. The reference lossy-decodes
+    FIRST, then slices the decoded string at 300 bytes — mirrored here
+    on the decoded string's UTF-8 length. Only deviation: where Rust's
+    `&s[..300]` would panic on a char boundary, we back off to the
+    previous boundary instead (panic-avoidance, documented)."""
     text = data.decode("utf-8", errors="replace") if data else ""
-    if len(data or b"") > 300:
-        text = data[:300].decode("utf-8", errors="replace")
+    enc = text.encode("utf-8")
+    if len(enc) > 300:
+        # enc is valid UTF-8 by construction, so "ignore" only drops
+        # the truncated trailing sequence (the boundary back-off).
+        text = enc[:300].decode("utf-8", errors="ignore")
     preview = "TXT\n" + text.strip()
     img = np.empty((THUMB_MAX, THUMB_MAX, 3), dtype=np.uint8)
     img[:] = _TEXT_BG

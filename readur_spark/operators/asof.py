@@ -17,7 +17,13 @@ formulation instead:
 
 One shuffle total, zero join fanout, state bounded per key, no
 Python. Ties (equal ts) resolve inclusively: the right row sorts
-before the left row at the same instant (side 0 < 1).
+before the left row at the same instant (side 0 < 1). The right
+payload travels as ONE struct (ts + all value columns) carried by a
+single `last(ignorenulls=True)` — so a matched right row with NULL
+value columns is still carried atomically (no mixing an older row's
+value with a newer row's ts), and the struct doubles as the final
+window sort key, making equal-(key, ts) right rows resolve
+identically on every run.
 
 The reference engine's analogue is matching each processed document
 to the source-sync state current at its processing time
@@ -29,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from readur_spark.queries.registry import register
 from readur_spark.queries.tables import load
@@ -55,34 +62,42 @@ def asof_join(
     """
     carried = list(right_value_cols) + [ts_col]
     left_cols = [c for c in left.columns]
-    l = left.withColumn("_side", F.lit(1))
-    for c in right_value_cols:
-        l = l.withColumn(f"{prefix}{c}", F.lit(None).cast(right.schema[c].dataType))
-    l = l.withColumn(f"{prefix}{ts_col}", F.lit(None).cast(right.schema[ts_col].dataType))
+    carry_type = StructType(
+        [StructField(f"{prefix}{c}", right.schema[c].dataType) for c in carried]
+    )
 
+    l = left.withColumn("_side", F.lit(1)).withColumn(
+        "_carry", F.lit(None).cast(carry_type)
+    )
     r = right.select(
         *keys,
         F.col(ts_col),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_value_cols],
-        F.col(ts_col).alias(f"{prefix}{ts_col}"),
+        F.struct(
+            *[F.col(c).alias(f"{prefix}{c}") for c in carried]
+        ).alias("_carry"),
     ).withColumn("_side", F.lit(0))
     for c in left_cols:
         if c not in keys and c != ts_col:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
-    out_cols = left_cols + [f"{prefix}{c}" for c in carried]
-    u = l.select(*out_cols, "_side").unionByName(r.select(*out_cols, "_side"))
+    u = l.select(*left_cols, "_side", "_carry").unionByName(
+        r.select(*left_cols, "_side", "_carry")
+    )
 
+    # _carry as the final sort key: equal-(key, ts) right rows order by
+    # struct value, so the carried match is run- and engine-stable.
+    # NULL _carry (left rows) sorts first, which is irrelevant at
+    # side=1 since _side already orders right before left.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts_col, "_side")
+        .orderBy(ts_col, "_side", "_carry")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carried:
-        u = u.withColumn(
-            f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w)
-        )
-    return u.filter(F.col("_side") == 1).drop("_side")
+    u = u.withColumn("_match", F.last("_carry", ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).select(
+        *left_cols,
+        *[F.col(f"_match.{prefix}{c}").alias(f"{prefix}{c}") for c in carried],
+    )
 
 
 # ---- driver-contract query ---------------------------------------------

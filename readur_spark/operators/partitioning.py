@@ -22,7 +22,7 @@ Two mechanisms, both explicit:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,10 +50,15 @@ def repartition_by_url_hash(df: DataFrame, num_partitions: int) -> DataFrame:
 
 def heavy_hosts(df: DataFrame, threshold_fraction: float = 0.01) -> DataFrame:
     """Hosts holding > threshold_fraction of all rows (the salting
-    set). One pass, partial-aggregatable."""
+    set). One pass, partial-aggregatable: the total comes from a window
+    sum over the per-host counts, not a second scan of `df`."""
     hosts = with_host(df).groupBy("host").count()
-    total = df.count()
-    return hosts.filter(F.col("count") > total * threshold_fraction).select("host")
+    total = F.sum("count").over(Window.partitionBy())
+    return (
+        hosts.withColumn("_total", total)
+        .filter(F.col("count") > F.col("_total") * threshold_fraction)
+        .select("host")
+    )
 
 
 def salted_host_key(

@@ -73,6 +73,46 @@ class TestAsofJoin:
         assert "Python" not in plan
         assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
 
+    def test_null_right_payload_carried_atomically(self, spark):
+        """ADVICE r3: a matched right row whose value column is NULL
+        must yield (NULL value, its own ts) — never an older row's
+        value paired with the newer row's ts. The struct carry makes
+        the match atomic per right row."""
+        left = spark.createDataFrame(
+            [(1, "k", ts("2024-01-01T10:00:00"))], "qid long, k string, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                ("k", ts("2024-01-01T08:00:00"), 100),
+                ("k", ts("2024-01-01T09:00:00"), None),  # latest match, NULL v
+            ],
+            "k string, ts timestamp, v long",
+        )
+        row = asof_join(
+            left, right, keys=["k"], ts_col="ts", right_value_cols=["v"]
+        ).collect()[0]
+        assert row["ref_ts"] == ts("2024-01-01T09:00:00")
+        assert row["ref_v"] is None
+
+    def test_equal_ts_right_duplicates_deterministic(self, spark):
+        """ADVICE r3: several right rows sharing (key, ts) resolve to
+        the same carried match on every run — the struct itself is the
+        window tiebreaker (max struct wins at equal ts)."""
+        left = spark.createDataFrame(
+            [(1, "k", ts("2024-01-01T10:00:00"))], "qid long, k string, ts timestamp"
+        )
+        dup = [("k", ts("2024-01-01T09:00:00"), v) for v in (7, 3, 9, 1)]
+        vals = set()
+        for n_part in (1, 3, 8):
+            right = spark.createDataFrame(
+                dup, "k string, ts timestamp, v long"
+            ).repartition(n_part)
+            row = asof_join(
+                left, right, keys=["k"], ts_col="ts", right_value_cols=["v"]
+            ).collect()[0]
+            vals.add(row["ref_v"])
+        assert vals == {9}  # max struct at the tied ts, every time
+
     def test_deterministic_under_repartition(self, frames):
         left, right = frames
         a = sorted(

@@ -225,6 +225,37 @@ class TestThumbnails:
         assert (long[32, 10 + 24 * 7] == 255).all()
         assert tuple(long[32, 10 + 25 * 7]) == (34, 139, 34)
 
+    def test_text_thumbnail_truncates_decoded_not_raw(self):
+        # ADVICE r3: the reference slices the already-lossy-DECODED
+        # string at 300 bytes. Invalid UTF-8 inflates to 3-byte U+FFFD
+        # on decode, so raw-byte truncation sees a different prefix.
+        import numpy as np
+
+        from readur_spark.kernels.thumbnails import text_thumbnail_pixels
+
+        # 150 invalid bytes -> 150 U+FFFD = 450 decoded bytes: decoded
+        # truncation keeps exactly 100 chars (300/3); raw truncation
+        # would have kept all 150. Line 1 shows min(100,25)=25 marks —
+        # same clip — so distinguish via multi-line: newline after 99
+        # replacement chars must survive decoded-side truncation.
+        data = b"\xff" * 99 + b"\n" + b"A" * 10 + b"\xff" * 200
+        px = text_thumbnail_pixels(data)
+        # decoded: 99*3=297 bytes + '\n' (298) + 'AA' (300) -> line 2
+        # begins "AA" only; a raw-300 slice would have kept all 10 A's
+        # plus replacement marks beyond.
+        assert (px[44, 10] == 255).all()            # 'A' at char 0
+        assert (px[44, 10 + 1 * 7] == 255).all()    # 'A' at char 1
+        assert tuple(px[44, 10 + 2 * 7]) == (34, 139, 34)  # truncated here
+
+    def test_text_thumbnail_backs_off_char_boundary(self):
+        # Only documented deviation from file_service.rs: Rust would
+        # panic slicing mid-char; we back off to the prior boundary.
+        from readur_spark.kernels.thumbnails import text_thumbnail_pixels
+
+        # 299 ASCII bytes + one 3-byte char straddling the 300 mark
+        px = text_thumbnail_pixels(b"x" * 299 + "€".encode("utf-8"))
+        assert px.shape == (200, 200, 3)  # no exception, boundary-safe
+
     def test_thumbnail_table_covers_every_page(self, spark):
         from readur_spark.corpus import synthetic_pages
         from readur_spark.ml.multimodal import thumbnail_table
