@@ -22,10 +22,10 @@ reference whenever document structure varies:
     (no document-length scaling), default weights {D:0.1, C:0.2,
     B:0.4, A:1.0} with every to_tsvector position labeled D.
 
-Documented deviations from the reference's Postgres deployment:
-  - text config 'simple', not 'english': no Snowball stemming and no
-    stopword removal (the synthetic corpus is already lowercase
-    [a-z0-9 ] text where the two coincide for non-inflected terms);
+Configs: 'simple' (this module's tsvector) and 'english'
+(kernels/stem.py — Snowball stemmer + stopword removal, the
+reference's actual `to_tsvector('english', …)`; ts_rank_english
+below). Remaining documented deviation:
   - arithmetic at float64, not Postgres float4 — same formula, ulp-
     level differences only (sub-1e-7, ordering-neutral except exact
     ties), which keeps the DuckDB oracle reproducible.
@@ -128,6 +128,31 @@ def ts_rank_simple(text: str, terms: list[str], mode: str = "and") -> float:
     tsv = simple_tsvector(text)
     pos_lists = [tsv.get(t.lower()) for t in terms]
     if mode == "and" and len(terms) >= 2:
+        res = calc_rank_and(pos_lists)
+    else:
+        res = calc_rank_or(pos_lists)
+    if res < 0:
+        res = 1e-20
+    return res
+
+
+def ts_rank_english(text: str, query: str, mode: str = "and") -> float:
+    """ts_rank(to_tsvector('english', text),
+    plainto_tsquery('english', query)) with default normalization —
+    the reference's exact call shape (search.rs:69-93). Stopwords in
+    the QUERY drop out of the tsquery; stopwords in the DOCUMENT still
+    consume positions (kernels/stem.english_tsvector)."""
+    from readur_spark.kernels.stem import (
+        english_tsvector,
+        plainto_tsquery_english,
+    )
+
+    lexemes = plainto_tsquery_english(query)
+    if not lexemes:
+        return 1e-20  # empty tsquery matches nothing
+    tsv = english_tsvector(text)
+    pos_lists = [tsv.get(lx) for lx in lexemes]
+    if mode == "and" and len(lexemes) >= 2:
         res = calc_rank_and(pos_lists)
     else:
         res = calc_rank_or(pos_lists)

@@ -14,6 +14,8 @@ on text, but column pruning keeps the scan to the text column only.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -196,6 +198,182 @@ def search_rank_tsrank_single(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "rank_ts": [
                         round(ts_rank_simple(t, ["spark"]), 6)
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return matched.mapInPandas(rank, schema="doc_id long, rank_ts double")
+
+
+# ---- B4/B5 'english' text-search config (VERDICT r3 item 4) ----------------
+#
+# The reference's actual config is 'english'
+# (to_tsvector('english', content) / plainto_tsquery('english', q),
+# src/db/documents/search.rs:100-129): Snowball stemming + stopword
+# removal, so "queries" matches documents containing "query". The
+# kernels live in kernels/stem.py (from-spec Porter2, pinned against
+# the algorithm's published sample vocabulary in tests/test_stem.py).
+#
+# Oracle strategy: DuckDB has no offline stemmer, so the oracle replays
+# lexeme assignment through a LITERAL (token → lexeme) map over the
+# fixture's closed 31-token vocabulary. The map is generated by the
+# same kernel — deliberately: the driver hash then pins the
+# Spark-vs-SQL PLUMBING (tsvector storage rules, position arithmetic,
+# rank formula), while the stemmer itself is pinned non-circularly by
+# the published-vocabulary goldens. Unmapped tokens fall back to
+# themselves (the identity stem), which is exact for this corpus.
+
+_FIXTURE_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def _stem_values_sql() -> str:
+    from readur_spark.kernels.stem import ENGLISH_STOPWORDS, porter2_stem
+
+    pairs = [
+        f"('{w}', '{porter2_stem(w)}')"
+        for w in _FIXTURE_VOCAB
+        if w not in ENGLISH_STOPWORDS
+    ]
+    return ", ".join(pairs)
+
+
+def english_lexemes_udf():
+    """array<string> of DISTINCT english-config lexemes per text —
+    Arrow-batched with a per-batch memo cache (Zipf vocabulary ⇒ the
+    stemmer runs once per distinct token, not once per occurrence).
+    The production scan-path primitive for english FTS predicates; at
+    posting-index build time the same lexemes feed operators/posting."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def english_lexemes(texts: pd.Series) -> pd.Series:
+        from readur_spark.kernels.stem import ENGLISH_STOPWORDS, porter2_stem
+        from readur_spark.kernels.tsrank import _TOKEN_RE
+
+        cache: dict[str, str] = {}
+
+        def lex(t):
+            if t is None:
+                return None
+            out = set()
+            for tok in _TOKEN_RE.findall(t.lower()):
+                if tok in ENGLISH_STOPWORDS:
+                    continue
+                s = cache.get(tok)
+                if s is None:
+                    s = cache[tok] = porter2_stem(tok)
+                out.add(s)
+            return sorted(out)
+
+        return texts.map(lex)
+
+    return english_lexemes
+
+
+@register(
+    "search_simple_and_english",
+    oracle=f"""
+    WITH stems(tok, lex) AS (VALUES {_stem_values_sql()}),
+    lx AS (
+      SELECT p.doc_id, coalesce(s.lex, p.tok) AS lex
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) p
+      LEFT JOIN stems s ON p.tok = s.tok
+    )
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM lx WHERE lex = 'queri')
+      AND doc_id IN (SELECT doc_id FROM lx WHERE lex = 'tabl')
+    """,
+)
+def search_simple_and_english(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 at the reference's real config: plainto_tsquery('english',
+    'The queries table!') = 'queri' & 'tabl' — the INFLECTED query
+    terms match documents containing the base forms "query"/"table",
+    which 'simple' config misses entirely. Stopword 'The' drops out of
+    the tsquery (search.rs:100-106)."""
+    from readur_spark.kernels.stem import plainto_tsquery_english
+
+    lexemes = plainto_tsquery_english("The queries table!")
+    docs = load(spark, sf_dir, "documents")
+    lex = english_lexemes_udf()
+    matched = docs.withColumn("_lex", lex(F.col("text")))
+    for lx in lexemes:
+        matched = matched.filter(F.array_contains("_lex", lx))
+    return matched.select("doc_id", "lang", "n_chars")
+
+
+_TSRANK_ENGLISH_ORACLE = f"""
+    WITH stems(tok, lex) AS (VALUES {_stem_values_sql()}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS p
+      FROM toks
+    ), lexpos AS (
+      SELECT p.doc_id, coalesce(s.lex, p.tok) AS lex, p.p
+      FROM pos p LEFT JOIN stems s ON p.tok = s.tok
+    ), clamped AS (
+      SELECT DISTINCT doc_id, lex, least(p, 16383) AS p
+      FROM lexpos WHERE lex IN ('queri', 'join')
+    ), capped AS (
+      SELECT doc_id, lex, p FROM (
+        SELECT doc_id, lex, p,
+               row_number() OVER (PARTITION BY doc_id, lex ORDER BY p) AS rn
+        FROM clamped
+      ) WHERE rn <= 256
+    ), pairs AS (
+      SELECT a.doc_id, abs(a.p - b.p) AS dist
+      FROM capped a JOIN capped b
+        ON a.doc_id = b.doc_id AND a.lex = 'queri' AND b.lex = 'join'
+    ), curw AS (
+      SELECT doc_id,
+             0.1 * sqrt(CASE WHEN dist > 100 THEN 1e-30
+                        ELSE 1.0 / (1.005 + 0.05 * exp(dist * dist / 1500.0))
+                        END) AS w
+      FROM pairs
+    )
+    SELECT doc_id, round(1.0 - product(1.0 - w), 6) AS rank_ts
+    FROM curw GROUP BY doc_id
+"""
+
+
+@register("search_rank_tsrank_english", oracle=_TSRANK_ENGLISH_ORACLE)
+def search_rank_tsrank_english(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 at the reference's real config: ts_rank(
+    to_tsvector('english', text), plainto_tsquery('english',
+    'the queries join')) — search.rs:69-93 verbatim call shape.
+    Document positions count stopwords (to_tsvector keeps numbering
+    through them); query stopwords vanish; 'queries' ranks documents
+    containing 'query'. Oracle replays tsvector storage rules and the
+    calc_rank_and pair walk over the literal lexeme map."""
+    import pandas as pd
+
+    query = "the queries join"
+    from readur_spark.kernels.stem import plainto_tsquery_english
+
+    lexemes = plainto_tsquery_english(query)
+    docs = load(spark, sf_dir, "documents")
+    lex = english_lexemes_udf()
+    matched = docs.withColumn("_lex", lex(F.col("text")))
+    for lx in lexemes:
+        matched = matched.filter(F.array_contains("_lex", lx))
+    matched = matched.select("doc_id", "text")
+
+    def rank(batches):
+        from readur_spark.kernels.tsrank import ts_rank_english
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "rank_ts": [
+                        round(ts_rank_english(t, query), 6)
                         for t in pdf["text"]
                     ],
                 }
