@@ -19,7 +19,7 @@ import zlib
 
 import numpy as np
 
-from readur_spark.kernels.image import encode_png_gray
+from readur_spark.kernels.image import encode_png_gray, encode_png_rgb
 
 _VOCAB = (
     "the quick brown fox jumps over lazy dog pack my box with five dozen "
@@ -190,7 +190,14 @@ def build_png(rng: random.Random, dims_idx: int) -> bytes:
         np.float64
     )
     img += rs.randint(0, 40, size=(h, w))
-    return encode_png_gray(np.clip(img, 0, 255).astype(np.uint8))
+    gray = np.clip(img, 0, 255).astype(np.uint8)
+    if seed % 2 == 0:
+        # half the pages are truecolor (decided off the already-drawn
+        # seed — no extra RNG consumption) so the corpus exercises the
+        # color decode → color thumbnail path end-to-end
+        rgb = np.stack([gray, gray[::-1, :], 255 - gray], axis=-1)
+        return encode_png_rgb(rgb)
+    return encode_png_gray(gray)
 
 
 # --- corpus ---------------------------------------------------------------

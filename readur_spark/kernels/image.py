@@ -118,14 +118,70 @@ def encode_png_gray(img: np.ndarray) -> bytes:
     )
 
 
-def decode_png_gray(data: bytes) -> np.ndarray | None:
-    """Decode 8-bit grayscale PNGs with row filters 0 (None), 1 (Sub),
-    2 (Up). Returns None for anything else (treated as undecodable —
-    the OCR branch then fails with a classified error)."""
+def encode_png_rgb(img: np.ndarray) -> bytes:
+    """Deterministic 8-bit truecolor PNG (color type 2, filter 0 rows,
+    fixed zlib level) — the color sibling of encode_png_gray; used by
+    the synthetic datagen's color pages and the thumbnail tests."""
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_png_rgb expects an (H,W,3) array")
+    h, w = img.shape[:2]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB, 8-bit
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    idat = zlib.compress(raw, 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray | None:
+    """Undo PNG row filters 0 (None), 1 (Sub), 2 (Up) over byte rows of
+    width w·bpp. Returns (h, w·bpp) uint8 or None on an unsupported
+    filter (3/4 never appear in engine-written streams)."""
+    stride = w * bpp + 1
+    if len(raw) < stride * h:
+        return None
+    out = np.empty((h, w * bpp), dtype=np.uint8)
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        ftype = row[0]
+        body = np.frombuffer(row[1:], dtype=np.uint8).copy()
+        if ftype == 0:
+            line = body
+        elif ftype == 1:
+            line = body
+            for i in range(bpp, w * bpp):
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
+        elif ftype == 2:
+            line = (body.astype(np.int16) + prev.astype(np.int16)).astype(np.uint8)
+        else:
+            return None
+        out[r] = line
+        prev = line
+    return out
+
+
+def _decode_png_planes(data: bytes) -> np.ndarray | None:
+    """Shared PNG walk: returns (h,w) gray for color type 0, (h,w,3)
+    RGB for color type 2, None outside the 8-bit 0/2 profile."""
     if not data.startswith(b"\x89PNG\r\n\x1a\n"):
         return None
     pos = 8
-    w = h = None
+    w = h = color_type = None
     idat = b""
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -133,7 +189,7 @@ def decode_png_gray(data: bytes) -> np.ndarray | None:
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
             w, h, bit_depth, color_type = struct.unpack(">IIBB", payload[:10])
-            if bit_depth != 8 or color_type != 0:
+            if bit_depth != 8 or color_type not in (0, 2):
                 return None
         elif tag == b"IDAT":
             idat += payload
@@ -146,27 +202,46 @@ def decode_png_gray(data: bytes) -> np.ndarray | None:
         raw = zlib.decompress(idat)
     except zlib.error:
         return None
-    stride = w + 1
-    if len(raw) < stride * h:
+    bpp = 1 if color_type == 0 else 3
+    flat = _png_unfilter(raw, w, h, bpp)
+    if flat is None:
         return None
-    img = np.empty((h, w), dtype=np.uint8)
-    prev = np.zeros(w, dtype=np.uint8)
-    for r in range(h):
-        row = raw[r * stride : (r + 1) * stride]
-        ftype, body = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
-        if ftype == 0:
-            line = body
-        elif ftype == 1:
-            line = body
-            for i in range(1, w):
-                line[i] = (int(line[i]) + int(line[i - 1])) & 0xFF
-        elif ftype == 2:
-            line = (body.astype(np.int16) + prev.astype(np.int16)).astype(np.uint8)
-        else:
-            return None
-        img[r] = line
-        prev = line
-    return img
+    return flat.reshape(h, w) if bpp == 1 else flat.reshape(h, w, 3)
+
+
+def rgb_to_luma(rgb: np.ndarray) -> np.ndarray:
+    """Rec. 601 luma (0.299/0.587/0.114, the same weights as the JPEG
+    codec's Y plane), rounded to uint8 — the engine's one color→gray
+    convention for the OCR-side pipeline."""
+    y = (
+        0.299 * rgb[..., 0].astype(np.float64)
+        + 0.587 * rgb[..., 1].astype(np.float64)
+        + 0.114 * rgb[..., 2].astype(np.float64)
+    )
+    return np.clip(np.round(y), 0, 255).astype(np.uint8)
+
+
+def decode_png_gray(data: bytes) -> np.ndarray | None:
+    """Decode 8-bit PNGs (color types 0 and 2, row filters 0/1/2) to a
+    grayscale plane — truecolor streams go through rgb_to_luma, the
+    engine's analogue of the reference's DynamicImage::to_luma8 before
+    OCR. Returns None for anything else (treated as undecodable — the
+    OCR branch then fails with a classified error)."""
+    planes = _decode_png_planes(data)
+    if planes is None:
+        return None
+    return planes if planes.ndim == 2 else rgb_to_luma(planes)
+
+
+def decode_png_rgb(data: bytes) -> np.ndarray | None:
+    """Decode 8-bit PNGs to (H,W,3) RGB; grayscale streams are
+    replicated across channels."""
+    planes = _decode_png_planes(data)
+    if planes is None:
+        return None
+    if planes.ndim == 2:
+        return np.repeat(planes[..., None], 3, axis=2)
+    return planes
 
 
 def decode_image_gray(data: bytes) -> np.ndarray | None:
@@ -181,6 +256,23 @@ def decode_image_gray(data: bytes) -> np.ndarray | None:
         from readur_spark.kernels.jpeg import decode_jpeg_gray
 
         return decode_jpeg_gray(data)
+    return None
+
+
+def decode_image_rgb(data: bytes) -> np.ndarray | None:
+    """Color sibling of decode_image_gray: (H,W,3) uint8 RGB from PNG
+    (types 0/2) or baseline JPEG (gray or YCbCr 4:4:4); None =
+    undecodable. The thumbnail path (A35) decodes through this so
+    color sources keep their color, matching the reference's
+    image::resize over the source DynamicImage."""
+    if not data:
+        return None
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_rgb(data)
+    if data[:2] == b"\xFF\xD8":
+        from readur_spark.kernels.jpeg import decode_jpeg_rgb
+
+        return decode_jpeg_rgb(data)
     return None
 
 

@@ -22,18 +22,18 @@ Round-3 codec parity: output is baseline YCbCr 4:4:4 JFIF JPEG at the
 `image` crate's default quality (75) via the engine's own T.81 codec
 (kernels/jpeg.py) — the PNG-output deviation of earlier rounds is
 retired. Resampling is Lanczos3 (kernels.image.lanczos3_resize), the
-same algorithm as image::resize(FilterType::Lanczos3). Remaining
-documented deviation: the engine's pixel pipeline is grayscale, so
-image thumbnails encode the gray plane replicated to RGB (the
-reference keeps source color); placeholders and text thumbnails are
-exact-color.
+same algorithm as image::resize(FilterType::Lanczos3). Round-4:
+image thumbnails decode through decode_image_rgb and resize each
+channel, so color sources keep their color end-to-end (the r3
+gray-plane deviation is retired); placeholders and text thumbnails
+were always exact-color.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from readur_spark.kernels.image import decode_image_gray, lanczos3_resize
+from readur_spark.kernels.image import decode_image_rgb, lanczos3_resize
 from readur_spark.kernels.jpeg import encode_jpeg_rgb
 from readur_spark.kernels.mime import url_extension
 
@@ -114,15 +114,16 @@ def generate_thumbnail(url: str, data: bytes) -> dict:
     reference-parity fallbacks everywhere else."""
     ext = url_extension(url)
     if ext in _IMAGE_EXTS:
-        img = decode_image_gray(data)
+        img = decode_image_rgb(data)
         if img is None:
             # undecodable image → placeholder (the reference's error
             # arm returns Err → caller placeholder)
             return _row(url, placeholder_thumbnail(ext.upper()), "placeholder")
-        h, w = img.shape
+        h, w = img.shape[:2]
         nw, nh = fit_box(w, h)
-        thumb = lanczos3_resize(img, nw, nh)
-        rgb = np.repeat(thumb[..., None], 3, axis=2)
+        rgb = np.stack(
+            [lanczos3_resize(img[..., c], nw, nh) for c in range(3)], axis=-1
+        )
         return _row(url, encode_jpeg_rgb(rgb, JPEG_QUALITY), "image", nw, nh)
     if ext == "pdf":
         # pdftoppm is capability-gated out in this container; the

@@ -158,6 +158,46 @@ class TestThumbnails:
         decoded = decode_jpeg_gray(bytes(row["thumbnail"]))
         assert decoded.shape == (150, 200)
 
+    def test_color_thumbnail_preserves_color(self):
+        # r4: color sources keep their color end-to-end (the r3
+        # gray-plane deviation is retired) — a red/blue split PNG must
+        # come out of the JPEG with distinctly red and blue halves
+        import numpy as np
+
+        from readur_spark.kernels.image import encode_png_rgb
+        from readur_spark.kernels.jpeg import decode_jpeg_rgb
+        from readur_spark.kernels.thumbnails import generate_thumbnail
+
+        src = np.zeros((400, 400, 3), dtype=np.uint8)
+        src[:, :200] = (200, 30, 30)   # left: red
+        src[:, 200:] = (30, 30, 200)   # right: blue
+        row = generate_thumbnail("https://x.example/c.png", encode_png_rgb(src))
+        assert row["thumb_kind"] == "image"
+        rgb = decode_jpeg_rgb(bytes(row["thumbnail"]))
+        assert rgb.shape == (200, 200, 3)
+        left = rgb[50:150, 30:70].reshape(-1, 3).mean(axis=0)
+        right = rgb[50:150, 130:170].reshape(-1, 3).mean(axis=0)
+        assert left[0] > left[2] + 100, left    # red dominates
+        assert right[2] > right[0] + 100, right  # blue dominates
+
+    def test_png_rgb_roundtrip_and_luma(self):
+        import numpy as np
+
+        from readur_spark.kernels.image import (
+            decode_image_gray,
+            decode_image_rgb,
+            encode_png_rgb,
+            rgb_to_luma,
+        )
+
+        g = np.tile(np.arange(256, dtype=np.uint8), (64, 1))[:, :120]
+        rgb = np.stack([g, g[::-1, :], 255 - g], axis=-1)
+        data = encode_png_rgb(rgb)
+        # lossless truecolor round-trip
+        assert np.array_equal(decode_image_rgb(data), rgb)
+        # gray decode of a color PNG = Rec.601 luma (the OCR-side view)
+        assert np.array_equal(decode_image_gray(data), rgb_to_luma(rgb))
+
     def test_jpeg_input_decodes(self):
         # the image branch accepts real baseline JPEG payloads (.jpg
         # urls carried PNG-or-nothing before the round-3 codec landed)
