@@ -627,15 +627,60 @@ def search_suggestions(query: str) -> list[str]:
     return out[:3]
 
 
-# ---- B10: snippets (pandas UDF, rows-only driver check) --------------------
+# ---- B10: snippets (pandas UDF, full multi-snippet oracle r4) --------------
 
 
-@register("search_snippets")
+@register(
+    "search_snippets",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, string_split(text, 'spark') AS parts
+      FROM documents WHERE strpos(text, 'spark') > 0
+    ), occ AS (
+      SELECT doc_id, text, parts,
+             unnest(range(1, least(len(parts), 4))) AS k
+      FROM p
+    ), m AS (
+      SELECT doc_id, text,
+             CAST(list_sum(list_transform(parts[1:k], x -> len(x)))
+                  + (k - 1) * 5 AS BIGINT) AS mp
+      FROM occ
+    ), s AS (
+      SELECT doc_id, text, mp,
+        CASE WHEN mp >= 30 THEN
+          (CASE WHEN strpos(reverse(substr(text, 1, mp - 29)), ' ') > 0
+                THEN (mp - 29) - strpos(reverse(substr(text, 1, mp - 29)), ' ')
+                ELSE 0 END)
+        ELSE 0 END AS ss
+      FROM m
+    ), e AS (
+      SELECT doc_id, text, mp, ss,
+        CASE WHEN ss + 60 < len(text) THEN
+          (CASE WHEN strpos(substr(text, ss + 61), ' ') > 0
+                THEN ss + 60 + strpos(substr(text, ss + 61), ' ') - 1
+                ELSE len(text) END)
+        ELSE len(text) END AS se
+      FROM s
+    )
+    SELECT doc_id,
+           substr(text, ss + 1, se - ss) AS snippet,
+           CAST(ss AS INT) AS start_offset,
+           CAST(se AS INT) AS end_offset,
+           CAST(mp - ss AS INT) AS hl_start,
+           CAST(mp - ss + 5 AS INT) AS hl_end
+    FROM e
+    """,
+)
 def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snippet generation with highlight offsets — kernel semantics
-    (src/db/documents/search.rs:188-258) over matching documents.
-    Struct-typed output: non-SQL-expressible → rows-only check; exact
-    offsets are pinned by tests/test_kernels_misc.py."""
+    (src/db/documents/search.rs:188-258) over matching documents; the
+    FULL surface (every occurrence, ≤3/term via the reference's
+    global-count check inside the per-term loop, ≤5 total) is oracle-
+    checked since r4. The DuckDB replay recovers the iterative `find`
+    walk from string_split prefix sums — exact because 'spark' has no
+    self-overlap and match advance is match_pos + len(term) — then
+    applies the same word-boundary CASE walk as search_snippets_first.
+    Exact offsets are additionally pinned by tests/test_kernels_misc.py."""
     import pandas as pd
 
     docs = load(spark, sf_dir, "documents")
