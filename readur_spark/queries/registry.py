@@ -34,9 +34,10 @@ _PRIORITY: list[str] = [
     "extract_text_passthrough",
     "extract_wordcount_by_lang",
     "ignored_files_gate",
-    # dedup family
+    # dedup family (duplicate_groups — B17's thin variant of the same
+    # hash-group machinery as dedup_exact_groups — rotated out r4 after
+    # three green driver rows; stays oracle-checked in pytest + judge)
     "dedup_exact_groups",
-    "duplicate_groups",
     "dedup_jaccard_pairs",
     "dedup_near_components",
     "embedding_neardup_pairs",
@@ -49,8 +50,8 @@ _PRIORITY: list[str] = [
     "decontaminate_overlap",
     "site_boilerplate",
     "qc_web_filters",
-    "split_hash_sample",
-    "sample_stratified",
+    "sample_stratified",  # split_hash_sample rotated out r4 (same
+    # md5-split machinery underlies the stratified variant)
     "pack_sequences",
     # round-3 curation tier (mixture planning, LM quality, URL and
     # line-level gates — each a distinct operator family — plus the
@@ -59,9 +60,16 @@ _PRIORITY: list[str] = [
     "web_curation_report",
     "mixture_sample_by_lang",
     "qc_lm_surprisal_buckets",
+    "qc_lm_bigram_surprisal",  # windowed r4 post-typing-fix (the r3
+    # red's latent twin — a driver row proves the fix end-to-end)
     "url_filter_gates",
     "c4_line_filter_clean",
     "line_dedup_clean",
+    # round-4 window rotation: never-driver-checked oracle families
+    # (VERDICT r3 item 10) — domain capping, as-of join, NFC normalize
+    "domain_cap_sample",
+    "asof_join_attribution",
+    "normalize_text_nfc",
     # text QC
     "qc_token_count",
     "qc_quality_score",
@@ -75,19 +83,21 @@ _PRIORITY: list[str] = [
     # the window in round 3 to admit the new tier; all remain
     # oracle-checked in pytest's entry-contract parametrization)
     "search_simple_and",
-    "search_rank_tf",
     "search_rank_tsrank",
+    # search_rank_tf (cheap variant), search_snippets_first (subsumed
+    # by the full-struct search_snippets oracle), facet_source_counts,
+    # ann_multi_query_topk (variant of ann_cosine_topk) rotated out r4
+    "search_rank_tsrank_english",  # r4: 'english' config — Porter2
+    # stemmer + stopwords through the same ts_rank kernel
     "search_fuzzy_trigram",
-    "search_snippets_first",
+    "search_snippets",  # r4: full multi-snippet surface now oracled
     "search_tfidf_postings",
     # ANN (oracle-bearing paths; ann_ivf_probe queries the materialized
     # cluster-partitioned index — new oracle in round 3)
     "ann_cosine_topk",
-    "ann_multi_query_topk",
     "ann_lsh_bucketed",
     "ann_ivf_probe",
     # facets / analytics
-    "facet_source_counts",
     "facet_token_explode",
     "daily_analytics_rollup",
     "label_join_counts",
