@@ -156,47 +156,55 @@ def _calibrate_raw(procs: int, n_docs_per_proc: int = 600) -> float | None:
     """Raw kernel throughput (docs/sec) via a multiprocessing pool on
     payloads from the scaling corpus — no Spark. Run adjacent to each
     Spark measurement, it separates pipeline scaling from the shared
-    host's capacity drift (observed: identical Spark runs vary 2-4×
-    within minutes as co-tenant load changes)."""
+    host's capacity drift.
+
+    Round-4 methodology fix: workers receive (stride, passes) RANGES
+    and read the parquet themselves. The previous version Pool.map'ed
+    the payload rows, which pickles every chunk through the parent's
+    single-threaded pipe — beyond ~8 procs the workers starve on chunk
+    delivery (guest shows IDLE, not steal) and the pool reads 3-4×
+    under true capacity. Rounds 2-3 partially misattributed that
+    artifact to co-tenant congestion; with range-passing the same host
+    sustains ~0.9 efficiency 1→8 (see BASELINE.md round 4). Each
+    worker takes a stride slice (rows i, i+procs, …) so every worker
+    sees the same representative doc-cost mix — straggler-free."""
     try:
         import multiprocessing as mp
-
-        import pyarrow.parquet as pq
 
         from readur_spark.session import REPO_ROOT
 
         base = os.path.join(REPO_ROOT, ".cache", "scaling_n2000_s43.parquet")
         if not os.path.exists(base):
             return None
-        tbl = pq.read_table(base, columns=["url", "html"])
-        # ~600 docs/proc ≈ 3-5 s of kernel work per measurement: long
-        # enough to average over the same co-tenant churn the ~60-100 s
-        # Spark runs see (a sub-second sample can catch an idle blip
-        # and make the Spark fraction read artificially low).
-        rows = tbl.slice(0, procs * n_docs_per_proc).to_pylist()
-        chunks = [
-            rows[i * n_docs_per_proc : (i + 1) * n_docs_per_proc]
-            for i in range(procs)
-        ]
+        args = [(base, i, procs, n_docs_per_proc) for i in range(procs)]
         with mp.Pool(procs) as pool:
             t0 = time.monotonic()
-            pool.map(_raw_worker, chunks)
+            ns = pool.map(_raw_worker, args)
             wall = time.monotonic() - t0
-        n = sum(len(c) for c in chunks)
-        return round(n / wall, 1) if wall > 0 else None
+        return round(sum(ns) / wall, 1) if wall > 0 else None
     except Exception:
         return None
 
 
-def _raw_worker(rows: list) -> int:
+def _raw_worker(args: tuple) -> int:
+    path, worker_idx, procs, n_docs = args
+    import pyarrow.parquet as pq
+
     from readur_spark.kernels.extract import extract_page
     from readur_spark.kernels.settings import DEFAULT_SETTINGS
 
+    rows = pq.read_table(path, columns=["url", "html"]).to_pylist()
+    rows = rows[worker_idx::procs]  # representative stride slice
     s = dict(DEFAULT_SETTINGS)
-    for r in rows:
-        data = r["html"]
-        extract_page(r["url"], bytes(data) if data is not None else b"", s)
-    return len(rows)
+    n = 0
+    while n < n_docs:
+        for r in rows:
+            data = r["html"]
+            extract_page(r["url"], bytes(data) if data is not None else b"", s)
+            n += 1
+            if n >= n_docs:
+                break
+    return n
 
 
 def _cpu_stat() -> tuple[int, int, int] | None:
@@ -250,7 +258,7 @@ def _scaling_subprocess_once(
 
 def _scaling_measurements(
     lo: int, hi: int,
-    rounds: int = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3")),
+    rounds: int = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2")),
     replicas: int | None = None,
     remaining=None,
 ):
@@ -340,7 +348,13 @@ def main() -> None:
         lo = max(cpus // 4, 1)
         raw_lo_1 = _calibrate_raw(lo)
         raw_hi_1 = _calibrate_raw(cpus)
-        lo_res, hi_res = _scaling_measurements(lo, cpus, remaining=remaining)
+        # 64 replicas (128k pages) halves per-leg cost vs the r3 128 so
+        # the lo/hi pairs + ladder FIT inside the 1500 s budget — r4's
+        # first full-budget run burned it all on 256k-page legs and the
+        # JSON shipped with no scaling section at all
+        lo_res, hi_res = _scaling_measurements(
+            lo, cpus, replicas=64, remaining=remaining
+        )
         raw_lo_2 = _calibrate_raw(lo)
         raw_hi_2 = _calibrate_raw(cpus)
         # Secondary N→4N pair at low absolute load (2→8): the VM's
