@@ -44,6 +44,53 @@ def build_postings(
     )
 
 
+def build_postings_english(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """docs → postings(lexeme, doc_id, tf) under the 'english' text
+    config (Porter2 stems, Snowball stopwords dropped) — the engine's
+    analogue of the reference's GIN index over
+    to_tsvector('english', content).
+
+    Dictionary-stemming shape (the only scale-sane one): tokens
+    explode JVM-side; the stemmer (Python) runs over the DISTINCT
+    token vocabulary only — Zipf means the vocabulary is orders of
+    magnitude smaller than the token stream — and the (token → lexeme)
+    dictionary broadcast-joins back onto the JVM token stream. The
+    payload-scale explode and both aggregates never touch Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    from readur_spark.kernels.stem import ENGLISH_STOPWORDS
+
+    tokens = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    # stopword drop is a JVM literal-isin — the Snowball list is ~120
+    # words, well inside in-plan literal range
+    vocab = (
+        tokens.select("token")
+        .filter(~F.col("token").isin(sorted(ENGLISH_STOPWORDS)))
+        .distinct()
+    )
+
+    @pandas_udf("string")
+    def stem_tok(toks):
+        from readur_spark.kernels.stem import porter2_stem
+
+        return toks.map(porter2_stem)
+
+    dictionary = vocab.withColumn("lexeme", stem_tok(F.col("token")))
+    return (
+        tokens.join(F.broadcast(dictionary), "token")
+        .groupBy(F.col("lexeme").alias("token"), "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 def document_frequencies(postings: DataFrame) -> DataFrame:
     """token → df (number of documents containing it)."""
     return postings.groupBy("token").agg(

@@ -559,6 +559,53 @@ def search_via_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_postings_and(postings, ["spark", "join"])
 
 
+def _stopword_tokens_sql() -> str:
+    from readur_spark.kernels.stem import ENGLISH_STOPWORDS
+
+    stops = sorted(w for w in _FIXTURE_VOCAB if w in ENGLISH_STOPWORDS)
+    return ", ".join("'%s'" % w for w in stops)
+
+
+@register(
+    "search_via_postings_english",
+    oracle=f"""
+    WITH stems(tok, lex) AS (VALUES {_stem_values_sql()}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), lexed AS (
+      SELECT t.doc_id, coalesce(s.lex, t.tok) AS lexeme
+      FROM toks t LEFT JOIN stems s ON t.tok = s.tok
+      WHERE t.tok <> '' AND t.tok NOT IN ({_stopword_tokens_sql()})
+    ), tf AS (
+      SELECT doc_id, lexeme, CAST(count(*) AS BIGINT) AS tf
+      FROM lexed WHERE lexeme IN ('queri', 'join')
+      GROUP BY doc_id, lexeme
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS rank_tf
+    FROM tf GROUP BY doc_id HAVING count(DISTINCT lexeme) = 2
+    """,
+)
+def search_via_postings_english(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL index shape: GIN over
+    to_tsvector('english', content) (initial_schema.sql:41-43 +
+    search.rs:100-129), materialized as an english-lexeme posting
+    table. plainto_tsquery('english', 'the queries join') = 'queri' &
+    'join' — the index answers the inflected query from base-form
+    postings; the tsquery's stopword vanishes. Build shape:
+    dictionary-stemming over the distinct vocabulary only
+    (operators/posting.py: build_postings_english)."""
+    from readur_spark.kernels.stem import plainto_tsquery_english
+    from readur_spark.operators.posting import (
+        build_postings_english,
+        search_postings_and,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    postings = build_postings_english(docs, "doc_id", "text")
+    lexemes = plainto_tsquery_english("the queries join")
+    return search_postings_and(postings, lexemes)
+
+
 @register(
     "search_tfidf_postings",
     oracle="""

@@ -52,3 +52,44 @@ def test_index_equals_scan(spark):
     assert set(via_index) == expected_ids == {1, 4, 6}
     assert via_index[4] == 4  # 2×spark + 2×join
     assert via_index[1] == 3
+
+
+def test_build_postings_english(spark):
+    from readur_spark.operators.posting import build_postings_english
+
+    rows = [
+        (1, "the queries join quickly"),
+        (2, "a query joins the table"),
+        (3, "querying joined tables"),
+        (4, "nothing relevant here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = {(r.token, r.doc_id): r.tf
+         for r in build_postings_english(docs, "doc_id", "text").collect()}
+    # inflections collapse to the Porter2 lexeme
+    assert p[("queri", 1)] == 1 and p[("queri", 2)] == 1 and p[("queri", 3)] == 1
+    assert p[("join", 1)] == 1 and p[("join", 2)] == 1 and p[("join", 3)] == 1
+    assert p[("tabl", 2)] == 1 and p[("tabl", 3)] == 1
+    # stopwords never enter the index ('the', 'a', 'here'); 'nothing'
+    # is NOT a Snowball stopword and stems to 'noth'
+    toks = {t for (t, _) in p}
+    assert not {"the", "a", "here"} & toks
+    assert "noth" in toks
+
+
+def test_english_postings_python_only_on_vocab(spark):
+    """The stemmer must run over the DISTINCT vocabulary, not the token
+    stream: the Python stage's input subtree aggregates (distinct)
+    before ArrowEvalPython."""
+    from readur_spark.operators.posting import build_postings_english
+
+    rows = [(i, "the queries join table query joins") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = build_postings_english(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    # exactly one Python stage in the whole job
+    assert plan.count("ArrowEvalPython") == 1
+    # the Python stage consumes the deduplicated vocab: an aggregate
+    # sits BELOW ArrowEvalPython in the plan text (plan prints top-down)
+    idx_py = plan.index("ArrowEvalPython")
+    below = plan[idx_py:]
+    assert "HashAggregate" in below or "ObjectHashAggregate" in below
