@@ -72,19 +72,24 @@ def dedup_skip(pages: DataFrame) -> DataFrame:
     winner url into the survivor set. url uniqueness is the corpus
     contract (input_hint) and read_warc_pages enforces it by default;
     the composite key makes this operator safe even when a caller
-    bypasses that. No join hint: AQE sees the winner agg's runtime size
-    and broadcasts it when it fits — then the payload side never
-    shuffles and extraction stays narrow over scan splits (the
-    Iceberg-bucketed storage-partitioned-join analog). When the winner
-    set is too big, AQE falls back to a shuffle join whose hash key the
-    extraction stage consumes directly — either way the payload crosses
-    the wire at most once."""
+    bypasses that.
+
+    The winner set carries an EXPLICIT broadcast hint (round 4): it is
+    slim (two short strings/row) and bounded by the distinct-content
+    count, while the probe side carries MB-scale payloads — leaving
+    the choice to AQE's 10 MB coin-flip meant corpora a hair over the
+    threshold shuffled the whole payload column (measured: the 64k-page
+    scaling corpus sat exactly on the edge). With the hint the payload
+    side never shuffles and extraction stays narrow over scan splits
+    (the Iceberg-bucketed storage-partitioned-join analog). For winner
+    sets too large even for an explicit broadcast (≫ executor memory),
+    callers pass dedup_stage='post' or pre-bucket both sides."""
     pages = with_sha256(pages)
     winners = _first_per_hash(pages).select(
         F.col("_winner_hash").alias("sha256"),
         F.col("_winner_url").alias("url"),
     )
-    return pages.join(winners, ["sha256", "url"], "left_semi")
+    return pages.join(F.broadcast(winners), ["sha256", "url"], "left_semi")
 
 
 def dedup_track(pages: DataFrame) -> DataFrame:

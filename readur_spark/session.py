@@ -79,6 +79,14 @@ def get_spark(
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         # binary payloads can be MB-scale: keep scan partitions bounded
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Columnar-reader batch: the default 4096 rows × ~25 KB binary
+        # payloads = ~100 MB of on-heap byte arrays per batch PER TASK
+        # (3+ GB across 32 tasks) — measured 10-37× slowdowns feeding
+        # Arrow stages on this host, with guest soft lockups in
+        # alloc_anon_folio/clear_page_erms under host memory pressure
+        # (BASELINE.md round 4). 256 rows keeps per-task batches at
+        # ~6 MB with no vectorization loss on wide-payload tables.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
