@@ -63,9 +63,18 @@ def get_spark(
         # (measured: 512-row batches cost 2.5× wall vs 8192 on CC-size
         # pages — per-batch serialization overhead dominates). Records
         # cap serves tiny rows; the byte cap bounds executor/worker
-        # memory when MB-scale payloads appear in a batch.
+        # memory when MB-scale payloads appear in a batch. The cap must
+        # be SMALL: at 64 MB × 32 concurrent python workers the anon
+        # page churn (batch + pickle + pandas copies per worker) drove
+        # the same clear_page_erms stalls as the 4096-row columnar
+        # reader — measured 300-900 docs/s at 32 cores vs 4,700-5,900
+        # at a 2-4 MB cap on identical plans (BASELINE.md round 4).
+        # Workers pipeline batches, so small batches lose no overlap.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
-        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            str(int(os.environ.get("SPARK_GRAFT_ARROW_MAX_MB", "4")) * 1024 * 1024),
+        )
         # local mode: the driver JVM hosts every task — size heap to the
         # box, not to a cluster-driver default. 32 concurrent tasks over
         # MB-scale binary rows at 8g = ~250MB/task → GC thrash; half of
