@@ -1,0 +1,299 @@
+"""Web link graph: outlink extraction and fixed-point PageRank.
+
+The reference engine (yonasBSD/readur) tracks per-source crawl
+relationships only implicitly (webdav directory trees,
+src/services/webdav/); a Common-Crawl-scale curation pipeline needs the
+explicit host link graph — for spam/boilerplate host scoring, crawl
+prioritization, and graph-signal quality features (the public
+CommonCrawl host-level web-graph releases are exactly this artifact).
+
+Two tiers:
+
+  1. `outlink_edges` — href extraction from raw HTML payloads into
+     (src_host, dst_host) edges: a slim (url, html) projection through
+     one Arrow-batched mapInPandas (the payload is read once and never
+     shuffled; the emitted edge stream is two short strings per link);
+  2. `pagerank_fixed_point` — PageRank in EXACT integer arithmetic:
+     ranks are longs scaled by `scale`, the damping update is
+
+         r'(v) = base + (damping_pct * sum_{u->v} (r(u) div outdeg(u)))
+                        div 100
+         base  = ((100 - damping_pct) * (scale div N)) div 100
+
+     All operands are non-negative longs, so Spark's truncating `div`
+     and DuckDB's flooring `//` agree — the K-iteration fixed point is
+     bit-identical on every engine (the repo's no-libm ranking
+     convention, see operators/posting.py, ml/quality_lm.py). Mass from
+     dangling nodes (no outlinks) leaks, as in the classic large-scale
+     formulation; `scale` keeps enough headroom that K iterations never
+     overflow (rank <= scale, damping_pct * scale < 2^63).
+
+Scale design (10^12 edges):
+  - extraction touches the payload exactly once; edges are slim strings
+    and aggregate map-side into (src, dst, n_links);
+  - the iteration state is ONE slim (node, rank) table; each step is a
+    ranks-to-edges equi-join on src (edges pre-aggregated with their
+    out-degree, partitioned once on src and persisted so every
+    iteration reuses the same layout) followed by a groupBy(dst) sum —
+    two shuffles of longs per step, payload never involved;
+  - K is small (PageRank converges geometrically; the public web-graph
+    releases use ~20-50 iterations); lineage is truncated by
+    persisting the rank frame each step and unpersisting the previous
+    one, so step k's plan does not replay steps 1..k-1.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+from urllib.parse import urljoin, urlparse
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load, table_row_count
+
+DAMPING_PCT = 85
+SCALE = 10**12
+
+# href attribute of <a> tags: double-quoted, single-quoted, or bare.
+_HREF_RE = re.compile(
+    r"<a\s[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def extract_outlink_hosts(page_url: str, html: bytes | None) -> list[str]:
+    """Target hosts of every <a href> in the page, relative links
+    resolved against the page url; http(s) targets only; hosts
+    lowercased. One list entry per link occurrence (callers decide
+    whether to weight or dedup)."""
+    if not html:
+        return []
+    text = html.decode("utf-8", "replace")
+    hosts: list[str] = []
+    for m in _HREF_RE.finditer(text):
+        href = next(g for g in m.groups() if g is not None).strip()
+        if not href or href.startswith(("#", "javascript:", "mailto:")):
+            continue
+        try:
+            absolute = urljoin(page_url, href)
+            parsed = urlparse(absolute)
+        except ValueError:
+            continue
+        if parsed.scheme in ("http", "https") and parsed.hostname:
+            hosts.append(parsed.hostname.lower())
+    return hosts
+
+
+def outlink_edges(pages: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links) host-level edge list from raw
+    pages. The payload crosses the Python boundary once, in Arrow
+    batches, through a two-column projection."""
+    slim = pages.select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out_src: list[str] = []
+            out_dst: list[str] = []
+            for url, html in zip(batch["url"], batch["html"]):
+                src = urlparse(url).hostname
+                if not src:
+                    continue
+                src = src.lower()
+                for dst in extract_outlink_hosts(
+                    url, bytes(html) if html is not None else None
+                ):
+                    out_src.append(src)
+                    out_dst.append(dst)
+            yield pd.DataFrame({"src_host": out_src, "dst_host": out_dst})
+
+    edges = slim.mapInPandas(run, schema="src_host string, dst_host string")
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links")
+    )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    num_iters: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_pct: int = DAMPING_PCT,
+    scale: int = SCALE,
+) -> DataFrame:
+    """K-iteration integer PageRank over an edge list. Returns
+    (node, rank) with rank on the `scale` fixed-point grid. Parallel
+    edges contribute once per occurrence; self-loops are kept. See the
+    module docstring for the exact update rule."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank"))
+    base = ((100 - damping_pct) * (scale // n)) // 100
+    # out-degree rides WITH the edge rows: one layout, reused each step.
+    deg = edges.groupBy(src.alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    adj = (
+        edges.select(src.alias("node"), dst.alias("dst"))
+        .join(deg, "node")
+        .repartition("node")
+        .persist()
+    )
+    nodes = nodes.persist()
+    ranks = nodes.select(
+        "node", F.lit(scale // n).cast("long").alias("rank")
+    ).persist()
+    ranks.count()  # materialize before the loop
+    try:
+        for _ in range(num_iters):
+            sums = (
+                adj.join(ranks, "node")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank div outdeg").alias("contrib"),
+                )
+                .groupBy("node")
+                .agg(F.sum("contrib").alias("s"))
+            )
+            nxt = nodes.join(sums, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct}L * coalesce(s, 0L)) div 100L")
+                ).cast("long").alias("rank"),
+            ).persist()
+            nxt.count()  # truncate lineage: step k never replays k-1
+            ranks.unpersist()
+            ranks = nxt
+        return ranks
+    finally:
+        adj.unpersist()
+        nodes.unpersist()
+
+
+# ---- oracle twins --------------------------------------------------------
+
+PR_ITERS = 6
+PR_OUT_EDGES = 3  # synthetic out-degree per document node
+
+
+def _pagerank_oracle(num_iters: int, n_docs: int) -> str:
+    """DuckDB replay of the md5-derived document graph + the exact
+    integer fixed point. Every CTE is MATERIALIZED: DuckDB inlines
+    plain CTEs per reference, which would re-derive the chain
+    exponentially (same fix as ml/bpe.py)."""
+    scale, damp = SCALE, DAMPING_PCT
+    sql = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT doc_id AS src,
+             CAST(concat('0x', substr(md5(doc_id::VARCHAR || '#' || j.j),
+                                      1, 15)) AS BIGINT)
+               % {n_docs} AS dst
+      FROM documents, UNNEST(range(1, {PR_OUT_EDGES + 1})) AS j(j)
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nstat AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    adj AS MATERIALIZED (
+      SELECT src AS node, dst, count(*) OVER (PARTITION BY src) AS outdeg
+      FROM edges
+    ),
+    r0 AS MATERIALIZED (
+      SELECT node, {scale} // (SELECT n FROM nstat) AS rank FROM nodes
+    )"""
+    for k in range(1, num_iters + 1):
+        p = k - 1
+        sql += f""",
+    s{k} AS MATERIALIZED (
+      SELECT a.dst AS node, sum(r.rank // a.outdeg) AS s
+      FROM adj a JOIN r{p} r USING (node)
+      GROUP BY a.dst
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             CAST((100 - {damp}) * ({scale} // (SELECT n FROM nstat)) // 100
+                  + {damp} * coalesce(s.s, 0) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN s{k} s USING (node)
+    )"""
+    sql += f"""
+    SELECT node, rank FROM r{num_iters}
+    """
+    return sql
+
+
+def _synthetic_edges(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Deterministic md5-derived citation graph over doc ids: each doc
+    links to PR_OUT_EDGES pseudo-targets. Oracle-twin of the edges CTE
+    above — the graph derivation is part of the checked contract."""
+    return docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(PR_OUT_EDGES))).alias("j"),
+    ).select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat(
+                                F.col("src").cast("string"),
+                                F.lit("#"),
+                                F.col("j").cast("string"),
+                            ),
+                            "UTF-8",
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_docs
+        ).alias("dst"),
+    )
+
+
+# ---- driver-contract queries ----------------------------------------------
+
+
+def _register_pagerank() -> None:
+    # the oracle needs the node-modulus constant; derive it from the
+    # sf0.01 table the driver compares against (parquet footer, no scan).
+    n_docs = table_row_count("/root/testdata/sf0.01", "documents")
+
+    @register("host_pagerank", oracle=_pagerank_oracle(PR_ITERS, n_docs))
+    def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Integer fixed-point PageRank over a deterministic md5-derived
+        document citation graph, value-hash-checked: the DuckDB twin
+        replays the graph derivation AND all K damping iterations."""
+        docs = load(spark, sf_dir, "documents")
+        n = table_row_count(sf_dir, "documents")
+        edges = _synthetic_edges(docs, n)
+        return pagerank_fixed_point(edges, PR_ITERS).select("node", "rank")
+
+
+_register_pagerank()
+
+
+@register("host_link_graph")
+def host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level outlink edge list extracted from the synthetic raw
+    HTML corpus (rows-only: href parsing is not SQL-expressible; the
+    kernel is pinned byte-for-byte in tests/test_linkgraph.py)."""
+    from readur_spark.corpus import synthetic_pages
+
+    pages = synthetic_pages(spark, 500)
+    return outlink_edges(pages).select("src_host", "dst_host", "n_links")
