@@ -60,6 +60,8 @@ HEADLINE_QUERIES = [
     "mixture_sample_by_lang",
     "training_order_shuffle",
     "qc_lm_surprisal_buckets",
+    "bpe_learn_merges",
+    "host_pagerank",
 ]
 
 
