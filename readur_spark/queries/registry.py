@@ -161,6 +161,7 @@ def _load_all() -> None:
     from readur_spark.ml import normalize as ml_normalize  # noqa: F401
     from readur_spark.ml import bpe as ml_bpe  # noqa: F401
     from readur_spark.ml import kmeans as ml_kmeans  # noqa: F401
+    from readur_spark.ml import robots as ml_robots  # noqa: F401
     from readur_spark.ml import linkgraph as ml_linkgraph  # noqa: F401
     from readur_spark.ml import dsir as ml_dsir  # noqa: F401
     from readur_spark.ml import quality_lm as ml_quality_lm  # noqa: F401
