@@ -126,6 +126,17 @@ def learn_bpe_merges(
         "w", word_to_rep(F.col("w")).alias("rep"), "n"
     )
     base = base.persist()
+    # right-size the iteration layout: a compact vocabulary on the
+    # default shuffle partitioning pays per-task scheduling K times
+    # over; ~100k rows/partition keeps each merge round one short task
+    # per core (and one task total for small corpora).
+    n_words = base.count()
+    parts = max(1, n_words // 100_000)
+    if parts < base.rdd.getNumPartitions():
+        packed = base.coalesce(parts).persist()
+        packed.count()
+        base.unpersist()
+        base = packed
     try:
         cur = base
         merges: list[tuple[int, str, str, int]] = []

@@ -356,3 +356,70 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(with_url, ["lang"], "url", 30).select(
         "doc_id", "lang"
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sample of k rows:
+    bottom-k by `priority = hash64(key) div weight`.
+
+    The integer analogue of bottom-k priority / sequential Poisson
+    sampling (Ohlsson 1998; Duffield-Lund-Thorup 2007): with
+    u = hash64(key) standing in for the uniform draw, u div w is
+    stochastically smaller for larger w, so heavier rows win
+    proportionally more often — and the winning set is content-
+    addressed (the same rows win under any partitioning, engine, or
+    corpus order; re-runs reproduce and shard unions re-sample
+    consistently). Rows with weight <= 0 or NULL carry no mass and are
+    excluded. Ties break on the md5 hex string. All operands are
+    non-negative longs, so truncating div == flooring // cross-engine.
+
+    Scale: one TakeOrderedAndProject — per-partition bottom-k heaps,
+    no global sort, no window; the only driver data is the k winners.
+    """
+    h = F.md5(F.encode(F.col(key_col), "UTF-8"))
+    d = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_h", h)
+        .withColumn(
+            "_u64",
+            F.conv(F.substring(F.col("_h"), 1, 15), 16, 10).cast("long"),
+        )
+        .withColumn("priority", F.expr(f"_u64 div {weight_col}"))
+    )
+    return d.orderBy("priority", "_h").limit(k).drop("_u64", "_h")
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars, {_URL_SQL} AS url FROM documents
+      WHERE n_chars > 0
+    ),
+    p AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5(url), 1, 15)) AS BIGINT)
+               // n_chars AS priority,
+             md5(url) AS h
+      FROM u
+    )
+    SELECT doc_id, n_chars, priority
+    FROM p ORDER BY priority, h LIMIT 100
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 documents sampled proportional to length (n_chars) by
+    deterministic bottom-k priority — the exact winning set and every
+    priority value hash-checked against the DuckDB replay."""
+    docs = load(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id", "n_chars", synthetic_url().alias("url")
+    )
+    return weighted_priority_sample(with_url, "n_chars", "url", 100).select(
+        "doc_id", "n_chars", "priority"
+    )
