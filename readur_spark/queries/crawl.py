@@ -346,3 +346,93 @@ def sync_change_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.concat(F.lit('"v'), ver, F.lit('"'))).alias("etag"),
     )
     return sync_change_plan(known, disc)
+
+
+# ---------------------------------------------------------------------------
+# politeness scheduling
+# ---------------------------------------------------------------------------
+
+
+def politeness_schedule(
+    urls: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    key_col: str = "url",
+    delay_col: str = "delay_ms",
+) -> DataFrame:
+    """Per-host serialized fetch schedule: wave k of a host fetches at
+    offset k * crawl_delay. Urls order within a host by md5(key) — a
+    content-addressed permutation, so the schedule is reproducible
+    under any partitioning or engine.
+
+    Output: (id_col, host_col, wave, offset_ms). One shuffle (the
+    per-host window). Politeness is INHERENTLY serial per host, so the
+    per-host sort is the work itself, not overhead; a heavy host's long
+    partition is the crawl-time reality the schedule exists to expose
+    (its max wave IS the host's fetch horizon). Frontier-wide skew
+    handling belongs upstream (operators/partitioning.py salting) —
+    by the time a schedule is drawn, per-host grouping is the point.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.md5(F.encode(F.col(key_col), "UTF-8"))
+    )
+    wave = (F.row_number().over(w) - 1).cast("long")
+    return urls.select(
+        id_col,
+        host_col,
+        wave.alias("wave"),
+        (wave * F.col(delay_col)).cast("long").alias("offset_ms"),
+    )
+
+
+@register(
+    "crawl_politeness_schedule",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source || '.example' AS host, {_URL_SQL} AS url
+      FROM documents
+    ),
+    d AS (
+      SELECT u.*,
+             500 + (CAST(concat('0x', substr(md5(host), 1, 8)) AS BIGINT)
+                    % 10) * 250 AS delay_ms
+      FROM u
+    ),
+    r AS (
+      SELECT doc_id, host, delay_ms,
+             CAST(row_number() OVER (PARTITION BY host ORDER BY md5(url))
+                  - 1 AS BIGINT) AS wave
+      FROM d
+    )
+    SELECT doc_id, host, wave, CAST(wave * delay_ms AS BIGINT) AS offset_ms
+    FROM r
+    """,
+)
+def crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness fetch schedule over the synthetic frontier with an
+    md5-derived per-host crawl delay (500-2750 ms — the Crawl-delay
+    directive robots.txt would carry, ml/robots.py), value-hash-checked
+    per row: wave assignment AND fetch offsets must match exactly."""
+    docs = load(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example"))
+    delay = (
+        F.lit(500)
+        + (
+            F.conv(F.substring(F.md5(F.encode(host, "UTF-8")), 1, 8), 16, 10)
+            .cast("long")
+            % 10
+        )
+        * 250
+    ).cast("long")
+    urls = docs.select(
+        "doc_id",
+        host.alias("host"),
+        synthetic_url().alias("url"),
+        delay.alias("delay_ms"),
+    )
+    return politeness_schedule(urls).select(
+        "doc_id", "host", "wave", "offset_ms"
+    )
