@@ -50,8 +50,9 @@ _PRIORITY: list[str] = [
     "decontaminate_overlap",
     "site_boilerplate",
     "qc_web_filters",
-    "sample_stratified",  # split_hash_sample rotated out r4 (same
-    # md5-split machinery underlies the stratified variant)
+    "sample_weighted_priority",  # r4 session 2: PPS bottom-k — the
+    # stronger sampling family; sample_stratified (same md5-order
+    # machinery) and split_hash_sample cede, stay pytest/judge-checked
     "pack_sequences",
     # round-3 curation tier (mixture planning, LM quality, URL and
     # line-level gates — each a distinct operator family — plus the
@@ -64,19 +65,24 @@ _PRIORITY: list[str] = [
     # red's latent twin — a driver row proves the fix end-to-end)
     "url_filter_gates",
     "c4_line_filter_clean",
-    "line_dedup_clean",
+    "bpe_learn_merges",  # r4 session 2: distributed BPE training —
+    # line_dedup_clean ceded (same line-filter machinery as
+    # c4_line_filter_clean, which stays)
     # round-4 window rotation: never-driver-checked oracle families
     # (VERDICT r3 item 10) — domain capping, as-of join, NFC normalize
     "domain_cap_sample",
     "asof_join_attribution",
     "normalize_text_nfc",
+    # r4 session 2 families: clustering, web graph, crawl gating
+    # (qc_token_count / qc_fingerprint / qc_length_percentiles ceded —
+    # thin single-agg QC variants, still pytest/judge-checked)
+    "kmeans_centroids_int",  # full-corpus integer Lloyd
+    "host_pagerank",  # integer fixed-point PageRank
+    "robots_longest_match_gate",  # RFC 9309 gate
     # text QC
-    "qc_token_count",
     "qc_quality_score",
     "qc_langid_english",
     "qc_repetition",
-    "qc_fingerprint",
-    "qc_length_percentiles",
     # search (phrase/boolean/filename are thin variants of the same
     # FTS predicate machinery as search_simple_and — they, plus
     # qc_token_count_bpe and status_conditional_counts, moved out of
