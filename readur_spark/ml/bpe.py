@@ -299,3 +299,59 @@ def bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_token_counts(docs, vocab).select(
         "doc_id", "n_words", "n_bpe_tokens"
     )
+
+
+def _fertility_oracle(num_merges: int) -> str:
+    return _oracle_chain(num_merges) + f""",
+    per_word AS MATERIALIZED (
+      SELECT w, CAST(len(list_filter(string_split(rep, '  '),
+                                     x -> x <> '')) AS BIGINT) AS n_tok
+      FROM w{num_merges}
+    ),
+    doc_words AS (
+      SELECT doc_id, lang, t.w AS w
+      FROM documents,
+           UNNEST(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z]+'),
+             x -> x <> '')) AS t(w)
+    )
+    SELECT lang, count(*) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+           CAST((100 * sum(n_tok)) // count(*) AS BIGINT)
+             AS fertility_centi
+    FROM doc_words JOIN per_word USING (w)
+    GROUP BY lang
+    """
+
+
+@register("bpe_fertility_by_lang", oracle=_fertility_oracle(DEFAULT_NUM_MERGES))
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE tokens per word, in centi-tokens) per
+    language under the corpus-learned merge table — the per-language
+    cost signal a token-budgeted mixture planner prices languages with
+    (a high-fertility language consumes more budget per word). Exact:
+    integer ratio over the same broadcast vocab as the encode path."""
+    docs = load(spark, sf_dir, "documents")
+    _, vocab = learn_bpe_merges(docs, DEFAULT_NUM_MERGES)
+    per_word = vocab.select(
+        "w", F.size(rep_symbols(F.col("rep"))).cast("long").alias("n_tok")
+    )
+    words = docs.select(
+        "lang", F.explode(tokenize_alpha(F.col("text"))).alias("w")
+    )
+    return (
+        words.join(F.broadcast(per_word), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("(100L * n_bpe_tokens) div n_words").alias(
+                "fertility_centi"
+            ),
+        )
+    )
