@@ -436,3 +436,94 @@ def crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return politeness_schedule(urls).select(
         "doc_id", "host", "wave", "offset_ms"
     )
+
+
+@register(
+    "crawl_frontier_plan",
+    oracle=f"""
+    WITH u AS MATERIALIZED (
+      SELECT doc_id, source || '.example' AS host,
+             '/doc' || doc_id || '.txt' AS path,
+             {_URL_SQL} AS url
+      FROM documents
+    ),
+    hosts AS MATERIALIZED (SELECT DISTINCT host FROM u),
+    rules AS MATERIALIZED (
+      SELECT host, '/doc'
+               || (CAST(concat('0x', substr(md5(host), 1, 8)) AS BIGINT)
+                   % 10) AS prefix,
+             false AS allow
+      FROM hosts
+      UNION ALL
+      SELECT host, '/doc'
+               || (CAST(concat('0x', substr(md5(host), 1, 8)) AS BIGINT)
+                   % 10)
+               || (CAST(concat('0x', substr(md5(host || '#2'), 1, 8))
+                        AS BIGINT) % 10) AS prefix,
+             true AS allow
+      FROM hosts
+    ),
+    cand AS MATERIALIZED (
+      SELECT u.doc_id,
+             max(struct_pack(l := length(r.prefix), a := r.allow,
+                             p := r.prefix)) AS m
+      FROM u JOIN rules r USING (host)
+      WHERE starts_with(u.path, r.prefix)
+      GROUP BY u.doc_id
+    ),
+    allowed AS MATERIALIZED (
+      SELECT u.doc_id, u.host, u.url,
+             500 + (CAST(concat('0x', substr(md5(u.host), 1, 8)) AS BIGINT)
+                    % 10) * 250 AS delay_ms
+      FROM u LEFT JOIN cand c USING (doc_id)
+      WHERE coalesce((c.m).a, true)
+    ),
+    r AS (
+      SELECT doc_id, host, delay_ms,
+             CAST(row_number() OVER (PARTITION BY host ORDER BY md5(url))
+                  - 1 AS BIGINT) AS wave
+      FROM allowed
+    )
+    SELECT doc_id, host, wave, CAST(wave * delay_ms AS BIGINT) AS offset_ms
+    FROM r
+    """,
+)
+def crawl_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED chain: robots gate (ml/robots.py longest-match
+    precedence) feeding the politeness scheduler — disallowed urls
+    never consume fetch waves, so every downstream offset shifts. The
+    DuckDB twin replays rule synthesis, precedence, the allowed-set
+    filter AND the re-waved schedule value-for-value; a wrong decision
+    anywhere moves some host's whole tail."""
+    from readur_spark.ml.robots import _synthetic_rules, longest_match_gate
+
+    docs = load(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example"))
+    urls = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            F.lit("/doc"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("path"),
+        synthetic_url().alias("url"),
+    )
+    gate = longest_match_gate(urls, _synthetic_rules(docs))
+    delay = (
+        F.lit(500)
+        + (
+            F.conv(
+                F.substring(F.md5(F.encode(F.col("host"), "UTF-8")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 10
+        )
+        * 250
+    ).cast("long")
+    allowed = (
+        urls.join(gate.filter("allowed").select("doc_id"), "doc_id")
+        .withColumn("delay_ms", delay)
+    )
+    return politeness_schedule(allowed).select(
+        "doc_id", "host", "wave", "offset_ms"
+    )
