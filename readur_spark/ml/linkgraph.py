@@ -37,9 +37,9 @@ Scale design (10^12 edges):
     iteration reuses the same layout) followed by a groupBy(dst) sum —
     two shuffles of longs per step, payload never involved;
   - K is small (PageRank converges geometrically; the public web-graph
-    releases use ~20-50 iterations); lineage is truncated by
-    persisting the rank frame each step and unpersisting the previous
-    one, so step k's plan does not replay steps 1..k-1.
+    releases use ~20-50 iterations); iterations chain lazily and a
+    persist+count lands only every `materialize_every` steps, so plan
+    depth stays bounded without a scheduler round-trip per step.
 """
 
 from __future__ import annotations
@@ -314,3 +314,84 @@ def host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = synthetic_pages(spark, 500)
     return outlink_edges(pages).select("src_host", "dst_host", "n_links")
+
+
+# ---- anchor text -----------------------------------------------------------
+
+_ANCHOR_RE = re.compile(
+    r"<a\s[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))[^>]*>"
+    r"(.*?)</a>",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_anchors(page_url: str, html: bytes | None) -> list[tuple[str, str]]:
+    """(dst_host, anchor_text) per link: href resolution identical to
+    `extract_outlink_hosts`; the anchor text is the tag's inner markup
+    with nested tags stripped and whitespace normalized. Empty anchors
+    (image links, spacer links) are dropped."""
+    if not html:
+        return []
+    text = html.decode("utf-8", "replace")
+    out: list[tuple[str, str]] = []
+    for m in _ANCHOR_RE.finditer(text):
+        href = next(g for g in m.groups()[:3] if g is not None).strip()
+        if not href or href.startswith(("#", "javascript:", "mailto:")):
+            continue
+        try:
+            parsed = urlparse(urljoin(page_url, href))
+        except ValueError:
+            continue
+        if parsed.scheme not in ("http", "https") or not parsed.hostname:
+            continue
+        anchor = _WS_RE.sub(" ", _TAG_RE.sub(" ", m.group(4))).strip()
+        if anchor:
+            out.append((parsed.hostname.lower(), anchor))
+    return out
+
+
+def anchor_term_profile(pages: DataFrame) -> DataFrame:
+    """(dst_host, term, n) — how the web DESCRIBES each host: lowercase
+    alphabetic terms of every anchor pointing at it, counted. The
+    classic off-page relevance signal (anchor text indexes the TARGET,
+    not the source — Brin & Page 1998 §2.2). Payload crosses the
+    Python boundary once; the emitted (host, term) stream is slim and
+    aggregates map-side."""
+    slim = pages.select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            hosts: list[str] = []
+            texts: list[str] = []
+            for url, html in zip(batch["url"], batch["html"]):
+                for dst, anchor in extract_anchors(
+                    url, bytes(html) if html is not None else None
+                ):
+                    hosts.append(dst)
+                    texts.append(anchor)
+            yield pd.DataFrame({"dst_host": hosts, "anchor": texts})
+
+    anchors = slim.mapInPandas(run, schema="dst_host string, anchor string")
+    terms = anchors.select(
+        "dst_host",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("anchor")), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    return terms.groupBy("dst_host", "term").agg(F.count("*").alias("n"))
+
+
+@register("anchor_text_terms")
+def anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-term profile of every linked host in the synthetic raw
+    HTML corpus (rows-only: anchor parsing is not SQL-expressible; the
+    kernel is pinned on golden HTML in tests/test_linkgraph.py)."""
+    from readur_spark.corpus import synthetic_pages
+
+    pages = synthetic_pages(spark, 500)
+    return anchor_term_profile(pages).select("dst_host", "term", "n")

@@ -121,3 +121,44 @@ class TestPagerank:
     def test_empty_graph(self, spark):
         edges = spark.createDataFrame([], "src long, dst long")
         assert pagerank_fixed_point(edges, 3).collect() == []
+
+
+ANCHOR_HTML = b"""<html><body>
+<a href="https://t.example/a"><b>Click</b> <i>here</i> now</a>
+<a href="https://t.example/b">   spaced   out   </a>
+<a href="https://img.example/i"><img src="x.png"/></a>
+<a href="/local">local page</a>
+<a href="#x">fragment text</a>
+</body></html>"""
+
+
+class TestAnchorText:
+    def test_golden_anchors(self):
+        from readur_spark.ml.linkgraph import extract_anchors
+
+        got = extract_anchors("https://src.example/p", ANCHOR_HTML)
+        assert got == [
+            ("t.example", "Click here now"),   # nested tags stripped
+            ("t.example", "spaced out"),       # whitespace normalized
+            ("src.example", "local page"),     # relative resolves
+        ]  # image-only anchor and fragment dropped
+
+    def test_term_profile(self, spark):
+        from readur_spark.ml.linkgraph import anchor_term_profile
+
+        pages = spark.createDataFrame(
+            [
+                ("https://a.example/1", ANCHOR_HTML),
+                ("https://a.example/2",
+                 b'<a href="https://t.example/c">click twice</a>'),
+            ],
+            "url string, html binary",
+        )
+        got = {
+            (r["dst_host"], r["term"]): r["n"]
+            for r in anchor_term_profile(pages).collect()
+        }
+        assert got[("t.example", "click")] == 2
+        assert got[("t.example", "here")] == 1
+        assert got[("a.example", "local")] == 1  # relative -> page host
+        assert ("img.example", "x") not in got
