@@ -99,3 +99,24 @@ def extract_mixed_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("word_count").alias("total_words"))
         .orderBy("status", "mime_type", "failure_reason", "confidence_i")
     )
+
+
+@register("wet_emission_manifest")
+def wet_emission_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET round-trip manifest (rows-only: gzip bytes are not
+    SQL-expressible): extraction output re-encoded as Common-Crawl WET
+    conversion records (sources/warc.py: wet_members — deterministic
+    record ids, sha1 block digests, mtime-0 gzip members), reporting
+    each member's size and sha256. Byte-level reproducibility and the
+    write->read round-trip through the engine's own WARC walker are
+    pinned in tests/test_warc_source.py."""
+    from readur_spark.sources.warc import wet_members
+
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = extract_pages(pages).filter(F.col("status") == "completed")
+    members = wet_members(extracted)
+    return members.select(
+        "url",
+        F.length("wet").alias("n_bytes"),
+        F.sha2(F.col("wet"), 256).alias("member_sha256"),
+    )

@@ -196,3 +196,105 @@ def write_warc(rows: list[tuple[str, str, bytes]], compress: bool = False) -> by
         rec = head + http + _CRLF + _CRLF
         out.write(gzip.compress(rec) if compress else rec)
     return out.getvalue()
+
+
+# -- WET emission (extracted-text conversion records) -----------------------
+
+
+def wet_record_bytes(url: str, iso_ts: str, text: str) -> bytes:
+    """One WARC/1.0 `conversion` record — the WET format Common Crawl
+    ships extracted text in (ISO 28500 §6.8; framing identical to the
+    records `iter_warc_records` walks). Deterministic by construction:
+
+      - WARC-Record-ID is a pseudo-uuid derived from md5(url + date)
+        instead of a random uuid (documented deviation — the engine's
+        content-addressed convention; re-runs emit identical bytes);
+      - WARC-Block-Digest is the spec's sha1 in RFC 4648 base32 (160
+        bits -> exactly 32 chars, no padding).
+    """
+    import base64
+    import hashlib
+
+    body = text.encode("utf-8")
+    rid = hashlib.md5((url + iso_ts).encode()).hexdigest()
+    record_id = (
+        f"<urn:uuid:{rid[:8]}-{rid[8:12]}-{rid[12:16]}"
+        f"-{rid[16:20]}-{rid[20:32]}>"
+    )
+    digest = base64.b32encode(hashlib.sha1(body).digest()).decode()
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: " + url.encode() + _CRLF +
+        b"WARC-Date: " + iso_ts.encode() + _CRLF +
+        b"WARC-Record-ID: " + record_id.encode() + _CRLF +
+        b"WARC-Block-Digest: sha1:" + digest.encode() + _CRLF +
+        b"Content-Type: text/plain\r\n"
+        b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
+    )
+    return head + body + _CRLF + _CRLF
+
+
+def wet_member_bytes(url: str, iso_ts: str, text: str) -> bytes:
+    """The record as one gzip member (mtime pinned to 0 so the bytes
+    are reproducible) — CC's member-per-record convention, so WET files
+    concatenate and split at member boundaries."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(wet_record_bytes(url, iso_ts, text))
+    return buf.getvalue()
+
+
+def parse_wet_bytes(data: bytes) -> list[dict]:
+    """WET file bytes → extracted-text rows (conversion records)."""
+    rows = []
+    for headers, payload in iter_warc_records(data):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        ts = headers.get("warc-date")
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": pd.Timestamp(ts) if ts else None,
+                "text": payload.decode("utf-8", "replace"),
+            }
+        )
+    return rows
+
+
+def wet_members(
+    extracted: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "extracted_text",
+) -> DataFrame:
+    """(url, wet binary) — each row's extracted text as one gzip WET
+    member. A pure Arrow-batched projection (one payload pass, no
+    shuffle); writing a shard file is then `concat(members)` per
+    partition — the member-per-record framing makes shard assembly an
+    order-preserving byte concatenation, no re-compression."""
+    slim = extracted.select(url_col, ts_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            urls: list[str] = []
+            members: list[bytes] = []
+            for url, ts, text in zip(
+                batch[url_col], batch[ts_col], batch[text_col]
+            ):
+                if text is None:
+                    continue
+                iso = (
+                    pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if ts is not None
+                    else "1970-01-01T00:00:00Z"
+                )
+                urls.append(url)
+                members.append(wet_member_bytes(url, iso, text))
+            yield pd.DataFrame({"url": urls, "wet": members})
+
+    return slim.mapInPandas(run, schema="url string, wet binary")
