@@ -200,3 +200,38 @@ def kmeans_centroids_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cval",
         F.coalesce(F.col("cluster_n"), F.lit(0)).alias("cluster_n"),
     )
+
+
+def kmeans_centroids_full(
+    vectors: DataFrame,
+    k: int,
+    num_iters: int = KM_ITERS,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Full-corpus drop-in for `ml/similarity.py: kmeans_centroids`
+    (which trains on a driver-side sample): runs the distributed
+    integer Lloyd over EVERY vector and returns the centroids as a
+    float ndarray on the original embedding scale — directly usable by
+    `with_ivf_cluster` / `build_ivf_index` / `semantic_dedup`. Use when
+    cluster quality matters more than training cost (the sample path
+    stays the default for codebook training). Only k*d centroid
+    components ever reach the driver."""
+    import numpy as np
+
+    cents, _ = kmeans_lloyd(
+        int_components(vectors, id_col=id_col, vec_col=vec_col),
+        k,
+        num_iters,
+    )
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in cents.collect():  # bounded: <= k*d rows
+        by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = int(r["cval"])
+    cids = sorted(by_cid)
+    dim = max(max(v) for v in by_cid.values())
+    out = np.zeros((len(cids), dim), dtype=np.float64)
+    for i, cid in enumerate(cids):
+        for pos, val in by_cid[cid].items():
+            out[i, pos - 1] = (val - OFFSET) / GRID
+    return out

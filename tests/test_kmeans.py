@@ -129,3 +129,33 @@ class TestLloyd:
         for cid in (0, 1):
             assert [got[cid][p] for p in sorted(got[cid])] == comps[cid]
         assert assign.collect() == []
+
+
+class TestFullCorpusBridge:
+    def test_centroids_feed_ivf_assignment(self, spark):
+        import numpy as np
+
+        from readur_spark.ml.kmeans import kmeans_centroids_full
+        from readur_spark.ml.similarity import with_ivf_cluster
+        from readur_spark.queries.tables import load
+
+        vectors = load(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = kmeans_centroids_full(vectors, 4, 2)
+        assert cents.shape == (4, 64)
+        assert np.all(np.abs(cents) < 2.0)  # back on the embedding scale
+        assigned = with_ivf_cluster(vectors, cents)
+        clusters = {r["cluster"] for r in assigned.select("cluster").distinct().collect()}
+        assert clusters <= set(range(4)) and len(clusters) >= 2
+
+    def test_grid_roundtrip_of_centroid_scale(self, spark):
+        from readur_spark.ml.kmeans import GRID, OFFSET, kmeans_centroids_full
+
+        df = spark.createDataFrame(
+            [(0, [0.5, -0.25]), (1, [0.5, -0.25]), (2, [0.5, -0.25])],
+            "vec_id long, embedding array<float>",
+        )
+        cents = kmeans_centroids_full(df, 1, 1)
+        # all identical vectors: centroid == grid snap of the input
+        assert cents.tolist() == [
+            [(int(0.5 * GRID)) / GRID, (int(-0.25 * GRID)) / GRID]
+        ]
