@@ -405,3 +405,61 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("lang", "token", "n", "rnk")
     )
+
+
+# ---- compression-ratio quality signal --------------------------------------
+
+
+def compression_ratio_table(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """(id, n_bytes, n_compressed, ratio_centi) — zlib compressibility
+    as a quality signal (the Dolma/Gopher-family heuristic): highly
+    repetitive boilerplate compresses far below natural prose
+    (ratio << 30), while random/encrypted gibberish barely compresses
+    (ratio ~100+). Deterministic for a fixed zlib level; ratio_centi =
+    (100 * n_compressed) div n_bytes, integer-exact.
+
+    Arrow-batched pandas UDF (zlib is C-speed; one payload pass, no
+    shuffle). Not SQL-expressible — pinned by pytest, not an oracle."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: module-level `from __future__ import annotations`
+    # stringifies hints, which pandas_udf cannot resolve for locals
+    comp_len = pandas_udf(
+        lambda texts: texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+            if t is not None
+            else 0
+        ),
+        "long",
+    )
+
+    nb = F.length(F.encode(F.col(text_col), "UTF-8")).cast("long")
+    return (
+        docs.select(F.col(id_col), F.col(text_col))
+        .withColumn("n_bytes", nb)
+        .filter(F.col("n_bytes") > 0)
+        .withColumn("n_compressed", comp_len(F.col(text_col)))
+        .select(
+            id_col,
+            "n_bytes",
+            "n_compressed",
+            F.expr("(100L * n_compressed) div n_bytes").alias("ratio_centi"),
+        )
+    )
+
+
+@register("qc_compression_ratio")
+def qc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document (rows-only: no zlib in SQL;
+    determinism + the boilerplate-vs-gibberish ordering are pinned in
+    tests/test_textqc_extra.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return compression_ratio_table(docs)
