@@ -284,3 +284,49 @@ def test_curation_job_round3_gates(tmp_path, pages_parquet):
         F.col("url").contains("//host0.example/")
     ).count() == 0
     assert written.count() > 0
+
+
+def test_frontier_job_end_to_end(tmp_path, spark):
+    """run_frontier.py: robots gate + politeness plan over a url list."""
+    urls = [
+        ("https://h1.example/doc1",),   # blocked by prefix rule
+        ("https://h1.example/page2",),
+        ("https://h1.example/page3",),
+        ("https://h2.example/doc9",),   # other host: no rules -> allowed
+    ]
+    spark.createDataFrame(urls, "url string").write.parquet(
+        str(tmp_path / "urls")
+    )
+    spark.createDataFrame(
+        [("h1.example", "/doc", False)],
+        "host string, prefix string, allow boolean",
+    ).write.parquet(str(tmp_path / "rules"))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO_ROOT, "jobs", "run_frontier.py"),
+            "--input", str(tmp_path / "urls"),
+            "--output", str(tmp_path / "plan"),
+            "--rules", str(tmp_path / "rules"),
+            "--delay-ms", "700",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["n_input"] == 4
+    assert summary["n_blocked_by_robots"] == 1
+    assert summary["n_scheduled"] == 3
+    assert summary["n_hosts"] == 2
+    assert summary["fetch_horizon_ms"] == summary["max_wave"] * 700
+
+    plan = {r["url"]: r for r in spark.read.parquet(
+        str(tmp_path / "plan")).collect()}
+    assert "https://h1.example/doc1" not in plan
+    assert sorted(
+        r["wave"] for u, r in plan.items() if u.startswith("https://h1")
+    ) == [0, 1]
