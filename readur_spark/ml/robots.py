@@ -237,3 +237,51 @@ def robots_longest_match_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest_match_gate(urls, rules).select(
         "doc_id", "allowed", "rule_prefix"
     )
+
+
+def parse_crawl_delay(content: str, agent: str) -> float | None:
+    """Crawl-delay (seconds) of the group governing `agent` — the
+    de-facto extension most crawlers honor (not standardized by RFC
+    9309; parsed with the same group-selection rules). None when the
+    governing group carries no directive or the value is malformed."""
+    agent = agent.lower()
+    groups: list[tuple[list[str], float | None]] = []
+    cur_agents: list[str] = []
+    cur_delay: float | None = None
+    in_rules = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if in_rules and cur_agents:
+                groups.append((cur_agents, cur_delay))
+                cur_agents, cur_delay = [], None
+                in_rules = False
+            cur_agents.append(value.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            in_rules = True
+            if key == "crawl-delay":
+                try:
+                    cur_delay = float(value)
+                except ValueError:
+                    pass
+    if cur_agents:
+        groups.append((cur_agents, cur_delay))
+
+    best_len = -1
+    best: float | None = None
+    star: float | None = None
+    star_seen = False
+    for agents, delay in groups:
+        for ua in agents:
+            if ua == "*":
+                if not star_seen:
+                    star, star_seen = delay, True
+            elif ua in agent and len(ua) > best_len:
+                best_len = len(ua)
+                best = delay
+    return best if best_len >= 0 else star

@@ -126,3 +126,33 @@ class TestCatalystGate:
         )
         row = longest_match_gate(urls, rules).first()
         assert row["allowed"] is True
+
+
+class TestCrawlDelay:
+    CONTENT = (
+        "User-agent: fastbot\nCrawl-delay: 0.5\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /tmp/\n\n"
+        "User-agent: nodelay\nDisallow: /y\n"
+    )
+
+    def test_specific_group(self):
+        from readur_spark.ml.robots import parse_crawl_delay
+
+        assert parse_crawl_delay(self.CONTENT, "fastbot/2.1") == 0.5
+
+    def test_star_fallback(self):
+        from readur_spark.ml.robots import parse_crawl_delay
+
+        assert parse_crawl_delay(self.CONTENT, "unknown") == 10.0
+
+    def test_group_without_directive_is_none(self):
+        from readur_spark.ml.robots import parse_crawl_delay
+
+        assert parse_crawl_delay(self.CONTENT, "nodelay") is None
+
+    def test_malformed_value_ignored(self):
+        from readur_spark.ml.robots import parse_crawl_delay
+
+        assert parse_crawl_delay(
+            "User-agent: *\nCrawl-delay: soon\n", "any"
+        ) is None
