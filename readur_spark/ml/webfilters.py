@@ -423,3 +423,63 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_priority_sample(with_url, "n_chars", "url", 100).select(
         "doc_id", "n_chars", "priority"
     )
+
+
+@register(
+    "host_quality_rollup",
+    oracle=f"""
+    WITH t AS (
+      SELECT source || '.example' AS host,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS alpha_chars
+      FROM documents
+    ), s AS (
+      SELECT host,
+             len(toks) AS n_words,
+             CAST(alpha_chars AS DOUBLE) / len(toks) AS mean_wl,
+             len(list_intersect(toks, {_STOP_SQL})) AS n_stop_distinct,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS uniq_ratio
+      FROM t
+    )
+    SELECT host,
+           count(*) AS n_docs,
+           CAST(sum(CAST(NOT (n_words BETWEEN {_QF_MIN_WORDS} AND {MAX_WORDS})
+                    AS INT)) AS BIGINT) AS n_flag_word_count,
+           CAST(sum(CAST(NOT (mean_wl BETWEEN {MIN_MEAN_WORD_LEN}
+                              AND {MAX_MEAN_WORD_LEN}) AS INT)) AS BIGINT)
+             AS n_flag_word_len,
+           CAST(sum(CAST(n_stop_distinct < {MIN_STOPWORD_HITS} AS INT))
+                AS BIGINT) AS n_flag_stopwords,
+           CAST(sum(CAST(uniq_ratio < {_QF_UNIQ} AS INT)) AS BIGINT)
+             AS n_flag_repetitive,
+           CAST(sum(CAST((n_words BETWEEN {_QF_MIN_WORDS} AND {MAX_WORDS})
+                AND (mean_wl BETWEEN {MIN_MEAN_WORD_LEN}
+                     AND {MAX_MEAN_WORD_LEN})
+                AND n_stop_distinct >= {MIN_STOPWORD_HITS}
+                AND uniq_ratio >= {_QF_UNIQ} AS INT)) AS BIGINT) AS n_keep
+    FROM s GROUP BY host
+    """,
+)
+def host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-HOST C4/Gopher gate rollup — the signal that decides whether
+    a host belongs on a crawl blocklist (a host whose docs mostly fail
+    the gates is boilerplate/spam at the source). Same codegen'd gate
+    projection as qc_web_filters, one map-side-combinable host agg;
+    integer counts only, so the rollup is value-hash exact."""
+    docs = load(spark, sf_dir, "documents")
+    sig = web_filter_signals(
+        F.col("text"), min_words=_QF_MIN_WORDS, min_unique_ratio=_QF_UNIQ
+    )
+    per_doc = docs.select(
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        *[expr.alias(name) for name, expr in sig.items()],
+    )
+    return per_doc.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("flag_word_count").cast("long").alias("n_flag_word_count"),
+        F.sum("flag_word_len").cast("long").alias("n_flag_word_len"),
+        F.sum("flag_stopwords").cast("long").alias("n_flag_stopwords"),
+        F.sum("flag_repetitive").cast("long").alias("n_flag_repetitive"),
+        F.sum("keep").cast("long").alias("n_keep"),
+    )
