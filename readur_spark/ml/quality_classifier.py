@@ -1,0 +1,278 @@
+"""Fasttext-style statistical quality classifier, integer-exact.
+
+The standard web-pipeline recipe (CCNet's fasttext langid stage; the
+LLaMA "looks-like-a-Wikipedia-reference" page classifier; DSIR's
+hashed-feature importance weights, `ml/dsir.py`) trains a cheap linear
+text classifier on weak labels and scores the whole corpus with it.
+This module re-expresses that as a multinomial Naive Bayes classifier
+whose training IS one map-side-combinable aggregation and whose
+scoring is one broadcast join — the two Spark shapes that survive a
+10^12-document corpus.
+
+Here the weak labels come from the repo's own C4/Gopher document
+gates (`ml/webfilters.py: web_filter_signals().keep`): the classifier
+distills the hand-written rules into per-token statistics that
+generalize beyond them (exactly how production pipelines bootstrap a
+quality classifier before human labels exist). Any 0/1 label column
+works — the trainer is label-agnostic.
+
+All arithmetic follows the repo's integer-exact ranking convention
+(`operators/posting.py`, `ml/quality_lm.py`): per-class surprisal is
+`floor(log2(T_class div (c_class + 1)))` computed via
+`length(bin(x)) - 1`, no libm anywhere, so the DuckDB oracle replays
+the scores bit-for-bit. The log-likelihood-ratio of a token is the
+difference of its two class surprisals; a document's score is the
+token sum — ±1-bit per-token quantization averages out over the
+document, which is all a head/tail quality split needs.
+
+The reference engine (yonasBSD/readur) has no statistical classifier;
+its nearest analogue is the boolean OCR-quality gate
+(src/ocr/enhanced.rs:1487-1558). Training-pipeline extension tier.
+
+Scale design (10^12 docs):
+  - training is ONE groupBy over a slim (token, label) projection —
+    per-token class counts partial-aggregate map-side, so the only
+    shuffle carries ~|vocab| rows, not the corpus;
+  - class totals T_pos/T_neg are K-row aggregates over that grouped
+    frame (the single-pass convention from quality_lm's round-3 fix —
+    never a second corpus pass);
+  - the capped model (≤ vocab_cap rows of (token, llr_bits)) is
+    collected and rebuilt as a local relation, so scoring broadcasts
+    a literal table and the scoring plan explodes the corpus once;
+  - per-doc aggregation happens where the explode left the tokens —
+    partial agg collapses to ~1 row/doc/partition before the one
+    slim shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.ml.quality_lm import int_log2, tokenize_alpha
+from readur_spark.ml.webfilters import (
+    _QF_MIN_WORDS,
+    _QF_UNIQ,
+    _STOP_SQL,
+    MAX_MEAN_WORD_LEN,
+    MAX_WORDS,
+    MIN_MEAN_WORD_LEN,
+    MIN_STOPWORD_HITS,
+    web_filter_signals,
+)
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load
+
+VOCAB_CAP = 65536
+
+
+def train_nb_llr(
+    toks: DataFrame, *, vocab_cap: int = VOCAB_CAP
+) -> tuple[DataFrame, int]:
+    """Train the classifier from a (token, label) stream.
+
+    Returns (model, prior_bits): `model` is a ≤ vocab_cap local-
+    relation DataFrame (token, llr_bits) where
+      llr_bits(t) = bits_neg(t) - bits_pos(t),
+      bits_cls(t) = floor(log2(T_cls div (c_cls(t) + 1)))
+    (positive llr → the token is evidence FOR the positive class);
+    `prior_bits` is the per-token OOV correction
+    floor(log2(T_neg+1)) - floor(log2(T_pos+1)) — what an unseen
+    token scores, folded in so scoring's left join can default to 0.
+
+    ONE grouped (token, c_pos, c_neg) aggregate feeds the class
+    totals, the cap, and the model — the token stream is scanned
+    exactly once during training.
+    """
+    counts = (
+        toks.groupBy("token")
+        .agg(
+            F.sum(F.col("label").cast("long")).alias("c_pos"),
+            F.count("*").alias("c_all"),
+        )
+        .withColumn("c_neg", F.col("c_all") - F.col("c_pos"))
+        .persist()
+    )
+    try:
+        tot = counts.agg(
+            F.sum("c_pos").alias("tp"), F.sum("c_neg").alias("tn")
+        ).first()
+        t_pos, t_neg = int(tot["tp"] or 0), int(tot["tn"] or 0)
+        capped = (
+            counts.orderBy(F.col("c_all").desc(), "token")
+            .limit(vocab_cap)
+            .select(
+                "token",
+                (
+                    int_log2(F.expr(f"{t_neg}L div (c_neg + 1L)"))
+                    - int_log2(F.expr(f"{t_pos}L div (c_pos + 1L)"))
+                ).alias("llr_bits"),
+            )
+        )
+        schema = capped.schema
+        rows = capped.collect()
+    finally:
+        counts.unpersist()
+    # OOV: both classes see c = 0, so the token scores the prior ratio.
+    prior_bits = int(t_neg + 1).bit_length() - 1 - (
+        int(t_pos + 1).bit_length() - 1
+    )
+    model = toks.sparkSession.createDataFrame(rows, schema=schema)
+    return model, prior_bits
+
+
+def score_nb(
+    docs: DataFrame,
+    model: DataFrame,
+    prior_bits: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a trained (token, llr_bits) model.
+
+    Output: (id_col, n_tokens, sum_llr, mean_cllr, predicted) —
+    mean_cllr in integer centi-bits/token, predicted = mean_cllr > 0.
+    Docs with zero alphabetic tokens carry no evidence and are
+    excluded (the document gates own that decision)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokenize_alpha(F.col(text_col))).alias("token"),
+    )
+    scored = toks.join(F.broadcast(model), "token", "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("llr_bits"), F.lit(prior_bits)).alias("llr"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("llr").alias("sum_llr"),
+    )
+    mean_cllr = F.expr("(100L * sum_llr) div n_tokens")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "sum_llr",
+        mean_cllr.alias("mean_cllr"),
+        (mean_cllr > 0).cast("int").alias("predicted"),
+    )
+
+
+def nb_confusion(scored: DataFrame, labels: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """2×2 confusion rollup of predictions vs the weak labels —
+    (label, predicted, n). A slim join on the id; the payload is
+    untouched."""
+    return (
+        scored.join(labels.select(id_col, "label"), id_col)
+        .groupBy("label", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _gate_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, label) from the fixture-operating-point C4/Gopher
+    gates. The stopword rule is left out of the training label: the
+    gate's 12-word list has at most ONE distinct hit anywhere in the
+    synthetic corpus, so including it collapses the positives to a
+    single class and a one-class NB is vacuous (the rule still runs in
+    qc_web_filters — it just carries no training signal here)."""
+    sig = web_filter_signals(
+        F.col("text"), min_words=_QF_MIN_WORDS, min_unique_ratio=_QF_UNIQ
+    )
+    label = (
+        (sig["flag_word_count"] == 0)
+        & (sig["flag_word_len"] == 0)
+        & (sig["flag_repetitive"] == 0)
+    )
+    return docs.select("doc_id", "text", label.cast("int").alias("label"))
+
+
+# The oracle rebuilds the label, the per-token class counts, the capped
+# model, and the integer-log2 scores — the whole train+score round trip
+# value-hashed.
+_NB_ORACLE = f"""
+WITH lab AS (
+  SELECT doc_id, text,
+         CAST((len(toks) BETWEEN {_QF_MIN_WORDS} AND {MAX_WORDS})
+              AND (CAST(alpha_chars AS DOUBLE) / len(toks)
+                   BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})
+              AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  >= {_QF_UNIQ} AS INT) AS label
+  FROM (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\\s+') AS toks,
+           length(regexp_replace(text, '\\s+', '', 'g')) AS alpha_chars
+    FROM documents
+  )
+),
+toks AS (
+  SELECT doc_id, label, t.token
+  FROM lab,
+       UNNEST(list_filter(
+         regexp_split_to_array(lower(text), '[^a-z]+'),
+         x -> x <> '')) AS t(token)
+),
+counts AS (
+  SELECT token,
+         CAST(sum(label) AS BIGINT) AS c_pos,
+         count(*) AS c_all,
+         count(*) - CAST(sum(label) AS BIGINT) AS c_neg
+  FROM toks GROUP BY token
+),
+tot AS (
+  SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+         CAST(sum(c_neg) AS BIGINT) AS t_neg
+  FROM counts
+),
+model AS (
+  SELECT token,
+         (length(bin((SELECT t_neg FROM tot) // (c_neg + 1))) - 1)
+         - (length(bin((SELECT t_pos FROM tot) // (c_pos + 1))) - 1)
+           AS llr_bits
+  FROM counts ORDER BY c_all DESC, token LIMIT {VOCAB_CAP}
+),
+prior AS (
+  SELECT (length(bin(t_neg + 1)) - 1) - (length(bin(t_pos + 1)) - 1)
+           AS prior_bits
+  FROM tot
+),
+scored AS (
+  SELECT toks.doc_id, toks.label,
+         coalesce(m.llr_bits, (SELECT prior_bits FROM prior)) AS llr
+  FROM toks LEFT JOIN model m USING (token)
+),
+agg AS (
+  SELECT doc_id, any_value(label) AS label, count(*) AS n_tokens,
+         CAST(sum(llr) AS BIGINT) AS sum_llr
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, label, n_tokens, sum_llr,
+       CAST((100 * sum_llr) // n_tokens AS BIGINT) AS mean_cllr,
+       CAST((100 * sum_llr) // n_tokens > 0 AS INT) AS predicted
+FROM agg
+"""
+
+
+@register("qc_nb_classifier", oracle=_NB_ORACLE)
+def qc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the gate-distilled Naive Bayes quality classifier on the
+    corpus and score every document — counts, caps, integer-log2 LLRs,
+    and predictions all replayed exactly in DuckDB.
+
+    Fixture note: the synthetic corpus draws every document from ONE
+    shared vocabulary, and the 3-gate label keys on length/uniqueness,
+    not token identity — so there is deliberately ~no lexical signal
+    here and per-doc scores sit near the decision boundary (that the
+    full train+score round trip is still value-hash-exact is the
+    point of this query). `tests/test_quality_classifier.py` pins the
+    discriminative behavior on a corpus whose classes DO differ
+    lexically: there the classifier separates them perfectly."""
+    docs = load(spark, sf_dir, "documents")
+    labeled = _gate_labels(docs)
+    toks = labeled.select(
+        "label", F.explode(tokenize_alpha(F.col("text"))).alias("token")
+    )
+    model, prior_bits = train_nb_llr(toks)
+    scored = score_nb(labeled, model, prior_bits)
+    return scored.join(
+        labeled.select("doc_id", "label"), "doc_id"
+    ).select("doc_id", "label", "n_tokens", "sum_llr", "mean_cllr", "predicted")
