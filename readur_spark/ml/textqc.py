@@ -463,3 +463,131 @@ def qc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_textqc_extra.py)."""
     docs = load(spark, sf_dir, "documents")
     return compression_ratio_table(docs)
+
+
+# ---- readability (Flesch/Flesch-Kincaid), integer-exact ----------------
+
+# milli-scaled coefficient forms of the published formulas:
+#   FK grade  = 0.39 (W/S) + 11.8 (Syl/W) - 15.59
+#   FRE score = 206.835 - 1.015 (W/S) - 84.6 (Syl/W)
+# computed as (a*W) div S etc. so every engine floors identically.
+
+
+def _syllables(word: Column) -> Column:
+    """Heuristic syllable count of one lowercase word: vowel-group
+    runs ([aeiouy]+), minus one for a silent trailing 'e' when another
+    group exists, floored at 1. Pure string expressions — usable
+    inside array HOFs (stays in whole-stage codegen)."""
+    groups = F.size(
+        F.filter(F.split(word, "[^aeiouy]+"), lambda x: x != F.lit(""))
+    )
+    silent_e = (word.endswith("e") & (groups >= 2)).cast("int")
+    return F.greatest(F.lit(1), groups - silent_e)
+
+
+def readability_counts(text: Column) -> dict[str, Column]:
+    """Per-document readability base counts, all codegen, zero
+    shuffle. Syllables are summed with F.aggregate over the token
+    array — the corpus never explodes. Sentences are [.!?]+ runs,
+    floored at 1 (a fragment is one sentence)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != F.lit("")
+    )
+    n_words = F.size(toks)
+    n_sentences = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(text, F.lit("[.!?]+"), 0))
+    )
+    n_syllables = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + _syllables(w)
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "n_sentences": n_sentences.cast("long"),
+        "n_syllables": n_syllables.cast("long"),
+    }
+
+
+def readability_table(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_words, n_sentences, n_syllables, fk_milligrade,
+    fre_milli, fre_band) — FK grade and Flesch Reading Ease in
+    milli-units via integer div (engine-exact). Zero-word docs carry
+    no readability evidence and are excluded."""
+    c = readability_counts(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        c["n_words"].alias("n_words"),
+        c["n_sentences"].alias("n_sentences"),
+        c["n_syllables"].alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    fre = F.expr(
+        "206835L - (1015L * n_words) div n_sentences"
+        " - (84600L * n_syllables) div n_words"
+    )
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "(390L * n_words) div n_sentences"
+            " + (11800L * n_syllables) div n_words - 15590L"
+        ).alias("fk_milligrade"),
+        fre.alias("fre_milli"),
+        F.when(fre >= 90000, "very_easy")
+        .when(fre >= 60000, "standard")
+        .when(fre >= 30000, "difficult")
+        .otherwise("very_confusing")
+        .alias("fre_band"),
+    )
+
+
+@register(
+    "qc_readability",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS n_sentences
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(n_sentences AS BIGINT) AS n_sentences,
+             CAST(list_sum(list_transform(toks, w -> greatest(1,
+               len(list_filter(regexp_split_to_array(w, '[^aeiouy]+'),
+                               x -> x <> ''))
+               - CAST(w LIKE '%e' AND
+                      len(list_filter(regexp_split_to_array(w,
+                          '[^aeiouy]+'), x -> x <> '')) >= 2 AS INT))))
+               AS BIGINT) AS n_syllables
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST((390 * n_words) // n_sentences
+                + (11800 * n_syllables) // n_words - 15590 AS BIGINT)
+             AS fk_milligrade,
+           CAST(206835 - (1015 * n_words) // n_sentences
+                - (84600 * n_syllables) // n_words AS BIGINT) AS fre_milli,
+           CASE WHEN 206835 - (1015 * n_words) // n_sentences
+                     - (84600 * n_syllables) // n_words >= 90000
+                  THEN 'very_easy'
+                WHEN 206835 - (1015 * n_words) // n_sentences
+                     - (84600 * n_syllables) // n_words >= 60000
+                  THEN 'standard'
+                WHEN 206835 - (1015 * n_words) // n_sentences
+                     - (84600 * n_syllables) // n_words >= 30000
+                  THEN 'difficult'
+                ELSE 'very_confusing' END AS fre_band
+    FROM c
+    """,
+)
+def qc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade + Flesch Reading Ease per document in
+    exact milli-units — syllable heuristic, integer div scoring, and
+    bands replayed identically in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    return readability_table(docs)

@@ -39,3 +39,48 @@ class TestCompressionRatio:
             for r in compression_ratio_table(_frame(spark)).collect()
         }
         assert got[1] < got[2] < got[3]
+
+
+class TestReadability:
+    def _table(self, spark, rows):
+        from readur_spark.ml.textqc import readability_table
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r.asDict() for r in readability_table(df).collect()}
+
+    def test_hand_computed_counts(self, spark):
+        """'The cat sat. It ran!' → 5 words, 2 sentences; syllables:
+        the(1) cat(1) sat.(1) it(1) ran!(1) = 5."""
+        got = self._table(spark, [(1, "The cat sat. It ran!")])
+        r = got[1]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 5)
+        # FK milli: (390*5)//2 + (11800*5)//5 - 15590 = 975+11800-15590
+        assert r["fk_milligrade"] == 975 + 11800 - 15590
+        # FRE milli: 206835 - (1015*5)//2 - (84600*5)//5
+        assert r["fre_milli"] == 206835 - 2537 - 84600
+        assert r["fre_band"] == "very_easy"
+
+    def test_silent_e_and_vowel_groups(self, spark):
+        """'blue' = 1 group ('ue') → no silent-e drop (groups<2) → 1.
+        'because' = groups e,au,e = 3, trailing e → 2.
+        'rhythm' = groups y → 1."""
+        got = self._table(spark, [(1, "blue because rhythm")])
+        assert got[1]["n_syllables"] == 1 + 2 + 1
+
+    def test_fragment_counts_one_sentence(self, spark):
+        got = self._table(spark, [(1, "no terminal punctuation here")])
+        assert got[1]["n_sentences"] == 1
+
+    def test_empty_docs_excluded(self, spark):
+        got = self._table(spark, [(1, "word"), (2, "   "), (3, "")])
+        assert sorted(got) == [1]
+
+    def test_plan_has_no_explode_or_exchange(self, spark):
+        """Readability is a pure projection — the corpus neither
+        explodes nor shuffles."""
+        from readur_spark.ml.textqc import readability_table
+
+        df = spark.createDataFrame([(1, "a. b c")], "doc_id long, text string")
+        plan = readability_table(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan, plan
+        assert "Exchange" not in plan, plan
