@@ -79,9 +79,12 @@ _PRIORITY: list[str] = [
     "kmeans_centroids_int",  # full-corpus integer Lloyd
     "host_pagerank",  # integer fixed-point PageRank
     "robots_longest_match_gate",  # RFC 9309 gate
-    # text QC
-    "qc_quality_score",
-    "qc_langid_english",
+    # text QC (qc_quality_score / qc_langid_english ceded r4 session 3
+    # — thin single-projection variants, pytest/judge-checked — to
+    # admit the two new oracle families below)
+    "qc_nb_classifier",  # r4 session 3: gate-distilled NB classifier
+    # — whole train+score round trip value-hashed
+    "qc_readability",  # r4 session 3: Flesch/FK milli-unit scoring
     "qc_repetition",
     # search (phrase/boolean/filename are thin variants of the same
     # FTS predicate machinery as search_simple_and — they, plus
