@@ -62,6 +62,8 @@ HEADLINE_QUERIES = [
     "qc_lm_surprisal_buckets",
     "bpe_learn_merges",
     "host_pagerank",
+    "qc_nb_classifier",
+    "qc_readability",
 ]
 
 

@@ -240,3 +240,118 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").withColumn("url", synthetic_url())
     out = with_training_order(docs, "ep1", 8, key_col="url")
     return out.select("doc_id", "shard", "pos")
+
+
+# ---- token-budget planning (the published data-mix table) --------------
+
+# per-mille target weights for the planning query (integer so the
+# whole plan is BIGINT-exact on every engine)
+_TOKEN_TARGETS_MILLI = {"en": 500, "zh": 200, "de": 100, "es": 100, "fr": 100}
+_TOKEN_MAX_EPOCHS_MILLI = 4000
+
+
+def plan_token_mixture(
+    docs: DataFrame,
+    bucket_col: str,
+    targets_milli: dict[str, int],
+    budget_tokens: int,
+    *,
+    text_col: str = "text",
+    max_epochs_milli: int = _TOKEN_MAX_EPOCHS_MILLI,
+) -> DataFrame:
+    """The data-mix table every LLM-data paper publishes (Pile / ROOTS
+    / Llama): per bucket, how many tokens exist, what fraction of the
+    token budget the mixture assigns, and the resulting sampling rate
+    in milli-epochs (epochs*1000; <1000 downsamples, >1000 repeats,
+    capped). All integer arithmetic:
+
+      epochs_milli_b = min(cap, (budget * target_milli_b) div tokens_b)
+      planned_tokens_b = (tokens_b * epochs_milli_b) div 1000
+
+    Output: (bucket, n_docs, n_tokens, target_milli, epochs_milli,
+    planned_tokens). Scale: ONE map-side-combinable aggregation over a
+    slim (bucket, token-count) projection — K output rows; the payload
+    never shuffles. Token counts are the whitespace convention
+    (`ml/textqc.py: token_count`)."""
+    from readur_spark.ml.textqc import token_count
+
+    tmap = F.create_map(
+        *[F.lit(x) for kv in targets_milli.items() for x in kv]
+    )
+    agg = (
+        docs.select(
+            F.col(bucket_col).alias("bucket"),
+            token_count(F.col(text_col)).cast("long").alias("_t"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_t").alias("n_tokens"),
+        )
+    )
+    target = F.coalesce(tmap[F.col("bucket")], F.lit(0)).cast("long")
+    return (
+        agg.withColumn("target_milli", target)
+        .withColumn(
+            "epochs_milli",
+            F.when(
+                (F.col("n_tokens") > 0) & (F.col("target_milli") > 0),
+                F.least(
+                    F.lit(int(max_epochs_milli)).cast("long"),
+                    F.expr(
+                        f"({int(budget_tokens)}L * target_milli)"
+                        " div n_tokens"
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "planned_tokens",
+            F.expr("(n_tokens * epochs_milli) div 1000L"),
+        )
+    )
+
+
+@register(
+    "mixture_token_plan",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang AS bucket, count(*) AS n_docs,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+               AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    t(bucket, target_milli) AS (VALUES
+      {", ".join(f"('{b}', {m})" for b, m in _TOKEN_TARGETS_MILLI.items())}
+    ),
+    p AS (
+      SELECT c.bucket, c.n_docs, c.n_tokens,
+             CAST(coalesce(t.target_milli, 0) AS BIGINT) AS target_milli
+      FROM c LEFT JOIN t USING (bucket)
+    )
+    SELECT bucket, n_docs, n_tokens, target_milli,
+           CAST(CASE WHEN n_tokens > 0 AND target_milli > 0
+                THEN least({_TOKEN_MAX_EPOCHS_MILLI},
+                           (100000 * target_milli) // n_tokens)
+                ELSE 0 END AS BIGINT) AS epochs_milli,
+           CAST((n_tokens * (CASE WHEN n_tokens > 0 AND target_milli > 0
+                THEN least({_TOKEN_MAX_EPOCHS_MILLI},
+                           (100000 * target_milli) // n_tokens)
+                ELSE 0 END)) // 1000 AS BIGINT) AS planned_tokens
+    FROM p
+    """,
+)
+def mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture plan over `documents` by language at a
+    100k-token budget — counts, milli-epoch rates, and planned yields
+    value-hash-checked (integer-exact on both engines)."""
+    docs = load(spark, sf_dir, "documents")
+    return plan_token_mixture(
+        docs, "lang", _TOKEN_TARGETS_MILLI, 100_000
+    ).select(
+        "bucket", "n_docs", "n_tokens", "target_milli",
+        "epochs_milli", "planned_tokens",
+    )

@@ -158,3 +158,61 @@ class TestWithTrainingOrder:
         ]
         assert len(counts) == 8
         assert max(counts) < 2.0 * min(counts)  # uniform hash, no skew
+
+
+class TestPlanTokenMixture:
+    def _plan(self, spark, rows, targets, budget, cap=4000):
+        from readur_spark.ml.mixing import plan_token_mixture
+
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = plan_token_mixture(
+            df, "lang", targets, budget, max_epochs_milli=cap
+        )
+        return {r["bucket"]: r.asDict() for r in out.collect()}
+
+    def test_hand_computed_plan(self, spark):
+        """en: 6 tokens, target 600‰, budget 10 → epochs_milli =
+        min(4000, 6000//6) = 1000, planned = 6.
+        de: 2 tokens, target 400‰ → min(4000, 4000//2) = 2000 (2 epochs),
+        planned = (2*2000)//1000 = 4."""
+        got = self._plan(
+            spark,
+            [(1, "en", "a b c"), (2, "en", "d e f"), (3, "de", "x y")],
+            {"en": 600, "de": 400},
+            10,
+        )
+        assert got["en"]["n_docs"] == 2 and got["en"]["n_tokens"] == 6
+        assert got["en"]["epochs_milli"] == 1000
+        assert got["en"]["planned_tokens"] == 6
+        assert got["de"]["epochs_milli"] == 2000
+        assert got["de"]["planned_tokens"] == 4
+
+    def test_cap_and_untargeted_bucket(self, spark):
+        """A scarce targeted bucket caps at max epochs; a bucket with
+        no target plans zero."""
+        got = self._plan(
+            spark,
+            [(1, "en", "w"), (2, "zz", "v u t")],
+            {"en": 1000},
+            1000,
+            cap=2500,
+        )
+        assert got["en"]["epochs_milli"] == 2500
+        assert got["en"]["planned_tokens"] == 2
+        assert got["zz"]["epochs_milli"] == 0
+        assert got["zz"]["planned_tokens"] == 0
+
+    def test_single_aggregation_plan(self, spark):
+        """The plan is one hash aggregate over a slim projection —
+        exactly one exchange, no join, no explode."""
+        from readur_spark.ml.mixing import plan_token_mixture
+
+        df = spark.createDataFrame(
+            [(1, "en", "a b")], "doc_id long, lang string, text string"
+        )
+        plan = (
+            plan_token_mixture(df, "lang", {"en": 1000}, 100)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") <= 1, plan
+        assert "Generate" not in plan and "Join" not in plan, plan
