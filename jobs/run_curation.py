@@ -11,6 +11,7 @@ end-to-end:
     → [--nfc] Unicode NFC + whitespace normalization (ml/normalize)
     → [--line-filter] C4 line gates (ml/linefilters)
     → [--lm-filter] drop LM-surprisal tail bucket (ml/quality_lm)
+    → [--nb-filter] drop NB-classifier negatives (ml/quality_classifier)
     → C4/Gopher document gates (ml/webfilters.web_filter_signals)
     → exact dedup winners (first url per sha256)
     → optional PII redaction (ml/webfilters.redact_pii)
@@ -62,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-filter", action="store_true",
                    help="drop LM-surprisal 'tail' bucket docs "
                         "(ml/quality_lm, corpus-trained)")
+    p.add_argument("--nb-filter", action="store_true",
+                   help="drop docs the gate-distilled NB quality "
+                        "classifier scores negative "
+                        "(ml/quality_classifier, corpus-trained)")
     p.add_argument("--fmt", choices=["parquet", "json"], default="parquet")
     p.add_argument("--max-records-per-file", type=int, default=100_000)
     p.add_argument("--append", action="store_true",
@@ -163,6 +168,32 @@ def main(argv: list[str] | None = None) -> int:
             docs, text_col=args.text_col, id_col=args.url_col
         ).filter(F.col("ppl_bucket") == "tail").select(args.url_col)
         docs = docs.join(tail_ids, args.url_col, "left_anti")
+    if args.nb_filter:
+        from readur_spark.ml.quality_classifier import (
+            score_nb,
+            train_nb_llr,
+        )
+        from readur_spark.ml.quality_lm import tokenize_alpha
+        from readur_spark.ml.webfilters import web_filter_signals as _wfs
+
+        # weak labels from the same document gates the job enforces
+        # later; anti-join the ids scored NEGATIVE (same unscored-doc
+        # ownership rule as --lm-filter above)
+        _sig = _wfs(F.col(args.text_col), min_words=args.min_words)
+        _lab = docs.select(
+            F.col(args.url_col), F.col(args.text_col),
+            _sig["keep"].cast("int").alias("label"),
+        )
+        _toks = _lab.select(
+            "label",
+            F.explode(tokenize_alpha(F.col(args.text_col))).alias("token"),
+        )
+        _model, _prior = train_nb_llr(_toks)
+        neg_ids = score_nb(
+            _lab, _model, _prior,
+            text_col=args.text_col, id_col=args.url_col,
+        ).filter(F.col("predicted") == 0).select(args.url_col)
+        docs = docs.join(neg_ids, args.url_col, "left_anti")
 
     text = F.col(args.text_col)
 

@@ -286,6 +286,33 @@ def test_curation_job_round3_gates(tmp_path, pages_parquet):
     assert written.count() > 0
 
 
+def test_curation_nb_filter_composes(tmp_path, pages_parquet):
+    """--nb-filter trains the gate-distilled classifier on the run's
+    own corpus and drops scored-negative docs; the job still yields
+    rows (the corpus' prose family is lexically distinct from its
+    boilerplate, so positives survive)."""
+    store = str(tmp_path / "nbstore")
+    r1 = _run_job(["--input", pages_parquet, "--store", store,
+                   "--run-id", "nb1", "--cpus", "8"])
+    assert r1["status"] == "committed"
+
+    shards = str(tmp_path / "nbshards")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+         "--input", store, "--output", shards,
+         "--min-words", "5", "--cpus", "8", "--nb-filter"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines()
+            if l.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["status"] == "written"
+    assert sum(v["n_docs"] for v in summary["yields"].values()) > 0
+
+
 def test_frontier_job_end_to_end(tmp_path, spark):
     """run_frontier.py: robots gate + politeness plan over a url list."""
     urls = [
