@@ -175,6 +175,7 @@ def _load_all() -> None:
     from readur_spark.ml import dsir as ml_dsir  # noqa: F401
     from readur_spark.ml import quality_lm as ml_quality_lm  # noqa: F401
     from readur_spark.ml import quality_classifier as ml_quality_classifier  # noqa: F401
+    from readur_spark.ml import headmeta as ml_headmeta  # noqa: F401
     from readur_spark.ml import curation_web as ml_curation_web  # noqa: F401
     from readur_spark.ml import linefilters as ml_linefilters  # noqa: F401
     from readur_spark.operators import asof as op_asof  # noqa: F401
