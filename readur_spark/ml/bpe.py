@@ -171,22 +171,35 @@ def encode_token_counts(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    count_oov: bool = False,
 ) -> DataFrame:
     """Per-document word and BPE-token counts under a learned vocab:
     (id_col, n_words, n_bpe_tokens). The per-word token count is
     precomputed on the compact vocab and BROADCAST onto the slim
     (id, word) stream — the corpus-side explode never shuffles on the
     word key. Documents with zero alphabetic words carry no tokens and
-    are excluded (consistent with the LM tier's evidence rule)."""
+    are excluded (consistent with the LM tier's evidence rule).
+
+    `count_oov=True` scores words outside the learned vocab at their
+    base (character-level) symbol count — real BPE semantics, since
+    every single character is in the base vocabulary. The default
+    drops them, matching the registered oracle twins (whose corpus IS
+    the training corpus, so OOV cannot occur there)."""
     per_word = vocab.select(
         "w", F.size(rep_symbols(F.col("rep"))).alias("n_tok")
     )
     words = docs.select(
         F.col(id_col), F.explode(tokenize_alpha(F.col(text_col))).alias("w")
     )
+    if count_oov:
+        scored = words.join(F.broadcast(per_word), "w", "left").select(
+            id_col,
+            F.coalesce(F.col("n_tok"), F.length("w")).alias("n_tok"),
+        )
+    else:
+        scored = words.join(F.broadcast(per_word), "w")
     return (
-        words.join(F.broadcast(per_word), "w")
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count("*").alias("n_words"),
             F.sum("n_tok").alias("n_bpe_tokens"),

@@ -313,6 +313,63 @@ def test_curation_nb_filter_composes(tmp_path, pages_parquet):
     assert sum(v["n_docs"] for v in summary["yields"].values()) > 0
 
 
+def test_export_job_end_to_end(tmp_path, pages_parquet):
+    """extract → curate → export: BPE learned on train, every split
+    token-accounted, train packed into context-bounded bins."""
+    store = str(tmp_path / "xstore")
+    r1 = _run_job(["--input", pages_parquet, "--store", store,
+                   "--run-id", "x1", "--cpus", "8"])
+    assert r1["status"] == "committed"
+
+    shards = str(tmp_path / "xshards")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+         "--input", store, "--output", shards,
+         "--min-words", "5", "--cpus", "8"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    packed = str(tmp_path / "xpacked")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "jobs", "run_export.py"),
+         "--input", shards, "--output", packed,
+         "--context", "256", "--shards", "4", "--cpus", "8"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines()
+            if l.startswith("{")][-1]
+    m = json.loads(line)
+    assert m["status"] == "written"
+    assert m["num_merges_learned"] > 0
+    assert m["splits"]["train"]["n_docs"] > 0
+    assert m["splits"]["train"]["n_bpe_tokens"] > 0
+    assert m["train_bins"] > 0
+    assert 0 < m["train_bin_fill_pct"]
+
+    from pyspark.sql import functions as F
+
+    from readur_spark.session import get_spark
+
+    spark = get_spark(8)
+    written = spark.read.parquet(packed).filter(F.col("split") == "train")
+    # bin invariant: a bin's tokens fit the context unless it holds
+    # exactly one oversized doc
+    bad = (
+        written.groupBy("shard", "bin_id")
+        .agg(F.sum("n_bpe_tokens").alias("t"), F.count("*").alias("k"))
+        .filter((F.col("t") > 256) & (F.col("k") > 1))
+        .count()
+    )
+    assert bad == 0
+    # within-shard order column is a clean 1..n sequence
+    n = written.count()
+    assert written.select("shard", "pos").distinct().count() == n
+
+
 def test_frontier_job_end_to_end(tmp_path, spark):
     """run_frontier.py: robots gate + politeness plan over a url list."""
     urls = [
