@@ -395,3 +395,70 @@ def anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = synthetic_pages(spark, 500)
     return anchor_term_profile(pages).select("dst_host", "term", "n")
+
+
+# ---- constructed-corpus oracle for the href kernel ---------------------
+
+
+def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real HTML pages from `documents` with a link structure both
+    engines can derive: each page (host = source.example) links twice
+    to hub<doc_id%10>.example (one absolute double-quoted, one
+    single-quoted with a path), once to hub<(doc_id+3)%10>.example,
+    once RELATIVELY to its own host (the urljoin path), plus one
+    mailto: and one fragment link the kernel must ignore."""
+    docs = load(spark, sf_dir, "documents")
+    hub_a = F.concat(F.lit("hub"), (F.col("doc_id") % 10).cast("string"),
+                     F.lit(".example"))
+    hub_b = F.concat(F.lit("hub"), ((F.col("doc_id") + 3) % 10).cast("string"),
+                     F.lit(".example"))
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example/doc"), F.col("doc_id").cast("string"),
+                   F.lit(".html"))
+    html = F.concat(
+        F.lit('<html><body><a href="https://'), hub_a, F.lit('/">x</a>'),
+        F.lit("<a href='http://"), hub_a, F.lit("/deep/page'>y</a>"),
+        F.lit('<a href="https://'), hub_b, F.lit('/p">z</a>'),
+        F.lit('<a href="/local.html">self</a>'),
+        F.lit('<a href="mailto:a@b.c">m</a>'),
+        F.lit('<a href="#frag">f</a>'),
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.encode(html, "utf-8").cast("binary").alias("html"),
+    )
+
+
+@register(
+    "outlink_edges_parse",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             source || '.example' AS src_host,
+             'hub' || CAST(doc_id % 10 AS VARCHAR) || '.example' AS hub_a,
+             'hub' || CAST((doc_id + 3) % 10 AS VARCHAR) || '.example'
+               AS hub_b
+      FROM documents
+    ),
+    links AS (
+      SELECT src_host, hub_a AS dst_host, 2 AS w FROM base
+      UNION ALL
+      SELECT src_host, hub_b, 1 FROM base
+      UNION ALL
+      SELECT src_host, src_host, 1 FROM base
+    )
+    SELECT src_host, dst_host, CAST(sum(w) AS BIGINT) AS n_links
+    FROM links GROUP BY src_host, dst_host
+    """,
+)
+def outlink_edges_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The href-extraction kernel value-hash-checked end-to-end: real
+    constructed HTML (quote styles, absolute/relative targets, mailto
+    and fragment noise) parsed by `extract_outlink_hosts`, with the
+    DuckDB oracle re-deriving the (src, dst, n_links) edges from the
+    same construction rule. Complements the rows-only
+    `host_link_graph` (datagen corpus) by pinning the parser itself."""
+    return outlink_edges(_linked_pages(spark, sf_dir)).select(
+        "src_host", "dst_host", "n_links"
+    )

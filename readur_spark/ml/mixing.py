@@ -275,9 +275,6 @@ def plan_token_mixture(
     (`ml/textqc.py: token_count`)."""
     from readur_spark.ml.textqc import token_count
 
-    tmap = F.create_map(
-        *[F.lit(x) for kv in targets_milli.items() for x in kv]
-    )
     agg = (
         docs.select(
             F.col(bucket_col).alias("bucket"),
@@ -288,6 +285,26 @@ def plan_token_mixture(
             F.count("*").alias("n_docs"),
             F.sum("_t").alias("n_tokens"),
         )
+    )
+    return plan_over_token_agg(
+        agg, targets_milli, budget_tokens,
+        max_epochs_milli=max_epochs_milli,
+    )
+
+
+def plan_over_token_agg(
+    agg: DataFrame,
+    targets_milli: dict[str, int],
+    budget_tokens: int,
+    *,
+    max_epochs_milli: int = _TOKEN_MAX_EPOCHS_MILLI,
+) -> DataFrame:
+    """The plan arithmetic over an already-aggregated (bucket, n_docs,
+    n_tokens) frame — shared by the whitespace-token and BPE-token
+    planners (the token-counting convention is the caller's choice;
+    the budget must be denominated in the same unit)."""
+    tmap = F.create_map(
+        *[F.lit(x) for kv in targets_milli.items() for x in kv]
     )
     target = F.coalesce(tmap[F.col("bucket")], F.lit(0)).cast("long")
     return (
@@ -355,3 +372,97 @@ def mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "n_docs", "n_tokens", "target_milli",
         "epochs_milli", "planned_tokens",
     )
+
+
+# ---- fertility-adjusted plan: budget in MODEL tokens -------------------
+
+# A mixture planned in whitespace words misprices languages whose BPE
+# fertility differs (the same word budget costs more model tokens in a
+# high-fertility language). This variant counts each document in BPE
+# tokens under the corpus-learned vocab, so the budget is denominated
+# in what the trainer actually consumes (`ml/bpe.py:
+# bpe_fertility_by_lang` measures the per-language price; this plans
+# with it).
+
+_BPE_BUDGET_TOKENS = 150_000
+
+
+def _bpe_plan_oracle() -> str:
+    from readur_spark.ml.bpe import DEFAULT_NUM_MERGES, _oracle_chain
+
+    targets_values = ", ".join(
+        f"('{b}', {m})" for b, m in _TOKEN_TARGETS_MILLI.items()
+    )
+    return _oracle_chain(DEFAULT_NUM_MERGES) + f""",
+    per_word AS MATERIALIZED (
+      SELECT w, CAST(len(list_filter(string_split(rep, '  '),
+                                     x -> x <> '')) AS INT) AS n_tok
+      FROM w{DEFAULT_NUM_MERGES}
+    ),
+    doc_words AS (
+      SELECT doc_id, lang, t.w AS w
+      FROM documents,
+           UNNEST(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z]+'),
+             x -> x <> '')) AS t(w)
+    ),
+    dc AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             CAST(sum(n_tok) AS BIGINT) AS t
+      FROM doc_words JOIN per_word USING (w)
+      GROUP BY doc_id
+    ),
+    c AS (
+      SELECT lang AS bucket, count(*) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS n_tokens
+      FROM dc GROUP BY lang
+    ),
+    tg(bucket, target_milli) AS (VALUES {targets_values}),
+    p AS (
+      SELECT c.bucket, c.n_docs, c.n_tokens,
+             CAST(coalesce(tg.target_milli, 0) AS BIGINT) AS target_milli
+      FROM c LEFT JOIN tg USING (bucket)
+    )
+    SELECT bucket, n_docs, n_tokens, target_milli,
+           CAST(CASE WHEN n_tokens > 0 AND target_milli > 0
+                THEN least({_TOKEN_MAX_EPOCHS_MILLI},
+                           ({_BPE_BUDGET_TOKENS} * target_milli) // n_tokens)
+                ELSE 0 END AS BIGINT) AS epochs_milli,
+           CAST((n_tokens * (CASE WHEN n_tokens > 0 AND target_milli > 0
+                THEN least({_TOKEN_MAX_EPOCHS_MILLI},
+                           ({_BPE_BUDGET_TOKENS} * target_milli) // n_tokens)
+                ELSE 0 END)) // 1000 AS BIGINT) AS planned_tokens
+    FROM p
+    """
+
+
+def _register_bpe_plan() -> None:
+    @register("mixture_bpe_token_plan", oracle=_bpe_plan_oracle())
+    def mixture_bpe_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The data-mix table denominated in BPE tokens: vocab learned
+        from the corpus, every doc token-accounted under it, then the
+        same capped milli-epoch plan arithmetic — learn, encode, and
+        plan all replayed exactly in DuckDB."""
+        from readur_spark.ml.bpe import (
+            DEFAULT_NUM_MERGES,
+            encode_token_counts,
+            learn_bpe_merges,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        _, vocab = learn_bpe_merges(docs, DEFAULT_NUM_MERGES)
+        counts = encode_token_counts(docs, vocab, id_col="doc_id")
+        sized = docs.select("doc_id", "lang").join(counts, "doc_id")
+        agg = sized.groupBy(F.col("lang").alias("bucket")).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("n_tokens"),
+        )
+        return plan_over_token_agg(
+            agg, _TOKEN_TARGETS_MILLI, _BPE_BUDGET_TOKENS
+        ).select(
+            "bucket", "n_docs", "n_tokens", "target_milli",
+            "epochs_milli", "planned_tokens",
+        )
+
+
+_register_bpe_plan()
