@@ -462,3 +462,58 @@ def outlink_edges_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlink_edges(_linked_pages(spark, sf_dir)).select(
         "src_host", "dst_host", "n_links"
     )
+
+
+def _anchored_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose anchor texts both engines can derive: each page
+    links to hub<doc_id%10>.example with anchor text built from the
+    doc's lang plus nested markup and irregular whitespace the kernel
+    must strip ('read <b>the LANG guide</b>  now'), and once more
+    with an empty (image) anchor that must be dropped."""
+    docs = load(spark, sf_dir, "documents")
+    hub = F.concat(F.lit("hub"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".example"))
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example/doc"), F.col("doc_id").cast("string"),
+                   F.lit(".html"))
+    html = F.concat(
+        F.lit('<html><body><a href="https://'), hub,
+        F.lit('/g">read <b>the '), F.col("lang"),
+        F.lit(" guide</b>\n  now</a>"),
+        F.lit('<a href="https://'), hub,
+        F.lit('/i"><img src="x.png"></a>'),
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.encode(html, "utf-8").cast("binary").alias("html"),
+    )
+
+
+@register(
+    "anchor_terms_parse",
+    oracle="""
+    WITH base AS (
+      SELECT 'hub' || CAST(doc_id % 10 AS VARCHAR) || '.example'
+               AS dst_host,
+             lang
+      FROM documents
+    ),
+    terms AS (
+      SELECT dst_host, t.term
+      FROM base,
+           UNNEST(['read', 'the', lower(lang), 'guide', 'now'])
+             AS t(term)
+    )
+    SELECT dst_host, term, count(*) AS n
+    FROM terms GROUP BY dst_host, term
+    """,
+)
+def anchor_terms_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anchor-text kernel value-hash-checked end-to-end: nested
+    tags stripped, whitespace normalized, empty image anchors dropped
+    — the oracle re-derives every (host, term, n) from the
+    construction rule."""
+    return anchor_term_profile(_anchored_pages(spark, sf_dir)).select(
+        "dst_host", "term", "n"
+    )

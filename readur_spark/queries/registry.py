@@ -85,7 +85,10 @@ _PRIORITY: list[str] = [
     "qc_nb_classifier",  # r4 session 3: gate-distilled NB classifier
     # — whole train+score round trip value-hashed
     "qc_readability",  # r4 session 3: Flesch/FK milli-unit scoring
-    "qc_repetition",
+    "head_metadata_parse",  # r4 session 3: canonical/robots-meta/lang
+    # head parsing, oracle via the constructed-corpus rule
+    # (qc_repetition ceded — single-agg Gopher variant whose machinery
+    # qc_web_filters keeps windowed; stays pytest/judge-checked)
     # search (phrase/boolean/filename are thin variants of the same
     # FTS predicate machinery as search_simple_and — they, plus
     # qc_token_count_bpe and status_conditional_counts, moved out of
