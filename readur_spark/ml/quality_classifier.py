@@ -276,3 +276,74 @@ def qc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(
         labeled.select("doc_id", "label"), "doc_id"
     ).select("doc_id", "label", "n_tokens", "sum_llr", "mean_cllr", "predicted")
+
+
+# ---- quality-aware domain capping --------------------------------------
+
+TOPK_PER_DOMAIN = 20
+
+
+@register(
+    "domain_topk_quality",
+    oracle=_NB_ORACLE.replace(
+        """SELECT doc_id, label, n_tokens, sum_llr,
+       CAST((100 * sum_llr) // n_tokens AS BIGINT) AS mean_cllr,
+       CAST((100 * sum_llr) // n_tokens > 0 AS INT) AS predicted
+FROM agg""",
+        """, ranked AS (
+  SELECT agg.doc_id,
+         d.source || '.example' AS domain,
+         CAST((100 * sum_llr) // n_tokens AS BIGINT) AS mean_cllr,
+         CAST(row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY (100 * sum_llr) // n_tokens DESC, agg.doc_id
+         ) AS BIGINT) AS rank
+  FROM agg JOIN documents d USING (doc_id)
+)
+SELECT doc_id, domain, mean_cllr, rank
+FROM ranked WHERE rank <= 20""",
+    ),
+)
+def domain_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware domain capping: keep the TOPK_PER_DOMAIN best
+    documents of each domain by classifier score (deterministic
+    doc_id tie-break) — the quality-ranked alternative to
+    `ml/urlfilters.py`'s content-addressed cap, and what a crawl
+    budget allocator actually wants ("this host gets 50 slots: take
+    its best 50, not a hash sample"). One slim window over
+    (domain, score) — the payload is untouched.
+
+    Scale note: the window partitions by domain, so a mega-domain's
+    scores land in one task — for the handful of hosts above ~10^7
+    docs, pre-filter with a per-domain score-threshold agg (two-pass
+    top-k) before the window; at the registered operating point the
+    single window is the right plan."""
+    docs = load(spark, sf_dir, "documents")
+    labeled = _gate_labels(docs)
+    toks = labeled.select(
+        "label", F.explode(tokenize_alpha(F.col("text"))).alias("token")
+    )
+    model, prior_bits = train_nb_llr(toks)
+    scored = score_nb(labeled, model, prior_bits)
+    from pyspark.sql import Window
+
+    ranked = scored.join(
+        docs.select(
+            "doc_id",
+            F.concat(F.col("source"), F.lit(".example")).alias("domain"),
+            F.col("source"),
+        ),
+        "doc_id",
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("mean_cllr").desc(), "doc_id"
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= TOPK_PER_DOMAIN).select(
+        "doc_id", "domain", "mean_cllr", "rank"
+    )

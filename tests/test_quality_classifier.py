@@ -123,3 +123,40 @@ class TestScoring:
             .toString()
         )
         assert plan.count("Generate explode") == 1, plan
+
+
+class TestDomainTopK:
+    def test_keeps_best_k_deterministically(self, spark):
+        """Higher scores win; equal scores break by doc_id asc."""
+        from pyspark.sql import Window
+
+        scored = spark.createDataFrame(
+            [(1, "d1", 50), (2, "d1", 90), (3, "d1", 90), (4, "d2", 10)],
+            "doc_id long, source string, mean_cllr long",
+        )
+        ranked = scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("mean_cllr").desc(), "doc_id"
+                )
+            ),
+        )
+        kept = {
+            r["doc_id"]: r["rank"]
+            for r in ranked.filter(F.col("rank") <= 2).collect()
+        }
+        assert kept == {2: 1, 3: 2, 4: 1}
+
+    def test_registered_query_truncates(self, spark):
+        """At sf0.01 the 20-per-domain cap bites: fewer rows out than
+        scored docs, max rank == cap in full domains."""
+        from readur_spark.ml.quality_classifier import (
+            TOPK_PER_DOMAIN,
+            domain_topk_quality,
+        )
+
+        out = domain_topk_quality(spark, "/root/testdata/sf0.01")
+        rows = out.collect()
+        assert 0 < len(rows) < 500
+        assert max(r["rank"] for r in rows) == TOPK_PER_DOMAIN
