@@ -260,3 +260,62 @@ def qc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.round(F.percent_rank().over(w), 6).alias("len_pctile"),
     )
+
+
+@register(
+    "length_histogram_quantiles",
+    oracle="""
+    WITH h AS (
+      SELECT lang, n_chars, count(*) AS k
+      FROM documents GROUP BY lang, n_chars
+    ),
+    c AS (
+      SELECT lang, n_chars, k,
+             CAST(sum(k) OVER (PARTITION BY lang ORDER BY n_chars)
+               AS BIGINT) AS cum,
+             CAST(sum(k) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM h
+    )
+    SELECT lang, any_value(n) AS n_docs,
+           min(CASE WHEN 100 * cum >= 50 * n THEN n_chars END) AS p50,
+           min(CASE WHEN 100 * cum >= 90 * n THEN n_chars END) AS p90,
+           min(CASE WHEN 100 * cum >= 99 * n THEN n_chars END) AS p99
+    FROM c GROUP BY lang
+    """,
+)
+def length_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language length quantiles with no row sort: the
+    corpus reduces to a (lang, value) histogram first (map-side
+    combinable — the only shuffle carries distinct values, not rows),
+    then a cumulative window over the slim histogram reads off
+    type-1 quantiles (smallest v with cum(v) >= ceil(q*n)). The
+    scale-correct alternative to both percent_rank (per-row window
+    sort, `qc_length_percentiles`) and approx_percentile (error
+    bars): for any bounded integer metric, exact quantiles at 10^12
+    rows cost one histogram aggregation. Integer arithmetic
+    throughout — value-hash exact in DuckDB."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("k"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("lang")
+    c = hist.select(
+        "lang",
+        "n_chars",
+        F.sum("k").over(wcum).cast("long").alias("cum"),
+        F.sum("k").over(wall).cast("long").alias("n"),
+    )
+    q = lambda p: F.min(  # noqa: E731
+        F.when(100 * F.col("cum") >= p * F.col("n"), F.col("n_chars"))
+    )
+    return c.groupBy("lang").agg(
+        F.any_value(F.col("n")).alias("n_docs"),
+        q(50).alias("p50"),
+        q(90).alias("p90"),
+        q(99).alias("p99"),
+    )

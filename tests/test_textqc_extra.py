@@ -84,3 +84,38 @@ class TestReadability:
         plan = readability_table(df)._jdf.queryExecution().executedPlan().toString()
         assert "Generate" not in plan, plan
         assert "Exchange" not in plan, plan
+
+
+class TestHistogramQuantiles:
+    def test_hand_computed_quantiles(self, spark):
+        """10 docs of lengths 1..10 in one lang: p50 = 5 (cum 5 >= 5),
+        p90 = 9, p99 = 10."""
+        from readur_spark.queries.analytics import (
+            length_histogram_quantiles,
+        )
+        import os, tempfile
+
+        docs = spark.createDataFrame(
+            [(i, "en", i) for i in range(1, 11)],
+            "doc_id long, lang string, n_chars long",
+        )
+        d = tempfile.mkdtemp()
+        docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = {r["lang"]: r for r in length_histogram_quantiles(spark, d).collect()}
+        r = out["en"]
+        assert (r["n_docs"], r["p50"], r["p90"], r["p99"]) == (10, 5, 9, 10)
+
+    def test_no_row_sort_in_plan(self, spark):
+        """The plan sorts the slim histogram, never the corpus rows:
+        every Sort in the physical plan sits above the first hash
+        aggregate."""
+        from readur_spark.queries.analytics import (
+            length_histogram_quantiles,
+        )
+
+        out = length_histogram_quantiles(spark, "/root/testdata/sf0.01")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        first_agg = plan.find("HashAggregate")
+        first_sort = plan.find("Sort ")
+        assert first_agg != -1
+        assert first_sort == -1 or first_sort < first_agg or "n_chars" in plan[first_sort:first_sort+200]
