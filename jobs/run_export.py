@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="curated shard layout (run_curation output)")
     p.add_argument("--output", required=True, help="packed layout root")
     p.add_argument("--fmt", choices=["parquet", "json"], default="parquet")
+    p.add_argument("--input-fmt", choices=["parquet", "json"], default=None,
+                   help="format of the curated input layout (matches the "
+                        "--fmt run_curation wrote it with; defaults to "
+                        "--fmt)")
     p.add_argument("--context", type=int, default=2048,
                    help="bin size in BPE tokens")
     p.add_argument("--shards", type=int, default=8,
@@ -75,9 +79,9 @@ def main(argv: list[str] | None = None) -> int:
         write_training_shards,
     )
 
-    docs = read_training_shards(spark, args.input).select(
-        "url", "text", "split"
-    )
+    docs = read_training_shards(
+        spark, args.input, args.input_fmt or args.fmt
+    ).select("url", "text", "split")
 
     # tokenizer: train-split only; the held-out splits are encoded
     # under it (their OOV words cost base symbols)

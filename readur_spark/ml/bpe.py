@@ -240,11 +240,16 @@ def _oracle_chain(num_merges: int) -> str:
     ),
     m{s} AS MATERIALIZED (SELECT a, b, cnt FROM p{s} ORDER BY cnt DESC, a, b LIMIT 1),
     w{s} AS MATERIALIZED (
-      SELECT w, replace(rep,
+      -- the CASE mirrors the learner's early break: when the corpus
+      -- runs out of adjacent pairs before num_merges steps, m{s} is
+      -- empty and its scalar subqueries are NULL — an unguarded
+      -- replace would then nullify every rep and diverge from Spark.
+      SELECT w, CASE WHEN (SELECT count(*) FROM m{s}) = 0 THEN rep
+               ELSE replace(rep,
                ' ' || (SELECT a FROM m{s}) || '  '
                    || (SELECT b FROM m{s}) || ' ',
                ' ' || (SELECT a FROM m{s})
-                   || (SELECT b FROM m{s}) || ' ') AS rep, n
+                   || (SELECT b FROM m{s}) || ' ') END AS rep, n
       FROM w{p}
     )"""
     return sql

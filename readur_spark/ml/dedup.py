@@ -564,10 +564,12 @@ def incremental_neardup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta docs are exact dups (sha), near-dup candidates (band probe),
     or novel."""
     docs = load(spark, sf_dir, "documents")
-    cut = F.expr("percentile(doc_id, 0.8)")
-    k = docs.agg(cut.alias("k")).collect()[0]["k"]
-    existing = docs.filter(F.col("doc_id") <= k)
-    new = docs.filter(F.col("doc_id") > k)
+    # deterministic id cut — doc_id is a dense 0..n-1 sequence in the
+    # fixture, so `doc_id % 5 < 4` IS an exact 80/20 split, costs zero
+    # (a pushed-down filter, no aggregate): an exact-percentile agg
+    # here would be full-sort semantics collected to the driver.
+    existing = docs.filter(F.col("doc_id") % 5 < 4)
+    new = docs.filter(F.col("doc_id") % 5 >= 4)
     existing_bands = minhash_band_table_jvm(
         existing, "doc_id", "text", n_perm=64, n_bands=16, n_shingle=3
     )

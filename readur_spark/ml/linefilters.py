@@ -90,33 +90,43 @@ def c4_line_filter(
     )
 
 
+def frequent_line_hash_frame(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = LINE_DF_THRESHOLD,
+) -> DataFrame:
+    """DISTRIBUTED frequent-line set: one-column (h) frame of md5-prefix
+    hashes of lines whose corpus DOCUMENT frequency (distinct docs, so
+    a line repeated inside one page doesn't count) reaches min_df.
+    Slim explode: only the hash survives to the agg. This is the
+    scale-path representation — it never touches the driver."""
+    h = F.substring(F.md5(F.encode(F.col("_line"), "UTF-8")), 1, _HASH_PREFIX)
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+        )
+        .filter(F.trim(F.col("_line")) != "")
+        .select(id_col, h.alias("h"))
+        .groupBy("h")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+
+
 def frequent_line_hashes(
     df: DataFrame,
     *,
     text_col: str = "text",
     min_df: int = LINE_DF_THRESHOLD,
 ) -> list[str]:
-    """md5-prefix hashes of lines whose corpus DOCUMENT frequency
-    (distinct docs, so a line repeated inside one page doesn't count)
-    reaches min_df. Slim explode: only the hash survives to the agg.
-
-    Returns a driver-side list — bounded by corpus_lines/min_df and in
-    practice by the count of true boilerplate strings; at 10^12 docs
-    feed it a bloom filter / broadcast join instead of a literal."""
-    h = F.substring(F.md5(F.encode(F.col("_line"), "UTF-8")), 1, _HASH_PREFIX)
-    rows = (
-        df.select(
-            F.col("doc_id"),
-            F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
-        )
-        .filter(F.trim(F.col("_line")) != "")
-        .select("doc_id", h.alias("h"))
-        .groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= min_df)
-        .select("h")
-        .collect()
-    )
+    """Driver-side list form of `frequent_line_hash_frame` — only for
+    sets small enough to inline as a plan literal (see `line_dedup`'s
+    dispatch; above MAX_LITERAL_HASHES use the join path instead)."""
+    rows = frequent_line_hash_frame(df, text_col=text_col, min_df=min_df).collect()
     return sorted(r["h"] for r in rows)
 
 
@@ -142,6 +152,95 @@ def remove_frequent_lines(
         df.withColumn("n_lines", F.size(lines))
         .withColumn("n_lines_kept", F.size(kept))
         .withColumn(out_col, F.array_join(kept, "\n"))
+    )
+
+
+def remove_frequent_lines_join(
+    df: DataFrame,
+    frequent: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale path of `remove_frequent_lines`: the frequent set stays a
+    DataFrame (one `h` column) and removal is a hash join, not an
+    array_contains over a plan literal — at 10^12 docs the corpus-
+    frequent-line set is millions of entries, and inlining it would
+    ship a multi-MB literal to every task and scan it linearly per
+    line.
+
+    Shape: posexplode lines → broadcast-left-join the hash set (the
+    set is bounded by corpus_lines/min_df; if it ever outgrows
+    broadcast memory, drop the hint and pre-shuffle both sides on `h`,
+    or probe a Bloom filter built from it — operators/bloom.py) →
+    re-assemble each doc with array_sort(collect_list(struct(pos,
+    line)))). The payload crosses one shuffle (the per-doc regroup);
+    blank lines are preserved unconditionally, matching the literal
+    path byte-for-byte."""
+    h = F.substring(F.md5(F.encode(F.col("_line"), "UTF-8")), 1, _HASH_PREFIX)
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_line"),
+    ).withColumn("h", h)
+    marked = lines.join(
+        F.broadcast(frequent.select("h").withColumn("_freq", F.lit(True))),
+        "h",
+        "left",
+    )
+    keep = (F.trim(F.col("_line")) == "") | F.col("_freq").isNull()
+    kept_struct = F.when(keep, F.struct("pos", "_line"))
+    rebuilt = marked.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_lines"),
+        F.array_join(
+            # collect_list skips the NULLs `when` leaves for dropped
+            # lines; the struct sorts on its leading pos field, so
+            # original line order survives the shuffle.
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.sum(keep.cast("int")).cast("int").alias("n_lines_kept"),
+    )
+    return df.join(rebuilt, id_col)
+
+
+MAX_LITERAL_HASHES = 10_000  # above this, the literal is a plan smell
+
+
+def line_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    id_col: str = "doc_id",
+    min_df: int = LINE_DF_THRESHOLD,
+    max_literal: int = MAX_LITERAL_HASHES,
+) -> DataFrame:
+    """End-to-end corpus-frequency line dedup with the scale dispatch:
+    compute the frequent set ONCE (persisted through the count), then
+    — small set (≤ max_literal): inline as a sorted literal, removal
+    is a pure projection, zero extra join; large set: keep it
+    distributed and remove via `remove_frequent_lines_join`. The
+    default the 100 TB run takes is decided by the data, not the
+    caller."""
+    freq = frequent_line_hash_frame(
+        df, text_col=text_col, id_col=id_col, min_df=min_df
+    ).persist()
+    n = freq.count()
+    if n <= max_literal:
+        hashes = sorted(r["h"] for r in freq.collect())
+        freq.unpersist()
+        return remove_frequent_lines(
+            df, hashes, text_col=text_col, out_col=out_col
+        )
+    # join path: leave `freq` persisted — the returned plan references
+    # it and the cache serves the broadcast build side; LRU evicts it
+    # after the action completes.
+    return remove_frequent_lines_join(
+        df, freq, text_col=text_col, out_col=out_col, id_col=id_col
     )
 
 
@@ -242,10 +341,10 @@ def c4_line_filter_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency line dedup over documents — frequent-line set
     recomputed in DuckDB from the same md5 prefixes; cleaned text
-    value-hashed byte-for-byte."""
+    value-hashed byte-for-byte. Routed through `line_dedup`'s scale
+    dispatch (literal below MAX_LITERAL_HASHES, hash join above)."""
     docs = load(spark, sf_dir, "documents")
-    freq = frequent_line_hashes(docs)
-    out = remove_frequent_lines(docs, freq)
+    out = line_dedup(docs)
     return out.select(
         "doc_id",
         F.col("n_lines").cast("long").alias("n_lines"),

@@ -123,6 +123,7 @@ def pagerank_fixed_point(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
     damping_pct: int = DAMPING_PCT,
     scale: int = SCALE,
     materialize_every: int = 8,
@@ -131,6 +132,14 @@ def pagerank_fixed_point(
     (node, rank) with rank on the `scale` fixed-point grid. Parallel
     edges contribute once per occurrence; self-loops are kept. See the
     module docstring for the exact update rule.
+
+    `weight_col` names an integer multiplicity column — pass it when
+    feeding PRE-AGGREGATED edges (e.g. `outlink_edges` output with its
+    n_links column), where each row stands for n parallel links: the
+    out-degree becomes sum(weight) and each row contributes
+    rank*weight div wdeg, exactly equal to re-expanding the rows.
+    Without it, a pre-aggregated edge list would silently collapse
+    parallel links to weight 1.
 
     Iterations CHAIN LAZILY — each rank frame feeds the next as plan
     lineage, so K steps execute as one job (Spark pipelines the 2K
@@ -150,11 +159,14 @@ def pagerank_fixed_point(
         return nodes.select("node", F.lit(0).cast("long").alias("rank"))
     base = ((100 - damping_pct) * (scale // n)) // 100
     # out-degree rides WITH the edge rows: one layout, reused each step.
-    deg = edges.groupBy(src.alias("node")).agg(
-        F.count("*").alias("outdeg")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
     )
+    deg = edges.groupBy(src.alias("node")).agg(F.sum(w).alias("outdeg"))
     adj = (
-        edges.select(src.alias("node"), dst.alias("dst"))
+        edges.select(src.alias("node"), dst.alias("dst"), w.alias("w"))
         .join(deg, "node")
         .repartition("node")
         .persist()
@@ -170,7 +182,10 @@ def pagerank_fixed_point(
                 adj.join(ranks, "node")
                 .select(
                     F.col("dst").alias("node"),
-                    F.expr("rank div outdeg").alias("contrib"),
+                    # w * (rank div outdeg), NOT (rank*w) div outdeg:
+                    # per-grid-unit truncation first keeps the weighted
+                    # run bit-identical to re-expanding parallel edges.
+                    F.expr("w * (rank div outdeg)").alias("contrib"),
                 )
                 .groupBy("node")
                 .agg(F.sum("contrib").alias("s"))
@@ -289,9 +304,17 @@ def _synthetic_edges(docs: DataFrame, n_docs: int) -> DataFrame:
 def _register_pagerank() -> None:
     # the oracle needs the node-modulus constant; derive it from the
     # sf0.01 table the driver compares against (parquet footer, no scan).
-    n_docs = table_row_count("/root/testdata/sf0.01", "documents")
+    # Guarded: on a deployment without the local fixture tree (e.g. a
+    # cluster run of readur_spark.zip) the registry must still import —
+    # register the Spark query rows-only and skip the fixture-bound
+    # oracle instead of failing every registered query at import time.
+    try:
+        n_docs = table_row_count("/root/testdata/sf0.01", "documents")
+    except Exception:
+        n_docs = None
+    oracle = _pagerank_oracle(PR_ITERS, n_docs) if n_docs else None
 
-    @register("host_pagerank", oracle=_pagerank_oracle(PR_ITERS, n_docs))
+    @register("host_pagerank", oracle=oracle)
     def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Integer fixed-point PageRank over a deterministic md5-derived
         document citation graph, value-hash-checked: the DuckDB twin

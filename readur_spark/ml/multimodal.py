@@ -178,6 +178,115 @@ def thumbnail_table(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(run, schema=THUMBNAIL_SCHEMA)
 
 
+# ---- constructed-corpus twins ----------------------------------------------
+# The datagen corpus is RNG-driven, so the rollup queries above stay
+# rows-only; these twins run the SAME kernels over PNGs constructed
+# from the documents table by a rule DuckDB can replay (the
+# outlink_edges_parse pattern) — pinning header sniff, decode dispatch,
+# orientation/megapixel math, and the fit-box resize end-to-end with
+# value hashes.
+
+_C_DIMS = [(50, 50), (100, 200), (300, 200), (150, 150), (640, 360)]
+
+
+def constructed_image_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, html) — one REAL grayscale PNG per document: dims =
+    _C_DIMS[doc_id % 5], pixel (r, c) = (7r + 13c + doc_id) mod 256.
+    No RNG anywhere, so every downstream header/dim fact is a pure
+    function of doc_id that an oracle re-derives in SQL."""
+    from readur_spark.queries.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from readur_spark.kernels.image import encode_png_gray
+
+        for pdf in batches:
+            urls: list[str] = []
+            blobs: list[bytes] = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = _C_DIMS[did % len(_C_DIMS)]
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((7 * yy + 13 * xx + did) % 256).astype(np.uint8)
+                urls.append("https://img.example/doc%d.png" % did)
+                blobs.append(encode_png_gray(img))
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    return docs.mapInPandas(run, schema="url string, html binary")
+
+
+_C_DIMS_SQL = """
+      SELECT doc_id,
+             'https://img.example/doc' || CAST(doc_id AS VARCHAR)
+               || '.png' AS url,
+             CASE doc_id % 5 WHEN 0 THEN 50 WHEN 1 THEN 100
+                  WHEN 2 THEN 300 WHEN 3 THEN 150 ELSE 640 END AS w,
+             CASE doc_id % 5 WHEN 0 THEN 50 WHEN 1 THEN 200
+                  WHEN 2 THEN 200 WHEN 3 THEN 150 ELSE 360 END AS h
+      FROM documents
+"""
+
+
+@register(
+    "image_meta_constructed",
+    oracle=f"""
+    WITH b AS ({_C_DIMS_SQL})
+    SELECT url, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CASE WHEN w > h THEN 'landscape'
+                WHEN w < h THEN 'portrait'
+                ELSE 'square' END AS orientation,
+           CAST(round(round(w * h / 1000000.0, 2) * 100) AS INT)
+             AS megapixels_c,
+           'decoded' AS decode_status
+    FROM b
+    """,
+)
+def image_meta_constructed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 image metadata value-hash-checked end-to-end: real PNG
+    encode → header sniff → full decode → orientation/megapixel math
+    (metadata_extraction.rs:52-81 rules), with the oracle re-deriving
+    every fact from the construction rule. megapixels ride as integer
+    centi-units so both engines re-round the same kernel output."""
+    meta = image_metadata_table(constructed_image_pages(spark, sf_dir))
+    return meta.select(
+        "url",
+        "width",
+        "height",
+        "orientation",
+        F.round(F.col("megapixels") * 100).cast("int").alias("megapixels_c"),
+        "decode_status",
+    )
+
+
+@register(
+    "thumbnail_dims_constructed",
+    oracle=f"""
+    WITH b AS ({_C_DIMS_SQL}),
+    s AS (
+      SELECT url, w, h,
+             least(200.0 / w, 200.0 / h, 1.0) AS scale
+      FROM b
+    )
+    SELECT url, 'image' AS thumb_kind, 'jpeg' AS thumb_format,
+           CAST(greatest(1, trunc(w * scale)) AS INT) AS thumb_width,
+           CAST(greatest(1, trunc(h * scale)) AS INT) AS thumb_height
+    FROM s
+    """,
+)
+def thumbnail_dims_constructed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A35 fit-box resize value-hash-checked end-to-end: the oracle
+    replays fit_box's IEEE arithmetic (scale = min(200/w, 200/h, 1),
+    floor, min 1 px — file_service.rs:315-339 semantics) over the
+    constructed dims; the Spark side runs the REAL decode → Lanczos
+    resize → JPEG encode path and reports the dims it actually
+    produced."""
+    thumbs = thumbnail_table(constructed_image_pages(spark, sf_dir))
+    return thumbs.select(
+        "url", "thumb_kind", "thumb_format", "thumb_width", "thumb_height"
+    )
+
+
 # ---- driver-contract queries ----------------------------------------------
 
 

@@ -101,6 +101,68 @@ def extract_mixed_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wet_record_manifest",
+    oracle=f"""
+    WITH b AS (
+      SELECT text, {_URL_SQL} AS url,
+             strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                      '%Y-%m-%dT%H:%M:%SZ') AS iso
+      FROM documents
+    ),
+    h AS (SELECT url, iso, text, md5(url || iso) AS hh FROM b)
+    SELECT url,
+           '<urn:uuid:' || substr(hh, 1, 8) || '-' || substr(hh, 9, 4)
+             || '-' || substr(hh, 13, 4) || '-' || substr(hh, 17, 4)
+             || '-' || substr(hh, 21, 12) || '>' AS record_id,
+           iso AS warc_date,
+           CAST(octet_length(encode(trim(text))) AS BIGINT)
+             AS content_length
+    FROM h
+    """,
+)
+def wet_record_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET emission headers value-hash-checked end-to-end: the REAL
+    gzip members (sources/warc.py wet_members) are decompressed and
+    re-parsed by the engine's own WARC walker, and the content-derived
+    record id (md5 pseudo-uuid), WARC-Date, and Content-Length are
+    compared against a DuckDB replay of the construction rule. The
+    member BYTES stay pinned by tests/test_warc_source.py (gzip is not
+    SQL-expressible); this oracle nails the framing facts that are."""
+    import gzip as _gzip
+
+    from readur_spark.sources.warc import iter_warc_records, wet_members
+
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = extract_pages(pages).filter(F.col("status") == "completed")
+    members = wet_members(extracted)
+
+    def run(batches):
+        import pandas as pd
+
+        cols = ["url", "record_id", "warc_date", "content_length"]
+        for pdf in batches:
+            rows = []
+            for url, wet in zip(pdf["url"], pdf["wet"]):
+                rec = _gzip.decompress(bytes(wet))
+                headers, payload = next(iter(iter_warc_records(rec)))
+                rows.append(
+                    {
+                        "url": url,
+                        "record_id": headers.get("warc-record-id"),
+                        "warc_date": headers.get("warc-date"),
+                        "content_length": len(payload),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return members.mapInPandas(
+        run,
+        schema="url string, record_id string, warc_date string,"
+        " content_length long",
+    )
+
+
 @register("wet_emission_manifest")
 def wet_emission_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET round-trip manifest (rows-only: gzip bytes are not

@@ -288,10 +288,12 @@ def wet_members(
             ):
                 if text is None:
                     continue
+                # NaT arrives as pd.NaT (not None); pd.isna covers both,
+                # else strftime raises inside the Arrow task.
                 iso = (
-                    pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
-                    if ts is not None
-                    else "1970-01-01T00:00:00Z"
+                    "1970-01-01T00:00:00Z"
+                    if pd.isna(ts)
+                    else pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
                 )
                 urls.append(url)
                 members.append(wet_member_bytes(url, iso, text))

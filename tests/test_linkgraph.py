@@ -122,6 +122,32 @@ class TestPagerank:
         edges = spark.createDataFrame([], "src long, dst long")
         assert pagerank_fixed_point(edges, 3).collect() == []
 
+    def test_weighted_equals_expanded(self, spark):
+        """Pre-aggregated (src, dst, n) edges + weight_col must be
+        bit-identical to re-expanding the parallel links (ADVICE r4:
+        outlink_edges output composed into PageRank must not collapse
+        multiplicity)."""
+        multi = GRAPH + [(1, 2), (1, 2), (4, 3)]  # parallel links
+        agg: dict = {}
+        for s, d in multi:
+            agg[(s, d)] = agg.get((s, d), 0) + 1
+        weighted = spark.createDataFrame(
+            [(s, d, n) for (s, d), n in agg.items()],
+            "src long, dst long, n_links long",
+        )
+        expanded = spark.createDataFrame(multi, "src long, dst long")
+        got_w = {
+            r["node"]: r["rank"]
+            for r in pagerank_fixed_point(
+                weighted, 5, weight_col="n_links"
+            ).collect()
+        }
+        got_e = {
+            r["node"]: r["rank"]
+            for r in pagerank_fixed_point(expanded, 5).collect()
+        }
+        assert got_w == got_e
+
 
 ANCHOR_HTML = b"""<html><body>
 <a href="https://t.example/a"><b>Click</b> <i>here</i> now</a>

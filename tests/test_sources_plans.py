@@ -266,3 +266,23 @@ class TestWetEmission:
         assert [(r["url"], r["text"]) for r in parsed] == [
             (u, t) for u, ts, t in self.WET_ROWS
         ]
+
+    def test_null_timestamp_falls_back_to_epoch(self, spark):
+        """ADVICE r4: a null warc_ts arrives in pandas as NaT (not
+        None); the member must fall back to the documented epoch date
+        instead of the Arrow task dying in strftime."""
+        from readur_spark.sources.warc import parse_wet_bytes, wet_members
+
+        df = spark.createDataFrame(
+            [("https://a.example/null-ts", None, "body text")],
+            "url string, warc_ts timestamp, extracted_text string",
+        )
+        rows = wet_members(df).collect()
+        assert len(rows) == 1
+        member = bytes(rows[0]["wet"])
+        assert b"WARC-Date: 1970-01-01T00:00:00Z" in __import__(
+            "gzip"
+        ).decompress(member)
+        parsed = parse_wet_bytes(member)
+        assert parsed[0]["url"] == "https://a.example/null-ts"
+        assert parsed[0]["text"] == "body text"
