@@ -89,8 +89,12 @@ _PRIORITY: list[str] = [
     "host_pagerank",  # weight_col refactor (unweighted path must be
     # bit-identical)
     "bpe_learn_merges",  # oracle gained the early-break CASE guard
+    # new round-5 operator family: perceptual image dedup (dHash)
+    "image_dhash_constructed",
+    "image_neardup_dhash",
     # --- standing representatives of each major family ---
-    "dedup_exact_groups",
+    # (dedup_exact_groups and daily_analytics_rollup ceded — each has
+    # 3+ green driver rows; both stay oracle-checked in pytest)
     "curation_pipeline",
     "training_yield_report",
     "web_curation_report",
@@ -100,7 +104,6 @@ _PRIORITY: list[str] = [
     "qc_nb_classifier",
     "search_simple_and",
     "ann_cosine_topk",
-    "daily_analytics_rollup",
     "sessionize_events",
 ]
 
@@ -164,6 +167,7 @@ def _load_all() -> None:
     from readur_spark.ml import linefilters as ml_linefilters  # noqa: F401
     from readur_spark.operators import asof as op_asof  # noqa: F401
     from readur_spark.operators import bloom as op_bloom  # noqa: F401
+    from readur_spark.ml import imagededup as ml_imagededup  # noqa: F401
     from readur_spark.ml import semdedup as ml_semdedup  # noqa: F401
     from readur_spark.ml import urlfilters as ml_urlfilters  # noqa: F401
     from readur_spark.ml import packing as ml_packing  # noqa: F401
