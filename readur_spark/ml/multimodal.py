@@ -330,6 +330,48 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frame_oracle() -> str:
+    from readur_spark.queries.tables import SYNTH_URL_SQL
+
+    # replay of sample_frames_bytes geometry: step = max(len//4, 1),
+    # n = min(4, len) frames at offsets i*step (i*step < len holds for
+    # every emitted i by construction), so offset_sum = step*n*(n-1)/2
+    return f"""
+    WITH b AS (
+      SELECT {SYNTH_URL_SQL} AS url,
+             octet_length(encode(text)) AS len
+      FROM documents
+    )
+    SELECT url,
+           CAST(least(4, len) AS INT) AS n_frames,
+           CAST(greatest(len // 4, 1)
+                * (least(4, len) * (least(4, len) - 1) // 2)
+             AS BIGINT) AS offset_sum
+    FROM b
+    """
+
+
+@register("frame_sample_constructed", oracle=_frame_oracle())
+def frame_sample_constructed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sampler plumbing value-hash-checked end-to-end over
+    the documents-derived pages (payload = utf-8 text bytes, so the
+    byte length — and therefore every sampled offset — is a pure
+    function DuckDB re-derives). Complements the rows-only
+    `multimodal_frame_sample` (mixed binary corpus) by pinning the
+    sampler geometry per row."""
+    from readur_spark.corpus import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    sampled = frame_sample_table(pages, n_frames=4)
+    return sampled.select(
+        "url",
+        "n_frames",
+        F.expr("aggregate(frame_offsets, 0L, (a, x) -> a + x)").alias(
+            "offset_sum"
+        ),
+    )
+
+
 @register("multimodal_frame_sample")  # non-SQL: binary windows; pytest-verified
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling rollup: every sampled frame accounted for, with

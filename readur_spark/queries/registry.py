@@ -168,6 +168,7 @@ def _load_all() -> None:
     from readur_spark.operators import asof as op_asof  # noqa: F401
     from readur_spark.operators import bloom as op_bloom  # noqa: F401
     from readur_spark.ml import imagededup as ml_imagededup  # noqa: F401
+    from readur_spark.ml import winnow as ml_winnow  # noqa: F401
     from readur_spark.ml import semdedup as ml_semdedup  # noqa: F401
     from readur_spark.ml import urlfilters as ml_urlfilters  # noqa: F401
     from readur_spark.ml import packing as ml_packing  # noqa: F401
