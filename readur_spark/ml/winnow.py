@@ -114,13 +114,23 @@ def winnow_reuse_pairs(
     selected fingerprints, via a df-capped posting join on fp (hot
     fingerprints are boilerplate and are dropped, bounding join fanout
     exactly like the Jaccard shingle join)."""
-    posts = fps.select("id", "fp").distinct()
+    # persist the slim (id, fp) posting frame: it feeds the df agg and
+    # BOTH sides of the self-join, and its lineage (explode + md5 +
+    # window-min + distinct over the corpus) is the expensive part —
+    # unpersisted, Spark recomputes that subtree 4x (measured: four
+    # Generate/Window spans, zero ReusedExchange). ~25 rows/doc of two
+    # longs, so the cache is a small fraction of corpus size.
+    posts = fps.select("id", "fp").distinct().persist()
     df_ok = (
         posts.groupBy("fp")
         .agg(F.countDistinct("id").alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
         .select("fp")
     )
+    # shuffle join, NOT broadcast: df_ok is every fingerprint with df
+    # in [2, cap] — it grows with the corpus, so a broadcast would be
+    # the frequent-line-literal mistake at 100 TB. AQE may still elect
+    # broadcast at small scale; at large scale both sides hash on fp.
     slim = posts.join(df_ok, "fp")
     a, b = slim.alias("a"), slim.alias("b")
     return (

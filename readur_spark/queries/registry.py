@@ -92,18 +92,21 @@ _PRIORITY: list[str] = [
     # new round-5 operator family: perceptual image dedup (dHash)
     "image_dhash_constructed",
     "image_neardup_dhash",
+    # new round-5 operator family: winnowing (MOSS) local text reuse
+    "winnow_fingerprint_rollup",
+    "winnow_reuse_pairs",
+    # round-5 constructed oracle for the frame-sampler plumbing
+    "frame_sample_constructed",
     # --- standing representatives of each major family ---
-    # (dedup_exact_groups and daily_analytics_rollup ceded — each has
-    # 3+ green driver rows; both stay oracle-checked in pytest)
+    # (dedup_exact_groups, daily_analytics_rollup, qc_nb_classifier,
+    # search_simple_and and ann_cosine_topk ceded — each has a green
+    # r4 driver row; all stay oracle-checked in pytest)
     "curation_pipeline",
     "training_yield_report",
     "web_curation_report",
     "pii_redaction",
     "repeated_ngram_spans",
     "dedup_substring_clean",
-    "qc_nb_classifier",
-    "search_simple_and",
-    "ann_cosine_topk",
     "sessionize_events",
 ]
 
