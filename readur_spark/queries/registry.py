@@ -88,7 +88,9 @@ _PRIORITY: list[str] = [
     # dispatch (literal ≤ MAX_LITERAL_HASHES, hash join above)
     "host_pagerank",  # weight_col refactor (unweighted path must be
     # bit-identical)
-    "bpe_learn_merges",  # oracle gained the early-break CASE guard
+    # (bpe_learn_merges ceded its slot: green r4 row, Spark side
+    # untouched in r5 — the oracle's early-break CASE guard is
+    # exercised by pytest's identical DuckDB tier)
     # new round-5 operator family: perceptual image dedup (dHash)
     "image_dhash_constructed",
     "image_neardup_dhash",
@@ -97,17 +99,22 @@ _PRIORITY: list[str] = [
     "winnow_reuse_pairs",
     # round-5 constructed oracle for the frame-sampler plumbing
     "frame_sample_constructed",
+    # new round-5 operator family: paragraph dedup + mojibake repair
+    "paragraph_dedup_keep_first",
+    "paragraph_dup_stats",
+    "mojibake_repair_constructed",
     # --- standing representatives of each major family ---
     # (dedup_exact_groups, daily_analytics_rollup, qc_nb_classifier,
     # search_simple_and and ann_cosine_topk ceded — each has a green
     # r4 driver row; all stay oracle-checked in pytest)
     "curation_pipeline",
     "training_yield_report",
-    "web_curation_report",
     "pii_redaction",
     "repeated_ngram_spans",
     "dedup_substring_clean",
-    "sessionize_events",
+    # (web_curation_report and sessionize_events ceded: green r4
+    # driver rows, code untouched in r5; both stay oracle-checked
+    # in pytest)
 ]
 
 
@@ -172,6 +179,8 @@ def _load_all() -> None:
     from readur_spark.operators import bloom as op_bloom  # noqa: F401
     from readur_spark.ml import imagededup as ml_imagededup  # noqa: F401
     from readur_spark.ml import winnow as ml_winnow  # noqa: F401
+    from readur_spark.ml import paradedup as ml_paradedup  # noqa: F401
+    from readur_spark.ml import mojibake as ml_mojibake  # noqa: F401
     from readur_spark.ml import semdedup as ml_semdedup  # noqa: F401
     from readur_spark.ml import urlfilters as ml_urlfilters  # noqa: F401
     from readur_spark.ml import packing as ml_packing  # noqa: F401
