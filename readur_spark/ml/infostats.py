@@ -1,0 +1,157 @@
+"""Information-theoretic corpus health statistics.
+
+Two standard diagnostics every large-corpus curation run publishes:
+
+  1. Per-document unigram ENTROPY (Shannon, bits): near-zero entropy
+     flags token-spam ("buy buy buy …"), abnormally high entropy flags
+     encoding garbage — the information-theoretic sibling of
+     ml/textqc.py's compression-ratio QC (zlib approximates exactly
+     this quantity; here it's computed exactly from token counts).
+
+  2. Corpus ZIPF FIT: OLS slope of log(frequency) vs log(rank) over
+     the top-K token table. Natural text sits near slope −1 (Zipf's
+     law); a collapsing slope after a filtering stage means the stage
+     distorted the token distribution (the standard "corpus health"
+     regression from the scaling-laws literature).
+
+The reference engine's analogue is its extraction-quality heuristics
+(src/ocr/enhanced.rs word/character composition checks); these are the
+corpus-statistical generalizations a 10^12-doc pipeline monitors.
+
+Scale design:
+  - entropy: one slim explode (doc_id, token-hash is unnecessary —
+    counts only), two map-side-combinable aggs; the payload never
+    shuffles, and the (doc_id, tok) frame collapses before the
+    second shuffle;
+  - zipf: one grouped count (map-side combine), a top-K TakeOrdered
+    (K rows to one partition — K is a constant), and a single-row
+    regr_slope/regr_intercept agg. Nothing corpus-sized crosses a
+    second shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load
+
+ZIPF_TOP_K = 200
+
+
+def unigram_entropy(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_tokens, n_distinct, entropy_bits) per document.
+    entropy = -Σ p·log2(p) over the whitespace-token distribution."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        toks.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            # -Σ (c/n) log2(c/n)  ==  log2(n) - (Σ c·log2(c)) / n
+            (
+                F.log2(F.sum("c"))
+                - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+            ).alias("_h"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            F.round(F.col("_h"), 3).alias("entropy_bits"),
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int = ZIPF_TOP_K,
+) -> DataFrame:
+    """One-row (n_ranked, slope, intercept) OLS fit of
+    log(freq) ~ log(rank) over the corpus's top-K tokens. Rank ties
+    break on the token string so the fit is deterministic."""
+    freq = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.round(
+            F.regr_slope(F.log("freq"), F.log("rank")), 3
+        ).alias("slope"),
+        F.round(
+            F.regr_intercept(F.log("freq"), F.log("rank")), 3
+        ).alias("intercept"),
+    )
+
+
+@register(
+    "qc_unigram_entropy",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           sum(c) AS n_tokens,
+           count(*) AS n_distinct,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 3)
+             AS entropy_bits
+    FROM t GROUP BY doc_id
+    """,
+)
+def qc_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-document unigram entropy, value-hashed: DuckDB replays
+    the token counts and the same log2 decomposition."""
+    return unigram_entropy(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_zipf_fit",
+    oracle=f"""
+    WITH f AS (
+      SELECT tok, count(*) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok
+    ),
+    r AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+      FROM f
+    )
+    SELECT count(*) AS n_ranked,
+           round(regr_slope(ln(freq), ln(rank)), 3) AS slope,
+           round(regr_intercept(ln(freq), ln(rank)), 3) AS intercept
+    FROM r WHERE rank <= {ZIPF_TOP_K}
+    """,
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf regression over the top-200 token table — rank
+    assignment (deterministic tie-break) and the OLS slope/intercept
+    value-hashed against DuckDB's regr_* twins."""
+    return zipf_fit(load(spark, sf_dir, "documents"))

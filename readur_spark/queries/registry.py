@@ -86,8 +86,9 @@ _PRIORITY: list[str] = [
     # --- code paths touched in round 5: fresh driver rows ---
     "line_dedup_clean",  # now routed through line_dedup's scale
     # dispatch (literal ≤ MAX_LITERAL_HASHES, hash join above)
-    "host_pagerank",  # weight_col refactor (unweighted path must be
-    # bit-identical)
+    # (host_pagerank ceded its slot: green r4 row; the r5 weight_col
+    # refactor is additive — the unweighted default path is pinned
+    # bit-identical by pytest's DuckDB tier)
     # (bpe_learn_merges ceded its slot: green r4 row, Spark side
     # untouched in r5 — the oracle's early-break CASE guard is
     # exercised by pytest's identical DuckDB tier)
@@ -99,10 +100,14 @@ _PRIORITY: list[str] = [
     "winnow_reuse_pairs",
     # round-5 constructed oracle for the frame-sampler plumbing
     "frame_sample_constructed",
-    # new round-5 operator family: paragraph dedup + mojibake repair
+    # new round-5 operator families: paragraph dedup, mojibake repair,
+    # Luhn card PII, unigram entropy (paragraph_dup_stats and the
+    # 1-row token_zipf_fit stay on the pytest oracle tier — their
+    # content is implied by / weaker than the windowed siblings)
     "paragraph_dedup_keep_first",
-    "paragraph_dup_stats",
     "mojibake_repair_constructed",
+    "pii_luhn_cards",
+    "qc_unigram_entropy",
     # --- standing representatives of each major family ---
     # (dedup_exact_groups, daily_analytics_rollup, qc_nb_classifier,
     # search_simple_and and ann_cosine_topk ceded — each has a green
@@ -181,6 +186,8 @@ def _load_all() -> None:
     from readur_spark.ml import winnow as ml_winnow  # noqa: F401
     from readur_spark.ml import paradedup as ml_paradedup  # noqa: F401
     from readur_spark.ml import mojibake as ml_mojibake  # noqa: F401
+    from readur_spark.ml import pii_cards as ml_pii_cards  # noqa: F401
+    from readur_spark.ml import infostats as ml_infostats  # noqa: F401
     from readur_spark.ml import semdedup as ml_semdedup  # noqa: F401
     from readur_spark.ml import urlfilters as ml_urlfilters  # noqa: F401
     from readur_spark.ml import packing as ml_packing  # noqa: F401
