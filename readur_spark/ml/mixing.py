@@ -466,3 +466,136 @@ def _register_bpe_plan() -> None:
 
 
 _register_bpe_plan()
+
+
+# ---- temperature-scaled plan: targets derived from the corpus ----------
+
+# The multilingual-pretraining recipe (exponentiated / "temperature"
+# sampling, published with mBERT and XLM-R): instead of hand-picked
+# targets, sample bucket b with probability ∝ p_b^α for α ∈ (0, 1) —
+# flattening the raw distribution so head languages stop drowning the
+# tail. This implementation fixes α = 1/2 (square-root smoothing, the
+# classic instance): sqrt admits an exact INTEGER formulation
+# (isqrt = floor(sqrt(n)) with a ±1 ulp correction), so the whole
+# plan stays BIGINT-exact and engine-identical like every other plan
+# in this module — a general-α variant would need libm pow doubles
+# and a tolerance-based oracle.
+
+_TEMP_BUDGET_TOKENS = 100_000
+
+
+def _isqrt(col: Column) -> Column:
+    """floor(sqrt(n)) exactly: libm sqrt is correctly rounded, but the
+    floor of a correctly-rounded double can still be off by one at
+    ulp boundaries — correct with integer comparisons."""
+    s0 = F.floor(F.sqrt(col.cast("double"))).cast("long")
+    return (
+        F.when((s0 + 1) * (s0 + 1) <= col, s0 + 1)
+        .when(s0 * s0 > col, s0 - 1)
+        .otherwise(s0)
+    )
+
+
+def plan_temperature_mixture(
+    docs: DataFrame,
+    bucket_col: str,
+    budget_tokens: int,
+    *,
+    text_col: str = "text",
+    max_epochs_milli: int = _TOKEN_MAX_EPOCHS_MILLI,
+) -> DataFrame:
+    """Token-budget mixture plan whose targets are DERIVED from the
+    corpus by square-root smoothing:
+
+      w_b           = isqrt(n_tokens_b)
+      target_milli  = (1000 * w_b) div Σ w
+      epochs_milli  = min(cap, (budget * target_milli) div n_tokens_b)
+
+    Output: (bucket, n_docs, n_tokens, weight, target_milli,
+    epochs_milli, planned_tokens). Scale: the same ONE slim
+    aggregation as plan_token_mixture; the Σw total joins back as a
+    1-row broadcast cross join (K rows × 1 row — constant work)."""
+    from readur_spark.ml.textqc import token_count
+
+    agg = (
+        docs.select(
+            F.col(bucket_col).alias("bucket"),
+            token_count(F.col(text_col)).cast("long").alias("_t"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("n_tokens"))
+        .withColumn("weight", _isqrt(F.col("n_tokens")))
+    )
+    total = agg.agg(F.sum("weight").alias("_tw"))
+    planned = (
+        agg.crossJoin(F.broadcast(total))
+        .withColumn(
+            "target_milli", F.expr("(1000L * weight) div _tw").cast("long")
+        )
+        .withColumn(
+            "epochs_milli",
+            F.when(
+                (F.col("n_tokens") > 0) & (F.col("target_milli") > 0),
+                F.least(
+                    F.lit(int(max_epochs_milli)).cast("long"),
+                    F.expr(
+                        f"({int(budget_tokens)}L * target_milli)"
+                        " div n_tokens"
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "planned_tokens", F.expr("(n_tokens * epochs_milli) div 1000L")
+        )
+    )
+    return planned.select(
+        "bucket", "n_docs", "n_tokens", "weight", "target_milli",
+        "epochs_milli", "planned_tokens",
+    )
+
+
+@register(
+    "mixture_temperature_plan",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang AS bucket, count(*) AS n_docs,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+               AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT bucket, n_docs, n_tokens,
+             CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+                  WHEN s0 * s0 > n_tokens THEN s0 - 1
+                  ELSE s0 END AS weight
+      FROM (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
+                           AS BIGINT) AS s0 FROM c)
+    ),
+    t AS (SELECT sum(weight) AS tw FROM w),
+    p AS (
+      SELECT w.*, CAST((1000 * w.weight) // t.tw AS BIGINT)
+               AS target_milli
+      FROM w, t
+    )
+    SELECT bucket, n_docs, n_tokens, weight, target_milli,
+           CAST(CASE WHEN n_tokens > 0 AND target_milli > 0
+                THEN least({_TOKEN_MAX_EPOCHS_MILLI},
+                           ({_TEMP_BUDGET_TOKENS} * target_milli) // n_tokens)
+                ELSE 0 END AS BIGINT) AS epochs_milli,
+           CAST((n_tokens * (CASE WHEN n_tokens > 0 AND target_milli > 0
+                THEN least({_TOKEN_MAX_EPOCHS_MILLI},
+                           ({_TEMP_BUDGET_TOKENS} * target_milli) // n_tokens)
+                ELSE 0 END)) // 1000 AS BIGINT) AS planned_tokens
+    FROM p
+    """,
+)
+def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root-temperature mixture plan over `documents` by
+    language — corpus-derived targets, integer-exact isqrt weights,
+    milli-epoch rates and planned yields all value-hash-checked."""
+    docs = load(spark, sf_dir, "documents")
+    return plan_temperature_mixture(docs, "lang", _TEMP_BUDGET_TOKENS)

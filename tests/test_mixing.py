@@ -216,3 +216,38 @@ class TestPlanTokenMixture:
         )
         assert plan.count("Exchange") <= 1, plan
         assert "Generate" not in plan and "Join" not in plan, plan
+
+
+class TestTemperaturePlan:
+    def test_isqrt_exact_at_boundaries(self, spark):
+        from readur_spark.ml.mixing import _isqrt
+        from pyspark.sql import functions as F
+
+        # perfect squares, their neighbours, and a large near-boundary
+        vals = [0, 1, 2, 3, 4, 8, 9, 15, 16, 24, 25,
+                10**12, 10**12 + 1, (10**6 + 1) ** 2 - 1, (10**6 + 1) ** 2]
+        df = spark.createDataFrame([(v,) for v in vals], "n long")
+        got = {r["n"]: r["s"]
+               for r in df.select("n", _isqrt(F.col("n")).alias("s")).collect()}
+        import math
+        for v in vals:
+            assert got[v] == math.isqrt(v), v
+
+    def test_sqrt_smoothing_flattens_head(self, spark):
+        from readur_spark.ml.mixing import plan_temperature_mixture
+
+        # head bucket has 100x the tokens; sqrt smoothing gives it
+        # only ~10x the target share
+        rows = [(i, "head", "w " * 100) for i in range(100)]
+        rows += [(1000 + i, "tail", "w " * 100) for i in range(1)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        )
+        got = {r["bucket"]: r
+               for r in plan_temperature_mixture(df, "lang", 10_000).collect()}
+        ratio_raw = got["head"]["n_tokens"] / got["tail"]["n_tokens"]
+        ratio_target = got["head"]["target_milli"] / got["tail"]["target_milli"]
+        assert ratio_raw == 100.0
+        assert 9 <= ratio_target <= 11
+        # targets sum to <= 1000 (floor division loses at most K-1 milli)
+        assert sum(r["target_milli"] for r in got.values()) <= 1000
