@@ -8,8 +8,11 @@ end-to-end:
 
     [--url-gates] URL hygiene + domain blocklist (ml/urlfilters)
     → [--domain-cap N] per-domain cap (content-addressed)
+    → [--mojibake] cp1252-as-UTF-8 encoding repair (ml/mojibake)
     → [--nfc] Unicode NFC + whitespace normalization (ml/normalize)
     → [--line-filter] C4 line gates (ml/linefilters)
+    → [--paragraph-dedup] corpus-wide keep-first paragraph dedup
+      (ml/paradedup)
     → [--lm-filter] drop LM-surprisal tail bucket (ml/quality_lm)
     → [--nb-filter] drop NB-classifier negatives (ml/quality_classifier)
     → C4/Gopher document gates (ml/webfilters.web_filter_signals)
@@ -55,6 +58,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--domain-cap", type=int, default=None,
                    help="keep at most N docs per registrable domain "
                         "(content-addressed)")
+    p.add_argument("--mojibake", action="store_true",
+                   help="repair cp1252-as-UTF-8 encoding damage before "
+                        "normalization (ftfy recipe, ml/mojibake)")
+    p.add_argument("--paragraph-dedup", action="store_true",
+                   help="remove every non-first occurrence of corpus-"
+                        "duplicated paragraphs (Gopher recipe, "
+                        "ml/paradedup)")
     p.add_argument("--nfc", action="store_true",
                    help="Unicode NFC + whitespace normalization before "
                         "hashing/gating")
@@ -139,6 +149,16 @@ def main(argv: list[str] | None = None) -> int:
             docs, args.domain_cap,
             url_col=args.url_col, key_col=args.url_col,
         ).drop("domain", "domain_rank")
+    if args.mojibake:
+        from readur_spark.ml.mojibake import repair_mojibake
+
+        # encoding repair runs BEFORE normalization: NFC over garbled
+        # bytes would bake the damage in
+        docs = (
+            repair_mojibake(docs, text_col=args.text_col, out_col="__fixed")
+            .withColumn(args.text_col, F.col("__fixed"))
+            .drop("__fixed", "was_mojibake")
+        )
     if args.nfc:
         from readur_spark.ml.normalize import (
             clean_whitespace,
@@ -156,6 +176,17 @@ def main(argv: list[str] | None = None) -> int:
             c4_line_filter(docs, text_col=args.text_col, out_col="__clean")
             .withColumn(args.text_col, F.col("__clean"))
             .drop("__clean", "n_lines", "n_lines_kept")
+        )
+    if args.paragraph_dedup:
+        from readur_spark.ml.paradedup import paragraph_dedup_keep_first
+
+        docs = (
+            paragraph_dedup_keep_first(
+                docs, text_col=args.text_col,
+                id_col=args.url_col, out_col="__para",
+            )
+            .withColumn(args.text_col, F.col("__para"))
+            .drop("__para", "n_paras", "n_paras_kept")
         )
     if args.lm_filter:
         from readur_spark.ml.quality_lm import score_unigram_surprisal

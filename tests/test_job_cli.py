@@ -414,3 +414,30 @@ def test_frontier_job_end_to_end(tmp_path, spark):
     assert sorted(
         r["wave"] for u, r in plan.items() if u.startswith("https://h1")
     ) == [0, 1]
+
+
+def test_curation_mojibake_and_paragraph_dedup_compose(tmp_path, pages_parquet):
+    """--mojibake repairs encoding damage ahead of normalization and
+    --paragraph-dedup removes corpus-duplicated paragraphs; composed
+    with the document gates the job still yields rows."""
+    store = str(tmp_path / "mpstore")
+    r1 = _run_job(["--input", pages_parquet, "--store", store,
+                   "--run-id", "mp1", "--cpus", "8"])
+    assert r1["status"] == "committed"
+
+    shards = str(tmp_path / "mpshards")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+         "--input", store, "--output", shards,
+         "--min-words", "5", "--cpus", "8",
+         "--mojibake", "--paragraph-dedup", "--nfc"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines()
+            if l.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["status"] == "written"
+    assert sum(v["n_docs"] for v in summary["yields"].values()) > 0
