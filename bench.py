@@ -64,6 +64,11 @@ HEADLINE_QUERIES = [
     "host_pagerank",
     "qc_nb_classifier",
     "qc_readability",
+    # round 5
+    "paragraph_dedup_keep_first",
+    "mojibake_repair_constructed",
+    "pii_luhn_cards",
+    "qc_unigram_entropy",
 ]
 
 
