@@ -116,7 +116,7 @@ def zipf_fit(
       GROUP BY doc_id, tok
     )
     SELECT doc_id,
-           sum(c) AS n_tokens,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
            count(*) AS n_distinct,
            round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 3)
              AS entropy_bits
@@ -155,3 +155,112 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment (deterministic tie-break) and the OLS slope/intercept
     value-hashed against DuckDB's regr_* twins."""
     return zipf_fit(load(spark, sf_dir, "documents"))
+
+
+# ---- n-gram novelty in training order (memorization-risk signal) --------
+
+NOVELTY_SEED = "ep1"  # the same epoch seed ml/mixing.py shuffles with
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    *,
+    seed: str = NOVELTY_SEED,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_col: str = "url",
+) -> DataFrame:
+    """Per-document NOVEL-GRAM fraction under the engine's own
+    deterministic training order (ml/mixing.py's seeded md5 order
+    hash): a word-8-gram type is *novel* for the document that sees it
+    first in training order; novelty_ufp = 10^6 · novel_types /
+    gram_types. The standard "new n-gram rate" curriculum/memorization
+    diagnostic: a document whose grams were all seen earlier in the
+    epoch contributes repetition, not new evidence — the
+    training-order-aware refinement of ml/softdedup.py's (orderless)
+    commonness weights.
+
+    Documents with fewer than 8 words have no gram types and are
+    excluded (the metric is undefined, and the length gates own short
+    docs anyway).
+
+    Scale (10^12 docs): the payload collapses to slim (doc_id, gh)
+    pairs at the scan (ml/softdedup.py's projection); first-seen
+    election is one map-side-combinable min over (order-hash, doc) —
+    the same shuffle the df aggregate would take — and the join back
+    is co-partitioned on `gh`. No window over the corpus, no sort."""
+    from readur_spark.ml.softdedup import gram_type_hashes
+
+    order_hash = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit(seed), F.col(key_col)), "UTF-8")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    order = docs.select(F.col(id_col).alias("doc_id"), order_hash.alias("oh"))
+    pairs = gram_type_hashes(docs, id_col=id_col, text_col=text_col).join(
+        order, "doc_id"
+    )
+    first_seen = pairs.groupBy("gh").agg(F.min("oh").alias("first_oh"))
+    return (
+        pairs.join(first_seen, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gram_types"),
+            F.sum((F.col("oh") == F.col("first_oh")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn(
+            "novelty_ufp", F.expr("(1000000L * n_novel) div n_gram_types")
+        )
+    )
+
+
+from readur_spark.ml.softdedup import _GRAMS_SQL
+from readur_spark.queries.tables import SYNTH_URL_SQL
+
+
+@register(
+    "ngram_novelty_rate",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {SYNTH_URL_SQL} AS url FROM documents
+    ),
+    o AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('{NOVELTY_SEED}' || url), 1, 15))
+                  AS BIGINT) AS oh
+      FROM u
+    ),
+    {_GRAMS_SQL},
+    pg AS (
+      SELECT p.doc_id, p.gh, o.oh FROM pairs p JOIN o USING (doc_id)
+    ),
+    fs AS (
+      SELECT gh, min(oh) AS first_oh FROM pg GROUP BY gh
+    )
+    SELECT pg.doc_id,
+           count(*) AS n_gram_types,
+           CAST(sum(CASE WHEN pg.oh = fs.first_oh THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((1000000 * sum(CASE WHEN pg.oh = fs.first_oh
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS novelty_ufp
+    FROM pg JOIN fs USING (gh)
+    GROUP BY pg.doc_id
+    """,
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-8-gram rate per document in the seeded training order —
+    order hashes, first-seen election, and the fixed-point rate all
+    value-hashed against a DuckDB twin replaying the same md5 order."""
+    from readur_spark.queries.tables import synthetic_url
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "url", synthetic_url()
+    )
+    return ngram_novelty(docs)

@@ -1,0 +1,194 @@
+"""Soft deduplication — duplicate-aware TRAINING WEIGHTS, not removal.
+
+Published recipe (He et al. 2024, "SoftDedup: an Efficient Data
+Reweighting Method for Speeding Up Language Model Pre-training",
+re-implemented from the paper's description): instead of dropping
+near-duplicates outright (MinHash/SemDeDup in ml/dedup.py and
+ml/semdedup.py), measure each document's *commonness* — how often its
+content n-grams recur across the corpus — and DOWN-WEIGHT common
+documents in the sampling distribution. Removal is the degenerate
+weight-0 case; soft weights keep the long tail of partially-duplicated
+evidence while flattening the over-represented head. The reference
+engine's analogue is its duplicate-document policy
+(src/services/file_service.rs dedup paths); this is the continuous
+generalization the LLM-data literature uses.
+
+Semantics (integer-exact so the DuckDB oracle value-hashes it):
+  - a document's gram set = its DISTINCT word-8-gram hashes
+    (60-bit md5-prefix, the same family as ml/winnow.py fingerprints);
+  - gram document-frequency df(g) = number of documents containing g;
+  - commonness_mfp(d) = (1000 · Σ_g df(g)) div |grams(d)|  — the mean
+    corpus frequency of the document's grams, in milli-units (1000 =
+    "all my grams are unique to me");
+  - weight_ufp(d) = 10^9 div commonness_mfp(d) — the SoftDedup
+    sampling weight 1/commonness in micro-units (10^6 = full weight,
+    an exact k-fold duplicate gets ≈ 10^6/k).
+  Documents with fewer than 8 words have no grams and carry full
+  weight (nothing to dedup on).
+
+Scale design (10^12 docs):
+  - the payload is projected to slim (doc_id, gram-hash) pairs at the
+    scan; the TEXT never crosses a shuffle (same discipline as
+    ml/paradedup.py);
+  - df is one map-side-combinable aggregate over the distinct pairs;
+    its join back onto the pairs is co-partitioned on `gh` (both sides
+    come out of the same shuffle partitioning — no extra exchange);
+  - the per-doc rollup is a second map-side-combinable aggregate; the
+    weights frame is slim (doc_id, 3 longs) and broadcast-joins back
+    to the payload wherever the mixture planner consumes it
+    (ml/mixing.py's samplers take it as a weight column).
+  - milli/micro fixed-point keeps every intermediate under BIGINT
+    even at 10^12 docs (Σ df ≤ |grams|·N ≈ 5·10^14; ×1000 < 2^63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load
+
+K_GRAM = 8  # word 8-grams, the Lee-et-al/SoftDedup granularity
+_HASH_HEX = 15  # md5 hex chars -> 60-bit BIGINT-safe hash
+
+
+def gram_type_hashes(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_GRAM,
+) -> DataFrame:
+    """SLIM (doc_id, gh) frame: the DISTINCT word-k-gram hashes of
+    each document. Whitespace words, space-rejoined grams, 60-bit
+    md5-prefix hash — replayed verbatim by the DuckDB twin."""
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            # sequence(1, 0) counts DOWN — short docs must yield no
+            # grams, not phantom positions (same guard as ml/winnow.py)
+            F.when(
+                F.size("_w") >= k,
+                F.sequence(F.lit(1), F.size("_w") - (k - 1)),
+            ).otherwise(F.expr("array()").cast("array<int>"))
+        ).alias("i"),
+        "_w",
+    ).select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.expr(f"array_join(slice(_w, i, {k}), ' ')"),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                _HASH_HEX,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("gh"),
+    )
+    return grams.distinct()
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_GRAM,
+) -> DataFrame:
+    """(doc_id, n_gram_types, commonness_mfp, weight_ufp) for every
+    document. Exact duplicates share every gram, so a k-fold duplicate
+    cluster gets commonness ≈ k·1000 and weight ≈ 10^6/k — the soft
+    analogue of keep-one-of-k."""
+    pairs = gram_type_hashes(docs, id_col=id_col, text_col=text_col, k=k)
+    dfreq = pairs.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        pairs.join(dfreq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gram_types"),
+            F.sum("df").alias("_sum_df"),
+        )
+        .withColumn(
+            "commonness_mfp", F.expr("(1000L * _sum_df) div n_gram_types")
+        )
+        .withColumn("weight_ufp", F.expr("1000000000L div commonness_mfp"))
+        .drop("_sum_df")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_gram_types"), F.lit(0).cast("long")).alias(
+                "n_gram_types"
+            ),
+            F.coalesce(
+                F.col("commonness_mfp"), F.lit(1000).cast("long")
+            ).alias("commonness_mfp"),
+            F.coalesce(
+                F.col("weight_ufp"), F.lit(1000000).cast("long")
+            ).alias("weight_ufp"),
+        )
+    )
+
+
+_GRAMS_SQL = f"""
+  w AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '') AS ws
+    FROM documents
+  ),
+  pairs AS (
+    SELECT DISTINCT doc_id,
+           CAST(concat('0x', substr(md5(
+             array_to_string(ws[i.i : i.i + {K_GRAM - 1}], ' ')),
+             1, {_HASH_HEX})) AS BIGINT) AS gh
+    FROM w,
+         UNNEST(range(1, greatest(len(ws) - {K_GRAM - 1}, 0) + 1)) AS i(i)
+  )
+"""
+
+
+@register(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    dfreq AS (
+      SELECT gh, count(*) AS df FROM pairs GROUP BY gh
+    ),
+    per_doc AS (
+      SELECT p.doc_id,
+             count(*) AS n_gram_types,
+             CAST((1000 * sum(d.df)) // count(*) AS BIGINT)
+               AS commonness_mfp
+      FROM pairs p JOIN dfreq d USING (gh)
+      GROUP BY p.doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(coalesce(per_doc.n_gram_types, 0) AS BIGINT)
+             AS n_gram_types,
+           CAST(coalesce(per_doc.commonness_mfp, 1000) AS BIGINT)
+             AS commonness_mfp,
+           CAST(1000000000 // coalesce(per_doc.commonness_mfp, 1000)
+                AS BIGINT) AS weight_ufp
+    FROM documents doc LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDedup commonness + sampling weights over the documents
+    table — gram hashing, document frequencies, and both fixed-point
+    divisions replayed exactly in DuckDB."""
+    return soft_dedup_weights(load(spark, sf_dir, "documents"))
