@@ -347,3 +347,73 @@ def domain_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rank") <= TOPK_PER_DOMAIN).select(
         "doc_id", "domain", "mean_cllr", "rank"
     )
+
+
+# ---- per-language percentile calibration (FineWeb-style thresholds) -----
+
+PCTILE_KEEP_UFP = 500_000  # keep the top half of each language
+
+
+@register(
+    "quality_percentile_by_lang",
+    oracle=_NB_ORACLE.replace(
+        """SELECT doc_id, label, n_tokens, sum_llr,
+       CAST((100 * sum_llr) // n_tokens AS BIGINT) AS mean_cllr,
+       CAST((100 * sum_llr) // n_tokens > 0 AS INT) AS predicted
+FROM agg""",
+        """, ranked AS (
+  SELECT agg.doc_id, d.lang,
+         CAST((100 * sum_llr) // n_tokens AS BIGINT) AS mean_cllr,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY (100 * sum_llr) // n_tokens, agg.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.lang) AS nl
+  FROM agg JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, mean_cllr,
+       CAST(((rn - 1) * 1000000) // greatest(nl - 1, 1) AS BIGINT)
+         AS pctile_ufp,
+       CAST(((rn - 1) * 1000000) // greatest(nl - 1, 1) >= 500000 AS INT)
+         AS keep_top_half
+FROM ranked""",
+    ),
+)
+def quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank the classifier score WITHIN each language and
+    gate on the percentile, not the raw score — the FineWeb(-2)
+    calibration trick: absolute quality scores aren't comparable
+    across languages (different stopword densities, different token
+    inventories), so each language keeps its own top fraction.
+    pctile_ufp = 10^6·(rank−1)/(n_lang−1) with deterministic
+    (score, doc_id) ordering; keep = top half.
+
+    Scale: one slim window per language over (lang, score) — same
+    plan family as domain_topk_quality, and the same mega-partition
+    note applies (pre-aggregate a threshold for languages above ~10^7
+    docs). The payload never enters the window."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    labeled = _gate_labels(docs)
+    toks = labeled.select(
+        "label", F.explode(tokenize_alpha(F.col("text"))).alias("token")
+    )
+    model, prior_bits = train_nb_llr(toks)
+    scored = score_nb(labeled, model, prior_bits)
+    joined = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("mean_cllr", "doc_id")
+    wl = Window.partitionBy("lang")
+    pct = F.expr(
+        "((rn - 1L) * 1000000L) div greatest(nl - 1L, 1L)"
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("nl", F.count(F.lit(1)).over(wl).cast("long"))
+        .select(
+            "doc_id",
+            "lang",
+            "mean_cllr",
+            pct.alias("pctile_ufp"),
+            (pct >= PCTILE_KEEP_UFP).cast("int").alias("keep_top_half"),
+        )
+    )

@@ -147,3 +147,69 @@ def search_postings_tfidf(
         .filter(F.col("_n_terms") == len(terms))
         .select("doc_id", "rank_fp")
     )
+
+
+def search_postings_bm25(
+    postings: DataFrame, terms: list[str], n_docs: int
+) -> DataFrame:
+    """AND-of-terms ranked by fixed-point Okapi BM25 from the index —
+    tf saturation (k1 = 1.2) and document-length normalization
+    (b = 0.75), the ranking function the reference's ts_rank
+    approximates and every production search engine (Lucene/ES/
+    Postgres-rum) actually runs.
+
+    Integer-exact semantics (so the DuckDB oracle value-hashes ranks):
+      - k1 = 6/5 and b = 3/4 are exact rationals, so the tf part
+          tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        is one fixed-point expression: with dl/avgdl in 10^6 units,
+          tfpart_fp = (11·tf·10^12) div (5·(10^6·tf + 3·10^5
+                        + (9·dl_ratio_fp) div 10)),
+        10^6 = a term at exactly average saturation (tf=1, dl=avgdl);
+      - idf is Lucene's log2(1 + (N − df + ½)/(df + ½)) at integer-bit
+        granularity of a 2^8-scaled argument — `length(bin(x)) − 9`,
+        no libm (the same int-log2 device as ml/quality_lm.py). A
+        ubiquitous term (df = N) scores exactly 0 bits.
+
+    Scale: dl (sum of tf per doc) and L (total tokens) are index-build
+    statistics — Lucene stores dl as per-doc "norms" for exactly this
+    reason; here they are recomputed from the postings frame (one
+    map-side-combinable agg) and L collects as a single bounded row.
+    The term filter prunes the scan to |terms| posting slices before
+    any join; df/idf is a |terms|-row broadcast; the dl join is
+    co-partitioned on doc_id with the final agg's shuffle."""
+    doclens = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    total_tokens = int(
+        doclens.agg(F.sum("dl")).collect()[0][0] or 0
+    )  # 1-row scalar: the index's L statistic
+    avgdl_mfp = max((1000 * total_tokens) // max(n_docs, 1), 1)
+    hits = postings.filter(F.col("token").isin(terms))
+    idf = (
+        hits.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn(
+            "idf_bits",
+            F.expr(
+                "CAST(length(bin(((%dL - 2L * df + 1L) * 256L)"
+                " div (2L * df + 1L) + 256L)) - 9 AS BIGINT)"
+                % (2 * n_docs)
+            ),
+        )
+        .select("token", "idf_bits")
+    )
+    tfpart = F.expr(
+        "(11L * tf * 1000000000000L) div (5L * (1000000L * tf + 300000L"
+        " + (9L * ((1000000000L * dl) div %dL)) div 10L))" % avgdl_mfp
+    )
+    return (
+        hits.join(F.broadcast(idf), "token")
+        .join(doclens, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("token").alias("_n_terms"),
+            F.sum(tfpart * F.col("idf_bits")).cast("long").alias(
+                "rank_bm25_fp"
+            ),
+        )
+        .filter(F.col("_n_terms") == len(terms))
+        .select("doc_id", "rank_bm25_fp")
+    )

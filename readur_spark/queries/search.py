@@ -607,6 +607,66 @@ def search_via_postings_english(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_rank_bm25",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.token
+      FROM documents,
+           UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS t(token)
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n,
+             greatest((1000 * (SELECT count(*) FROM toks))
+                      // greatest((SELECT count(*) FROM documents), 1), 1)
+               AS avgdl_mfp
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE token IN ('spark', 'join') GROUP BY doc_id, token
+    ), idf AS (
+      SELECT token,
+             length(bin(((2 * (SELECT n FROM stats) - 2 * count(*) + 1)
+                         * 256) // (2 * count(*) + 1) + 256)) - 9
+               AS idf_bits
+      FROM tf GROUP BY token
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, idf.idf_bits,
+             (11 * tf.tf * 1000000000000)
+             // (5 * (1000000 * tf.tf + 300000
+                      + (9 * ((1000000000 * dl.dl)
+                              // (SELECT avgdl_mfp FROM stats))) // 10))
+               AS tfpart_fp
+      FROM tf JOIN dl USING (doc_id) JOIN idf USING (token)
+    )
+    SELECT doc_id,
+           CAST(sum(tfpart_fp * idf_bits) AS BIGINT) AS rank_bm25_fp
+    FROM scored GROUP BY doc_id
+    HAVING count(DISTINCT token) = 2
+    """,
+)
+def search_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AND query ranked by fixed-point Okapi BM25 from the posting
+    index (tf saturation + doc-length norms; integer-bit idf) — the
+    production ranking function next to B5's ts_rank and the linear
+    tf-idf variant. N comes from the parquet footer statistic; dl/L
+    are index statistics (Lucene's "norms"), recomputed here from the
+    postings frame. Every division is a floor div and the log is
+    length(bin(x)), so DuckDB replays ranks bit-for-bit."""
+    from readur_spark.operators.posting import (
+        build_postings,
+        search_postings_bm25,
+    )
+    from readur_spark.queries.tables import table_row_count
+
+    docs = load(spark, sf_dir, "documents")
+    postings = build_postings(docs, "doc_id", "text")
+    return search_postings_bm25(
+        postings, ["spark", "join"], table_row_count(sf_dir, "documents")
+    )
+
+
+@register(
     "search_tfidf_postings",
     oracle="""
     WITH toks AS (
