@@ -149,6 +149,70 @@ def search_postings_tfidf(
     )
 
 
+def log2_sixteenths(df_in: DataFrame, arg_col: str, out_col: str) -> DataFrame:
+    """floor(16·log2(arg)) for an integer column arg >= 1, exact —
+    the fractional-bit extension of ml/quality_lm.py's int_log2.
+
+    Classic mantissa-squaring algorithm, all integer ops: normalize
+    arg to m = (arg·256) div 2^e ∈ [256, 512) (a [1,2) mantissa in
+    2^8 units), then 4 rounds of m ← m² div 256 (mantissa² in the
+    same units); each round's "did it reach 2?" test is one output
+    bit. No libm anywhere, so a SQL twin replays every bit; intended
+    for SLIM frames (a |terms|-row idf table) — it is a pure
+    projection, but 6 chained column rewrites on a corpus-sized frame
+    would deserve a kernel instead."""
+    out = df_in.withColumn(
+        "_e", F.expr(f"CAST(length(bin({arg_col})) - 1 AS BIGINT)")
+    ).withColumn(
+        "_m",
+        F.expr(f"({arg_col} * 256L) div shiftleft(1L, CAST(_e AS INT))"),
+    ).withColumn("_fb", F.lit(0).cast("long"))
+    for _ in range(4):
+        out = (
+            out.withColumn("_m", F.expr("(_m * _m) div 256L"))
+            .withColumn(
+                "_fb",
+                F.expr("_fb * 2L + CASE WHEN _m >= 512 THEN 1L ELSE 0L END"),
+            )
+            .withColumn(
+                "_m", F.expr("CASE WHEN _m >= 512 THEN _m div 2 ELSE _m END")
+            )
+        )
+    return out.withColumn(out_col, F.expr("_e * 16L + _fb")).drop(
+        "_e", "_m", "_fb"
+    )
+
+
+def _log2_sixteenths_sql(src_cte: str, arg_col: str, divop: str = "//") -> str:
+    """SQL twin of log2_sixteenths as a CTE chain over `src_cte`
+    (which must expose `token` and `arg_col`). Emits CTEs _l0.._l4;
+    select `sbits` from _l4. `divop` is the engine's integer-division
+    operator ('//' DuckDB, 'div' Spark SQL)."""
+    d = divop
+    steps = [
+        f"""_l0 AS (
+      SELECT token, length(bin({arg_col})) - 1 AS e,
+             ({arg_col} * 256) {d}
+               (CAST(1 AS BIGINT) << (length(bin({arg_col})) - 1)) AS m,
+             0 AS fb
+      FROM {src_cte}
+    )"""
+    ]
+    for i in range(4):
+        steps.append(
+            f"""_l{i + 1} AS (
+      SELECT token, e,
+             CASE WHEN (m * m) {d} 256 >= 512
+                  THEN ((m * m) {d} 256) {d} 2
+                  ELSE (m * m) {d} 256 END AS m,
+             fb * 2 + CASE WHEN (m * m) {d} 256 >= 512
+                           THEN 1 ELSE 0 END AS fb
+      FROM _l{i}
+    )"""
+        )
+    return ",\n    ".join(steps) + ", _lout AS (SELECT token, e * 16 + fb AS sbits FROM _l4)"
+
+
 def search_postings_bm25(
     postings: DataFrame, terms: list[str], n_docs: int
 ) -> DataFrame:
@@ -165,36 +229,43 @@ def search_postings_bm25(
           tfpart_fp = (11·tf·10^12) div (5·(10^6·tf + 3·10^5
                         + (9·dl_ratio_fp) div 10)),
         10^6 = a term at exactly average saturation (tf=1, dl=avgdl);
-      - idf is Lucene's log2(1 + (N − df + ½)/(df + ½)) at integer-bit
-        granularity of a 2^8-scaled argument — `length(bin(x)) − 9`,
-        no libm (the same int-log2 device as ml/quality_lm.py). A
-        ubiquitous term (df = N) scores exactly 0 bits.
+      - idf is Lucene's log2(1 + (N − df + ½)/(df + ½)) in SIXTEENTH-
+        bit granularity via the exact mantissa-squaring log
+        (log2_sixteenths above) — no libm. A ubiquitous term (df = N)
+        scores exactly 0; common-but-not-universal terms keep a
+        fractional-bit weight instead of flooring to 0 the way a
+        whole-bit log would.
 
     Scale: dl (sum of tf per doc) and L (total tokens) are index-build
     statistics — Lucene stores dl as per-doc "norms" for exactly this
     reason; here they are recomputed from the postings frame (one
     map-side-combinable agg) and L collects as a single bounded row.
     The term filter prunes the scan to |terms| posting slices before
-    any join; df/idf is a |terms|-row broadcast; the dl join is
-    co-partitioned on doc_id with the final agg's shuffle."""
+    any join; df/idf is a |terms|-row broadcast (the log runs on that
+    tiny frame only); the dl join is co-partitioned on doc_id with the
+    final agg's shuffle."""
     doclens = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     total_tokens = int(
         doclens.agg(F.sum("dl")).collect()[0][0] or 0
     )  # 1-row scalar: the index's L statistic
     avgdl_mfp = max((1000 * total_tokens) // max(n_docs, 1), 1)
     hits = postings.filter(F.col("token").isin(terms))
-    idf = (
+    dfreq = (
         hits.groupBy("token")
         .agg(F.countDistinct("doc_id").alias("df"))
         .withColumn(
-            "idf_bits",
+            "arg",
             F.expr(
-                "CAST(length(bin(((%dL - 2L * df + 1L) * 256L)"
-                " div (2L * df + 1L) + 256L)) - 9 AS BIGINT)"
+                "((%dL - 2L * df + 1L) * 256L) div (2L * df + 1L) + 256L"
                 % (2 * n_docs)
             ),
         )
-        .select("token", "idf_bits")
+    )
+    idf = (
+        log2_sixteenths(dfreq, "arg", "sbits")
+        # arg = (1 + ratio)·2^8, so sbits − 128 = 16·log2(1 + ratio)
+        .withColumn("idf_sbits", F.expr("sbits - 128L"))
+        .select("token", "idf_sbits")
     )
     tfpart = F.expr(
         "(11L * tf * 1000000000000L) div (5L * (1000000L * tf + 300000L"
@@ -206,7 +277,7 @@ def search_postings_bm25(
         .groupBy("doc_id")
         .agg(
             F.countDistinct("token").alias("_n_terms"),
-            F.sum(tfpart * F.col("idf_bits")).cast("long").alias(
+            F.sum(tfpart * F.col("idf_sbits")).cast("long").alias(
                 "rank_bm25_fp"
             ),
         )

@@ -114,9 +114,16 @@ _PRIORITY: list[str] = [
     # r4 driver row; all stay oracle-checked in pytest)
     "curation_pipeline",
     "training_yield_report",
-    "pii_redaction",
-    "repeated_ngram_spans",
-    "dedup_substring_clean",
+    # new round-5 operator families, session 2: SoftDedup weights,
+    # training-order n-gram novelty, fixed-point BM25 ranking
+    # (pii_redaction, repeated_ngram_spans, dedup_substring_clean
+    # ceded their slots: each has a green r4 driver row and r5 left
+    # their code untouched; quality_percentile_by_lang stays on the
+    # pytest oracle tier — it derives from the NB chain whose r4 row
+    # is green. All stay oracle-checked in pytest.)
+    "dedup_soft_weights",
+    "ngram_novelty_rate",
+    "search_rank_bm25",
     # (web_curation_report and sessionize_events ceded: green r4
     # driver rows, code untouched in r5; both stay oracle-checked
     # in pytest)

@@ -624,14 +624,58 @@ def search_via_postings_english(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tf AS (
       SELECT doc_id, token, count(*) AS tf FROM toks
       WHERE token IN ('spark', 'join') GROUP BY doc_id, token
-    ), idf AS (
+    ), idf_arg AS (
       SELECT token,
-             length(bin(((2 * (SELECT n FROM stats) - 2 * count(*) + 1)
-                         * 256) // (2 * count(*) + 1) + 256)) - 9
-               AS idf_bits
+             ((2 * (SELECT n FROM stats) - 2 * count(*) + 1) * 256)
+               // (2 * count(*) + 1) + 256 AS arg
       FROM tf GROUP BY token
+    ), _l0 AS (
+      SELECT token, length(bin(arg)) - 1 AS e,
+             (arg * 256) //
+               (CAST(1 AS BIGINT) << (length(bin(arg)) - 1)) AS m,
+             0 AS fb
+      FROM idf_arg
+    ),
+    _l1 AS (
+      SELECT token, e,
+             CASE WHEN (m * m) // 256 >= 512
+                  THEN ((m * m) // 256) // 2
+                  ELSE (m * m) // 256 END AS m,
+             fb * 2 + CASE WHEN (m * m) // 256 >= 512
+                           THEN 1 ELSE 0 END AS fb
+      FROM _l0
+    ),
+    _l2 AS (
+      SELECT token, e,
+             CASE WHEN (m * m) // 256 >= 512
+                  THEN ((m * m) // 256) // 2
+                  ELSE (m * m) // 256 END AS m,
+             fb * 2 + CASE WHEN (m * m) // 256 >= 512
+                           THEN 1 ELSE 0 END AS fb
+      FROM _l1
+    ),
+    _l3 AS (
+      SELECT token, e,
+             CASE WHEN (m * m) // 256 >= 512
+                  THEN ((m * m) // 256) // 2
+                  ELSE (m * m) // 256 END AS m,
+             fb * 2 + CASE WHEN (m * m) // 256 >= 512
+                           THEN 1 ELSE 0 END AS fb
+      FROM _l2
+    ),
+    _l4 AS (
+      SELECT token, e,
+             CASE WHEN (m * m) // 256 >= 512
+                  THEN ((m * m) // 256) // 2
+                  ELSE (m * m) // 256 END AS m,
+             fb * 2 + CASE WHEN (m * m) // 256 >= 512
+                           THEN 1 ELSE 0 END AS fb
+      FROM _l3
+    ), _lout AS (SELECT token, e * 16 + fb AS sbits FROM _l4),
+    idf AS (
+      SELECT token, sbits - 128 AS idf_sbits FROM _lout
     ), scored AS (
-      SELECT tf.doc_id, tf.token, idf.idf_bits,
+      SELECT tf.doc_id, tf.token, idf.idf_sbits,
              (11 * tf.tf * 1000000000000)
              // (5 * (1000000 * tf.tf + 300000
                       + (9 * ((1000000000 * dl.dl)
@@ -640,19 +684,20 @@ def search_via_postings_english(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tf JOIN dl USING (doc_id) JOIN idf USING (token)
     )
     SELECT doc_id,
-           CAST(sum(tfpart_fp * idf_bits) AS BIGINT) AS rank_bm25_fp
+           CAST(sum(tfpart_fp * idf_sbits) AS BIGINT) AS rank_bm25_fp
     FROM scored GROUP BY doc_id
     HAVING count(DISTINCT token) = 2
     """,
 )
 def search_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AND query ranked by fixed-point Okapi BM25 from the posting
-    index (tf saturation + doc-length norms; integer-bit idf) — the
-    production ranking function next to B5's ts_rank and the linear
-    tf-idf variant. N comes from the parquet footer statistic; dl/L
-    are index statistics (Lucene's "norms"), recomputed here from the
-    postings frame. Every division is a floor div and the log is
-    length(bin(x)), so DuckDB replays ranks bit-for-bit."""
+    index (tf saturation + doc-length norms; sixteenth-bit idf via the
+    exact mantissa-squaring log) — the production ranking function
+    next to B5's ts_rank and the linear tf-idf variant. N comes from
+    the parquet footer statistic; dl/L are index statistics (Lucene's
+    "norms"), recomputed here from the postings frame. Every division
+    is a floor div and the log is integer mantissa squaring, so DuckDB
+    replays ranks bit-for-bit."""
     from readur_spark.operators.posting import (
         build_postings,
         search_postings_bm25,

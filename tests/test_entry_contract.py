@@ -68,14 +68,17 @@ class TestPriorityWindow:
 
     def test_backbone_inside_window(self):
         first50 = set(list(QUERIES)[:50])
+        # r5 session-2 rotation: pii_redaction / repeated_ngram_spans /
+        # dedup_substring_clean ceded their slots (green r4 driver rows,
+        # code untouched) to the new operator families below.
         backbone = {
             "extract_text_passthrough",
             "extract_wordcount_by_lang",
-            "pii_redaction",
-            "repeated_ngram_spans",
-            "dedup_substring_clean",
             "training_yield_report",
             "curation_pipeline",
+            "dedup_soft_weights",
+            "ngram_novelty_rate",
+            "search_rank_bm25",
         }
         assert backbone <= first50, backbone - first50
 

@@ -1,0 +1,138 @@
+"""Unit tests for SoftDedup weights, n-gram novelty, BM25 ranking, and
+per-language percentile calibration — hand-computable corpora."""
+
+from pyspark.sql import functions as F
+
+from readur_spark.ml.infostats import ngram_novelty
+from readur_spark.ml.softdedup import gram_type_hashes, soft_dedup_weights
+from readur_spark.operators.posting import (
+    build_postings,
+    search_postings_bm25,
+)
+
+# eight distinct words -> exactly one 8-gram per line below
+_LINE_A = "alpha beta gamma delta epsilon zeta eta theta"
+_LINE_B = "one two three four five six seven eight"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestSoftDedup:
+    def test_gram_count_and_distinctness(self, spark):
+        # 9 words -> 2 overlapping 8-grams; repeating the text doubles
+        # nothing (types are DISTINCT per doc)
+        df = _docs(spark, [(1, _LINE_A + " iota")])
+        assert gram_type_hashes(df).count() == 2
+
+    def test_short_doc_has_no_grams(self, spark):
+        df = _docs(spark, [(1, "only seven words are present right here")])
+        assert gram_type_hashes(df).count() == 0
+
+    def test_exact_k_fold_duplicate_weight(self, spark):
+        # three exact copies + one unique doc: copies share their one
+        # gram (df = 3) -> commonness 3000 milli, weight 10^9//3000
+        df = _docs(
+            spark,
+            [(1, _LINE_A), (2, _LINE_A), (3, _LINE_A), (4, _LINE_B)],
+        )
+        out = {r["doc_id"]: r for r in soft_dedup_weights(df).collect()}
+        for d in (1, 2, 3):
+            assert out[d]["commonness_mfp"] == 3000
+            assert out[d]["weight_ufp"] == 1_000_000_000 // 3000
+        assert out[4]["commonness_mfp"] == 1000
+        assert out[4]["weight_ufp"] == 1_000_000
+
+    def test_gramless_doc_gets_full_weight(self, spark):
+        df = _docs(spark, [(1, "short"), (2, _LINE_A)])
+        out = {r["doc_id"]: r for r in soft_dedup_weights(df).collect()}
+        assert out[1]["n_gram_types"] == 0
+        assert out[1]["weight_ufp"] == 1_000_000
+
+
+class TestNgramNovelty:
+    def _with_url(self, df):
+        return df.withColumn(
+            "url", F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+        )
+
+    def test_duplicate_pair_one_novel_one_not(self, spark):
+        df = self._with_url(_docs(spark, [(1, _LINE_A), (2, _LINE_A)]))
+        out = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+        rates = sorted(r["novelty_ufp"] for r in out.values())
+        # exactly one of the two copies is first in training order
+        assert rates == [0, 1_000_000]
+        assert all(r["n_gram_types"] == 1 for r in out.values())
+
+    def test_unique_docs_fully_novel(self, spark):
+        df = self._with_url(_docs(spark, [(1, _LINE_A), (2, _LINE_B)]))
+        out = ngram_novelty(df).collect()
+        assert all(r["novelty_ufp"] == 1_000_000 for r in out)
+
+    def test_short_docs_excluded(self, spark):
+        df = self._with_url(_docs(spark, [(1, "tiny"), (2, _LINE_A)]))
+        assert ngram_novelty(df).count() == 1
+
+
+class TestBM25:
+    def test_saturation_and_length_norm(self, spark):
+        # doc 1: "q" once among 10 tokens; doc 2: "q" 5 times among 10;
+        # doc 3: "q" once among 30 tokens; docs 4-8 lack the term —
+        # idf is integer-bit (floor log2), so df/N must be small enough
+        # that (N - df + 1/2)/(df + 1/2) >= 2^1 for a nonzero idf.
+        rows = [
+            (1, "q " + "x " * 9),
+            (2, "q q q q q " + "x " * 5),
+            (3, "q " + "x " * 29),
+        ] + [(i, "y " * 10) for i in range(4, 9)]
+        df = _docs(spark, [(i, t.strip()) for i, t in rows])
+        postings = build_postings(df, "doc_id", "text")
+        out = {
+            r["doc_id"]: r["rank_bm25_fp"]
+            for r in search_postings_bm25(postings, ["q"], 8).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        # more tf ranks higher, but sublinearly (< 5x)
+        assert out[1] < out[2] < 5 * out[1]
+        # longer doc with same tf ranks lower
+        assert out[3] < out[1]
+
+    def test_and_semantics(self, spark):
+        df = _docs(spark, [(1, "a b"), (2, "a"), (3, "b")])
+        postings = build_postings(df, "doc_id", "text")
+        out = search_postings_bm25(postings, ["a", "b"], 3).collect()
+        assert [r["doc_id"] for r in out] == [1]
+
+    def test_ubiquitous_term_scores_near_zero(self, spark):
+        # df == N: true BM25 idf is log2(1 + 0.5/(N+0.5)) — tiny but
+        # nonzero at small N. With identical tf and dl the ranks are
+        # equal, and the idf stays under one bit (16 sixteenths).
+        df = _docs(spark, [(1, "a x"), (2, "a y"), (3, "a z")])
+        postings = build_postings(df, "doc_id", "text")
+        out = [r["rank_bm25_fp"]
+               for r in search_postings_bm25(postings, ["a"], 3).collect()]
+        assert len(set(out)) == 1
+        # tfpart here is exactly 10^6 (tf=1, dl=avgdl) -> rank < 16e6
+        assert 0 <= out[0] < 16_000_000
+
+
+class TestQualityPercentile:
+    def test_percentile_bounds_and_keep_rule(self, spark):
+        from readur_spark.queries.registry import queries
+
+        out = queries()["quality_percentile_by_lang"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(out) > 0
+        for r in out:
+            assert 0 <= r["pctile_ufp"] <= 1_000_000
+            assert r["keep_top_half"] == int(r["pctile_ufp"] >= 500_000)
+        # within each language, about half is kept (± rounding)
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r["lang"], []).append(r["keep_top_half"])
+        for lang, keeps in by_lang.items():
+            if len(keeps) >= 4:
+                frac = sum(keeps) / len(keeps)
+                assert 0.3 <= frac <= 0.7, (lang, frac)
