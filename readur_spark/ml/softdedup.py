@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from readur_spark.queries.registry import register
-from readur_spark.queries.tables import load
+from readur_spark.queries.tables import SYNTH_URL_SQL, load
 
 K_GRAM = 8  # word 8-grams, the Lee-et-al/SoftDedup granularity
 _HASH_HEX = 15  # md5 hex chars -> 60-bit BIGINT-safe hash
@@ -162,10 +162,9 @@ _GRAMS_SQL = f"""
 """
 
 
-@register(
-    "dedup_soft_weights",
-    oracle=f"""
-    WITH {_GRAMS_SQL},
+# the full weights chain as composable CTEs: wts(doc_id, n_gram_types,
+# commonness_mfp, weight_ufp) over every document
+_WEIGHTS_SQL = f"""{_GRAMS_SQL},
     dfreq AS (
       SELECT gh, count(*) AS df FROM pairs GROUP BY gh
     ),
@@ -176,15 +175,24 @@ _GRAMS_SQL = f"""
                AS commonness_mfp
       FROM pairs p JOIN dfreq d USING (gh)
       GROUP BY p.doc_id
-    )
-    SELECT doc.doc_id,
-           CAST(coalesce(per_doc.n_gram_types, 0) AS BIGINT)
-             AS n_gram_types,
-           CAST(coalesce(per_doc.commonness_mfp, 1000) AS BIGINT)
-             AS commonness_mfp,
-           CAST(1000000000 // coalesce(per_doc.commonness_mfp, 1000)
-                AS BIGINT) AS weight_ufp
-    FROM documents doc LEFT JOIN per_doc USING (doc_id)
+    ),
+    wts AS (
+      SELECT doc.doc_id,
+             CAST(coalesce(per_doc.n_gram_types, 0) AS BIGINT)
+               AS n_gram_types,
+             CAST(coalesce(per_doc.commonness_mfp, 1000) AS BIGINT)
+               AS commonness_mfp,
+             CAST(1000000000 // coalesce(per_doc.commonness_mfp, 1000)
+                  AS BIGINT) AS weight_ufp
+      FROM documents doc LEFT JOIN per_doc USING (doc_id)
+    )"""
+
+
+@register(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH {_WEIGHTS_SQL}
+    SELECT doc_id, n_gram_types, commonness_mfp, weight_ufp FROM wts
     """,
 )
 def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,3 +200,47 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — gram hashing, document frequencies, and both fixed-point
     divisions replayed exactly in DuckDB."""
     return soft_dedup_weights(load(spark, sf_dir, "documents"))
+
+
+SOFT_SAMPLE_K = 100
+
+
+@register(
+    "dedup_soft_sample",
+    oracle=f"""
+    WITH {_WEIGHTS_SQL},
+    u AS (
+      SELECT doc_id, {SYNTH_URL_SQL} AS url FROM documents
+    ),
+    pr AS (
+      SELECT w.doc_id, w.weight_ufp,
+             CAST(concat('0x', substr(md5(u.url), 1, 15)) AS BIGINT)
+               // w.weight_ufp AS priority,
+             md5(u.url) AS h
+      FROM wts w JOIN u USING (doc_id)
+      WHERE w.weight_ufp > 0
+    )
+    SELECT doc_id, weight_ufp, priority
+    FROM pr ORDER BY priority, h LIMIT {SOFT_SAMPLE_K}
+    """,
+)
+def dedup_soft_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed chain the SoftDedup recipe exists for: sample the
+    corpus proportional to the soft-dedup weight (duplicated content
+    down-weighted, unique content at full mass) with the deterministic
+    bottom-k priority sampler from ml/webfilters.py. Winning set,
+    weights, and priorities all value-hashed end-to-end.
+
+    Scale: the weights frame is slim; the sampler is one
+    TakeOrderedAndProject — no window, no global sort; the payload is
+    never touched after the gram projection."""
+    from readur_spark.ml.webfilters import weighted_priority_sample
+    from readur_spark.queries.tables import synthetic_url
+
+    docs = load(spark, sf_dir, "documents")
+    wts = soft_dedup_weights(docs).join(
+        docs.select("doc_id", synthetic_url().alias("url")), "doc_id"
+    )
+    return weighted_priority_sample(
+        wts, "weight_ufp", "url", SOFT_SAMPLE_K
+    ).select("doc_id", "weight_ufp", "priority")
