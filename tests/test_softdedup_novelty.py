@@ -136,3 +136,26 @@ class TestQualityPercentile:
             if len(keeps) >= 4:
                 frac = sum(keeps) / len(keeps)
                 assert 0.3 <= frac <= 0.7, (lang, frac)
+
+
+class TestCollocations:
+    def test_injected_phrase_tops_pmi(self, spark):
+        from readur_spark.ml.collocations import bigram_pmi
+
+        # "aa bb" always together (PMI high); "cc" pairs with varying
+        # successors (PMI ~ 0); filler spreads mass
+        rows = [(i, "aa bb cc w%d x y z" % (i % 7)) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = bigram_pmi(df, min_count=5, top_k=10).collect()
+        assert out, "no collocations found"
+        top = out[0]
+        assert (top["x"], top["y"]) == ("aa", "bb")
+        assert top["c_xy"] == 20
+        assert top["pmi_bits"] >= 2
+
+    def test_min_count_gate(self, spark):
+        from readur_spark.ml.collocations import bigram_pmi
+
+        rows = [(1, "rare pair only once here now")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert bigram_pmi(df, min_count=5, top_k=10).count() == 0
