@@ -183,3 +183,132 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the integer log all value-hashed against the DuckDB twin."""
     docs = constructed_collocation_pages(load(spark, sf_dir, "documents"))
     return bigram_pmi(docs)
+
+
+# ---- TextRank keywords (weighted PageRank over the word graph) ----------
+
+TR_ITERS = 4
+TR_TOP_K = 50
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    num_iters: int = TR_ITERS,
+    top_k: int = TR_TOP_K,
+) -> DataFrame:
+    """(token, rank) — the top_k corpus keywords by TextRank
+    (Mihalcea & Tarau 2004): integer PageRank over the UNDIRECTED
+    adjacent-token co-occurrence graph, edge weight = co-occurrence
+    count, self-loops dropped. Runs ml/linkgraph.py's
+    pagerank_fixed_point with its weight_col path — each edge row
+    stands for w parallel links (contribution w·(rank div Σw)).
+
+    Scale: the graph is vocab-sized (Zipf-compact regardless of corpus
+    size); building it is the same two aggregates as bigram_pmi; the
+    fixed point runs on slim (token, rank) frames. Selection is
+    TakeOrdered."""
+    from readur_spark.ml.linkgraph import pagerank_fixed_point
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
+    d = docs.select(toks.alias("_t"))
+    big = (
+        d.select(
+            F.explode(
+                F.when(
+                    F.size("_t") >= 2,
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ).alias("i"),
+            "_t",
+        )
+        .select(F.expr("_t[i - 1]").alias("x"), F.expr("_t[i]").alias("y"))
+        .filter(F.col("x") != F.col("y"))
+    )
+    edges = (
+        big.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        .unionAll(big.select(F.col("y").alias("src"), F.col("x").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    ranks = pagerank_fixed_point(edges, num_iters, weight_col="w")
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(top_k)
+        .select(F.col("node").alias("token"), "rank")
+    )
+
+
+def _textrank_oracle(num_iters: int, top_k: int) -> str:
+    """DuckDB replay of the word graph + the WEIGHTED integer fixed
+    point (w·(rank // Σw) — the exact weight_col semantics of
+    ml/linkgraph.py). MATERIALIZED CTEs for the same inlining reason
+    as _pagerank_oracle."""
+    from readur_spark.ml.linkgraph import DAMPING_PCT, SCALE
+
+    scale, damp = SCALE, DAMPING_PCT
+    sql = f"""
+    WITH d AS MATERIALIZED (
+      SELECT list_filter(
+               regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+               x -> x <> '') AS ts
+      FROM documents
+    ),
+    big AS MATERIALIZED (
+      SELECT ts[i.i] AS x, ts[i.i + 1] AS y
+      FROM d, UNNEST(range(1, greatest(len(ts) - 1, 0) + 1)) AS i(i)
+      WHERE ts[i.i] <> ts[i.i + 1]
+    ),
+    e AS MATERIALIZED (
+      SELECT src, dst, count(*) AS w FROM (
+        SELECT x AS src, y AS dst FROM big
+        UNION ALL
+        SELECT y AS src, x AS dst FROM big
+      ) GROUP BY src, dst
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ),
+    nstat AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    deg AS MATERIALIZED (
+      SELECT src AS node, sum(w) AS outdeg FROM e GROUP BY src
+    ),
+    adj AS MATERIALIZED (
+      SELECT e.src AS node, e.dst, e.w, deg.outdeg
+      FROM e JOIN deg ON e.src = deg.node
+    ),
+    r0 AS MATERIALIZED (
+      SELECT node, {scale} // (SELECT n FROM nstat) AS rank FROM nodes
+    )"""
+    for k in range(1, num_iters + 1):
+        p = k - 1
+        sql += f""",
+    s{k} AS MATERIALIZED (
+      SELECT a.dst AS node, sum(a.w * (r.rank // a.outdeg)) AS s
+      FROM adj a JOIN r{p} r USING (node)
+      GROUP BY a.dst
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             CAST((100 - {damp}) * ({scale} // (SELECT n FROM nstat)) // 100
+                  + {damp} * coalesce(s.s, 0) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN s{k} s USING (node)
+    )"""
+    sql += f"""
+    SELECT node AS token, rank FROM r{num_iters}
+    ORDER BY rank DESC, token LIMIT {top_k}
+    """
+    return sql
+
+
+@register("textrank_keywords", oracle=_textrank_oracle(TR_ITERS, TR_TOP_K))
+def textrank_keywords_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TextRank keywords — graph derivation, weighted degree,
+    and all damping iterations value-hashed against the DuckDB replay.
+    Exercises pagerank_fixed_point's weight_col path end-to-end (the
+    r5 refactor that makes pre-aggregated edges keep multiplicity)."""
+    return textrank_keywords(load(spark, sf_dir, "documents"))

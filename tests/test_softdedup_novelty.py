@@ -159,3 +159,27 @@ class TestCollocations:
         rows = [(1, "rare pair only once here now")]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         assert bigram_pmi(df, min_count=5, top_k=10).count() == 0
+
+
+class TestTextRank:
+    def test_hub_token_ranks_first(self, spark):
+        from readur_spark.ml.collocations import textrank_keywords
+
+        # "hub" neighbors every other token; spokes touch only the hub
+        # (alphabetic spokes — digits are token separators)
+        rows = [(i, "hub %s" % (chr(ord("b") + i) * 2)) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = textrank_keywords(df, num_iters=4, top_k=20).collect()
+        assert out[0]["token"] == "hub"
+        assert all(out[0]["rank"] > r["rank"] for r in out[1:])
+
+    def test_rank_mass_conserved_order(self, spark):
+        from readur_spark.ml.collocations import textrank_keywords
+
+        # symmetric pair graph: both tokens get identical ranks
+        df = spark.createDataFrame(
+            [(1, "aa bb"), (2, "aa bb")], "doc_id long, text string"
+        )
+        out = textrank_keywords(df, num_iters=3, top_k=5).collect()
+        assert len(out) == 2
+        assert out[0]["rank"] == out[1]["rank"]
