@@ -599,3 +599,77 @@ def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli-epoch rates and planned yields all value-hash-checked."""
     docs = load(spark, sf_dir, "documents")
     return plan_temperature_mixture(docs, "lang", _TEMP_BUDGET_TOKENS)
+
+
+# ---- deterministic dataset split (train/val/test) ------------------------
+
+SPLIT_SEED = "split1"
+SPLIT_TRAIN_PERMILLE = 900
+SPLIT_VAL_PERMILLE = 950  # val = [900, 950), test = [950, 1000)
+
+
+def dataset_split(
+    df: DataFrame,
+    *,
+    seed: str = SPLIT_SEED,
+    key_col: str = "url",
+    train_permille: int = SPLIT_TRAIN_PERMILLE,
+    val_permille: int = SPLIT_VAL_PERMILLE,
+) -> DataFrame:
+    """Adds (bucket, split): content-addressed train/val/test
+    assignment by md5(seed || key) mod 1000 — the standard leakage-safe
+    split (the same URL lands in the same split on every engine, every
+    re-run, every shard union; near-duplicates should be collapsed
+    FIRST — compose with the dedup tier — or they straddle splits).
+
+    Pure projection: no shuffle, no state; re-seeding re-splits
+    without replanning. Exact md5 semantics shared with
+    with_training_order so one hash recipe covers order + split."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(F.concat(F.lit(seed), F.col(key_col)), "UTF-8")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return df.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_permille, F.lit("train"))
+        .when(F.col("bucket") < val_permille, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+@register(
+    "dataset_split_assign",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {SYNTH_URL_SQL} AS url FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('{SPLIT_SEED}' || url), 1, 15))
+                  AS BIGINT) % 1000 AS bucket
+      FROM u
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_PERMILLE} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document train/val/test assignment, value-hashed: DuckDB
+    replays the seeded md5 bucket and the permille thresholds."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "url", synthetic_url()
+    )
+    return dataset_split(docs).select("doc_id", "bucket", "split")
