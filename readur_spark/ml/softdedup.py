@@ -244,3 +244,85 @@ def dedup_soft_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_priority_sample(
         wts, "weight_ufp", "url", SOFT_SAMPLE_K
     ).select("doc_id", "weight_ufp", "priority")
+
+
+# ---- split leakage (train -> val n-gram contamination) -------------------
+
+
+@register(
+    "split_leakage_report",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    u AS (
+      SELECT doc_id, {SYNTH_URL_SQL} AS url FROM documents
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST(concat('0x', substr(md5('split1' || url), 1, 15))
+                       AS BIGINT) % 1000 < 900 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5('split1' || url), 1, 15))
+                       AS BIGINT) % 1000 < 950 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM u
+    ),
+    train_g AS (
+      SELECT DISTINCT p.gh FROM pairs p JOIN sp USING (doc_id)
+      WHERE sp.split = 'train'
+    ),
+    ev AS (
+      SELECT p.doc_id, sp.split, p.gh,
+             CASE WHEN t.gh IS NOT NULL THEN 1 ELSE 0 END AS leaked
+      FROM pairs p
+      JOIN sp USING (doc_id)
+      LEFT JOIN train_g t ON p.gh = t.gh
+      WHERE sp.split <> 'train'
+    )
+    SELECT doc_id, split,
+           count(*) AS n_gram_types,
+           CAST(sum(leaked) AS BIGINT) AS n_leaked,
+           CAST((1000000 * sum(leaked)) // count(*) AS BIGINT)
+             AS leakage_ufp
+    FROM ev GROUP BY doc_id, split
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval n-gram contamination under the content-addressed
+    split: for every val/test document, the fraction of its word-8-gram
+    types that also occur in ANY train document — the leakage metric a
+    benchmark-decontamination audit publishes (Lee et al. dedup paper's
+    split-overlap analysis; the reason dedup must precede splitting).
+    Composes ml/mixing.py's dataset_split with the softdedup gram
+    projection; value-hashed end-to-end.
+
+    Scale: the train gram set is DISTINCT slim hashes; the probe is a
+    left join co-partitioned on `gh` with the pairs frame — the same
+    shuffle class as the df aggregate. Nothing corpus-sized reaches
+    the driver."""
+    from readur_spark.ml.mixing import dataset_split
+    from readur_spark.queries.tables import synthetic_url
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "url", synthetic_url()
+    )
+    split = dataset_split(docs).select("doc_id", "split")
+    pairs = gram_type_hashes(docs).join(split, "doc_id")
+    train_g = (
+        pairs.filter(F.col("split") == "train").select("gh").distinct()
+        .withColumn("_in_train", F.lit(True))
+    )
+    ev = pairs.filter(F.col("split") != "train").join(
+        train_g, "gh", "left"
+    )
+    return (
+        ev.groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_gram_types"),
+            F.sum(F.col("_in_train").isNotNull().cast("long")).alias(
+                "n_leaked"
+            ),
+        )
+        .withColumn(
+            "leakage_ufp",
+            F.expr("(1000000L * n_leaked) div n_gram_types"),
+        )
+    )
