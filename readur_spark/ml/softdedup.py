@@ -326,3 +326,46 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000L * n_leaked) div n_gram_types"),
         )
     )
+
+
+# ---- per-host commonness rollup (boilerplate-heavy host detection) ------
+
+
+@register(
+    "host_commonness_rollup",
+    oracle=f"""
+    WITH {_WEIGHTS_SQL}
+    SELECT d.source || '.example' AS host,
+           count(*) AS n_docs,
+           CAST(sum(w.commonness_mfp) // count(*) AS BIGINT)
+             AS mean_commonness_mfp,
+           CAST(sum(CASE WHEN w.commonness_mfp >= 2000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_heavy
+    FROM wts w JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def host_commonness_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host SoftDedup commonness rollup — the crawl-budget view:
+    a host whose documents average ≥2× gram commonness is serving
+    templated/syndicated content and earns a lower recrawl budget
+    (composes with ml/urlfilters.py domain caps and the crawl tier's
+    host_quality_rollup). One slim join + one map-side-combinable agg
+    over the weights frame."""
+    docs = load(spark, sf_dir, "documents")
+    wts = soft_dedup_weights(docs)
+    return (
+        wts.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(
+            F.concat(F.col("source"), F.lit(".example")).alias("host")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "CAST(sum(commonness_mfp) div count(1) AS BIGINT)"
+            ).alias("mean_commonness_mfp"),
+            F.sum((F.col("commonness_mfp") >= 2000).cast("long")).alias(
+                "n_heavy"
+            ),
+        )
+    )
