@@ -201,9 +201,11 @@ def ngram_novelty(
         10,
     ).cast("long")
     order = docs.select(F.col(id_col).alias("doc_id"), order_hash.alias("oh"))
+    # persist: the order-tagged pairs feed the first-seen election AND
+    # the join back — one explode pass, not two (ml/winnow.py pattern)
     pairs = gram_type_hashes(docs, id_col=id_col, text_col=text_col).join(
         order, "doc_id"
-    )
+    ).persist()
     first_seen = pairs.groupBy("gh").agg(F.min("oh").alias("first_oh"))
     return (
         pairs.join(first_seen, "gh")

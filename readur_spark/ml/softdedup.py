@@ -111,7 +111,15 @@ def soft_dedup_weights(
     document. Exact duplicates share every gram, so a k-fold duplicate
     cluster gets commonness ≈ k·1000 and weight ≈ 10^6/k — the soft
     analogue of keep-one-of-k."""
-    pairs = gram_type_hashes(docs, id_col=id_col, text_col=text_col, k=k)
+    # persist the slim (doc_id, gh) frame: it feeds BOTH the df agg
+    # and the per-doc rollup, and its lineage (payload explode + md5 +
+    # distinct) is the expensive part — unpersisted, Spark recomputes
+    # that subtree twice (two full Generate spans in the physical
+    # plan). Two longs per gram, a small fraction of corpus size;
+    # LRU evicts it (the ml/winnow.py posting-frame pattern).
+    pairs = gram_type_hashes(
+        docs, id_col=id_col, text_col=text_col, k=k
+    ).persist()
     dfreq = pairs.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         pairs.join(dfreq, "gh")
@@ -305,7 +313,9 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", synthetic_url()
     )
     split = dataset_split(docs).select("doc_id", "split")
-    pairs = gram_type_hashes(docs).join(split, "doc_id")
+    # persist: the split-tagged pairs feed the train gram set AND the
+    # eval probe — one explode pass, not two (winnow posting pattern)
+    pairs = gram_type_hashes(docs).join(split, "doc_id").persist()
     train_g = (
         pairs.filter(F.col("split") == "train").select("gh").distinct()
         .withColumn("_in_train", F.lit(True))
