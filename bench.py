@@ -69,6 +69,10 @@ HEADLINE_QUERIES = [
     "mojibake_repair_constructed",
     "pii_luhn_cards",
     "qc_unigram_entropy",
+    # round 5, session 2
+    "dedup_soft_weights",
+    "ngram_novelty_rate",
+    "search_rank_bm25",
 ]
 
 

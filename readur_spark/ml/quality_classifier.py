@@ -283,9 +283,7 @@ def qc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOPK_PER_DOMAIN = 20
 
 
-@register(
-    "domain_topk_quality",
-    oracle=_NB_ORACLE.replace(
+_DOMAIN_TOPK_ORACLE = _NB_ORACLE.replace(
         """SELECT doc_id, label, n_tokens, sum_llr,
        CAST((100 * sum_llr) // n_tokens AS BIGINT) AS mean_cllr,
        CAST((100 * sum_llr) // n_tokens > 0 AS INT) AS predicted
@@ -302,8 +300,10 @@ FROM agg""",
 )
 SELECT doc_id, domain, mean_cllr, rank
 FROM ranked WHERE rank <= 20""",
-    ),
 )
+
+
+@register("domain_topk_quality", oracle=_DOMAIN_TOPK_ORACLE)
 def domain_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware domain capping: keep the TOPK_PER_DOMAIN best
     documents of each domain by classifier score (deterministic
@@ -417,3 +417,39 @@ def quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pct >= PCTILE_KEEP_UFP).cast("int").alias("keep_top_half"),
         )
     )
+
+
+@register("domain_topk_quality_salted", oracle=_DOMAIN_TOPK_ORACLE)
+def domain_topk_quality_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """domain_topk_quality through the SALTED two-phase top-k
+    (operators/partitioning.py: topk_per_group_salted) — IDENTICAL
+    output (the oracle is shared verbatim with the single-window
+    form), mega-domain-safe plan: phase 1 windows over
+    (domain, doc_id % 16) so no task ever holds a whole domain's rows;
+    phase 2 ranks the ≤ 16·k survivors. This is the scale path the
+    single-window variant's docstring promises for hosts above ~10^7
+    documents."""
+    from readur_spark.operators.partitioning import topk_per_group_salted
+
+    docs = load(spark, sf_dir, "documents")
+    labeled = _gate_labels(docs)
+    toks = labeled.select(
+        "label", F.explode(tokenize_alpha(F.col("text"))).alias("token")
+    )
+    model, prior_bits = train_nb_llr(toks)
+    scored = score_nb(labeled, model, prior_bits)
+    joined = scored.join(
+        docs.select(
+            "doc_id",
+            F.concat(F.col("source"), F.lit(".example")).alias("domain"),
+        ),
+        "doc_id",
+    )
+    ranked = topk_per_group_salted(
+        joined,
+        ["domain"],
+        [F.col("mean_cllr").desc(), F.col("doc_id")],
+        TOPK_PER_DOMAIN,
+        salt_expr=F.col("doc_id") % 16,
+    )
+    return ranked.select("doc_id", "domain", "mean_cllr", "rank")

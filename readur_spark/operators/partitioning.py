@@ -90,3 +90,58 @@ def host_counts_salted(df: DataFrame, n_salts: int = 16, threshold: float = 0.01
     salted = salted_host_key(df, heavy, n_salts)
     partial = salted.groupBy("host", "host_salted").count()
     return partial.groupBy("host").agg(F.sum("count").alias("n_pages"))
+
+
+def topk_per_group_salted(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list,
+    k: int,
+    *,
+    salt_expr=None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact top-k rows per group via SALTED two-phase election — the
+    mega-group-safe form of `row_number().over(partitionBy(group))`.
+
+    A single window puts each group's entire row set in one task: fine
+    for median hosts, fatal for a 10^8-page domain. Standard fix (the
+    per-partition-heap shape of TakeOrdered, expressed relationally):
+
+      phase 1: window over (group, salt) — each salted subgroup holds
+        ~1/n_salts of the group; keep its local top-k. Correct because
+        every global top-k row is top-k within its own subgroup.
+      phase 2: window over (group) on the ≤ n_salts·k survivors —
+        now bounded rows per group regardless of group size.
+
+    Returns df rows + `rank` (the phase-2 global rank), filtered to
+    rank ≤ k — IDENTICAL output to the single-window form (pinned in
+    tests), with the mega-partition split by construction.
+
+    `order_exprs` must be a deterministic total order (include a
+    tie-break column). `salt_expr` defaults to a uniform hash of the
+    full row order key is NOT available here — pass something content-
+    addressed (e.g. doc_id % n_salts) so re-runs elect identically.
+    """
+    salt = (
+        salt_expr
+        if salt_expr is not None
+        else F.abs(F.xxhash64(*[F.col(c) for c in group_cols])) % n_salts
+    )
+    w1 = Window.partitionBy(
+        *[F.col(c) for c in group_cols], F.col("_salt")
+    ).orderBy(*order_exprs)
+    w2 = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        *order_exprs
+    )
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_lr", F.row_number().over(w1))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("_salt")
+    )

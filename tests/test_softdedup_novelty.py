@@ -183,3 +183,44 @@ class TestTextRank:
         out = textrank_keywords(df, num_iters=3, top_k=5).collect()
         assert len(out) == 2
         assert out[0]["rank"] == out[1]["rank"]
+
+
+class TestSaltedTopK:
+    def test_identical_to_single_window(self, spark):
+        from pyspark.sql import Window
+        from readur_spark.operators.partitioning import topk_per_group_salted
+
+        # skewed: group "big" has 200 rows, "small" has 3
+        rows = [(i, "big", i * 7 % 101) for i in range(200)] + [
+            (1000 + i, "small", i) for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, score long")
+        order = [F.col("score").desc(), F.col("id")]
+        got = {
+            (r["g"], r["rank"]): r["id"]
+            for r in topk_per_group_salted(
+                df, ["g"], order, 5, salt_expr=F.col("id") % 7
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy(*order)
+        want = {
+            (r["g"], r["rank"]): r["id"]
+            for r in df.withColumn(
+                "rank", F.row_number().over(w).cast("long")
+            ).filter(F.col("rank") <= 5).collect()
+        }
+        assert got == want
+        assert len(want) == 5 + 3  # small group yields all 3 rows
+
+    def test_salted_plan_has_two_windows(self, spark):
+        from readur_spark.operators.partitioning import topk_per_group_salted
+
+        df = spark.createDataFrame(
+            [(i, "g", i) for i in range(10)], "id long, g string, score long"
+        )
+        out = topk_per_group_salted(
+            df, ["g"], [F.col("score").desc(), F.col("id")], 2,
+            salt_expr=F.col("id") % 4,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window") >= 2  # phase 1 (salted) + phase 2
