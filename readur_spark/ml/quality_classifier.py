@@ -453,3 +453,82 @@ def domain_topk_quality_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_expr=F.col("doc_id") % 16,
     )
     return ranked.select("doc_id", "domain", "mean_cllr", "rank")
+
+
+# ---- per-language threshold election via score histogram (scale path) ---
+
+
+@register(
+    "quality_threshold_by_lang",
+    oracle=_NB_ORACLE.replace(
+        """SELECT doc_id, label, n_tokens, sum_llr,
+       CAST((100 * sum_llr) // n_tokens AS BIGINT) AS mean_cllr,
+       CAST((100 * sum_llr) // n_tokens > 0 AS INT) AS predicted
+FROM agg""",
+        """, sc AS (
+  SELECT d.lang, CAST((100 * sum_llr) // n_tokens AS BIGINT) AS s
+  FROM agg JOIN documents d USING (doc_id)
+), hist AS (
+  SELECT lang, s, count(*) AS cnt FROM sc GROUP BY lang, s
+), cum AS (
+  SELECT lang, s, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY s DESC) AS c_ge,
+         sum(cnt) OVER (PARTITION BY lang) AS n_l
+  FROM hist
+)
+SELECT lang,
+       CAST(max(n_l) AS BIGINT) AS n_scored,
+       CAST(max(CASE WHEN c_ge >= (n_l + 1) // 2 THEN s END) AS BIGINT)
+         AS threshold_ccllr,
+       CAST(min(CASE WHEN c_ge >= (n_l + 1) // 2 THEN c_ge END) AS BIGINT)
+         AS n_kept
+FROM cum GROUP BY lang""",
+    ),
+)
+def quality_threshold_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median-score threshold elected from the SCORE
+    HISTOGRAM — the mega-partition-safe twin of
+    quality_percentile_by_lang. A percent-rank window puts a whole
+    language (half the corpus, for 'en') in one task; the histogram
+    path aggregates (lang, score) counts first — mean_cllr is integer
+    centi-bits, so the histogram is a few hundred rows per language
+    regardless of corpus size — and elects the smallest score whose
+    from-the-top cumulative count covers ceil(n/2). Gate docs with
+    `mean_cllr >= threshold_ccllr` via a broadcast of this table; kept
+    fraction is ≥ 50 % (score ties keep together — threshold
+    semantics, not exact rank semantics).
+
+    Output: (lang, n_scored, threshold_ccllr, n_kept), value-hashed."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    labeled = _gate_labels(docs)
+    toks = labeled.select(
+        "label", F.explode(tokenize_alpha(F.col("text"))).alias("token")
+    )
+    model, prior_bits = train_nb_llr(toks)
+    scored = score_nb(labeled, model, prior_bits)
+    hist = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", F.col("mean_cllr").alias("s"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_ge = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("c_ge", F.sum("cnt").over(w_ge)).withColumn(
+        "n_l", F.sum("cnt").over(Window.partitionBy("lang"))
+    )
+    covered = F.when(
+        F.col("c_ge") >= F.expr("(n_l + 1L) div 2L"), F.col("s")
+    )
+    kept = F.when(
+        F.col("c_ge") >= F.expr("(n_l + 1L) div 2L"), F.col("c_ge")
+    )
+    return cum.groupBy("lang").agg(
+        F.max("n_l").cast("long").alias("n_scored"),
+        F.max(covered).cast("long").alias("threshold_ccllr"),
+        F.min(kept).cast("long").alias("n_kept"),
+    )
