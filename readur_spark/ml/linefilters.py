@@ -383,3 +383,128 @@ def qc_dup_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines_distinct").cast("long").alias("n_lines_distinct"),
         F.col("dup_line_fraction").cast("double").alias("dup_line_fraction"),
     )
+
+
+# ---- Gopher bullet / ellipsis line rules ---------------------------------
+
+# Rae et al. (Gopher) document gates: drop when > 90 % of lines start
+# with a bullet marker or > 30 % end with an ellipsis. Integer-exact
+# comparisons (10·n_bullet > 9·n_lines; 10·n_ellipsis > 3·n_lines).
+_BULLET_PREFIXES = ("- ", "* ", "• ")
+_ELLIPSIS_SUFFIX = "..."
+
+
+def gopher_line_flags(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_lines, n_bullet, n_ellipsis, flag_bullet,
+    flag_ellipsis) per document — the two Gopher line-shape gates as
+    pure array-HOF projections (no explode, no shuffle: the per-line
+    predicates aggregate inside the row)."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    bullet = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(
+            x.startswith(_BULLET_PREFIXES[0])
+            | x.startswith(_BULLET_PREFIXES[1])
+            | x.startswith(_BULLET_PREFIXES[2]),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    ell = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(x.endswith(_ELLIPSIS_SUFFIX), F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(lines).cast("long").alias("n_lines"),
+            bullet.alias("n_bullet"),
+            ell.alias("n_ellipsis"),
+        )
+        .withColumn(
+            "flag_bullet",
+            (F.col("n_bullet") * 10 > F.col("n_lines") * 9).cast("int"),
+        )
+        .withColumn(
+            "flag_ellipsis",
+            (F.col("n_ellipsis") * 10 > F.col("n_lines") * 3).cast("int"),
+        )
+    )
+
+
+# constructed multi-line corpus: the synthetic documents are single-
+# line, so modulo rules build known line shapes (paradedup pattern)
+_GOPHER_CONSTRUCT_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN '- alpha' || chr(10) || '- beta' || chr(10) || '- gamma'
+              WHEN doc_id % 4 = 0 THEN '- menu' || chr(10) || text
+              ELSE text END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'more soon...' || chr(10) || 'details...'
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+
+def constructed_gopher_pages(docs: DataFrame) -> DataFrame:
+    """SQL-replayable line-shape injection: doc % 10 == 0 becomes pure
+    bullets (trips the 90 % rule), doc % 4 == 0 gains one bullet line
+    (stays under it), doc % 7 == 0 gains two ellipsis teasers (trips
+    the 30 % rule on short docs)."""
+    body = (
+        F.when(
+            F.col("doc_id") % 10 == 0, F.lit("- alpha\n- beta\n- gamma")
+        )
+        .when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("- menu\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+    )
+    tail = F.when(
+        F.col("doc_id") % 7 == 0, F.lit("\nmore soon...\ndetails...")
+    ).otherwise(F.lit(""))
+    return docs.select("doc_id", F.concat(body, tail).alias("text"))
+
+
+@register(
+    "gopher_line_flags",
+    oracle=f"""
+    WITH c AS ({_GOPHER_CONSTRUCT_SQL}),
+    l AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         x -> trim(x) <> '') AS ls
+      FROM c
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls, x ->
+               starts_with(x, '- ') OR starts_with(x, '* ')
+               OR starts_with(x, '• '))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(ls, x -> ends_with(x, '...')))
+                  AS BIGINT) AS n_ellipsis
+      FROM l
+    )
+    SELECT doc_id, n_lines, n_bullet, n_ellipsis,
+           CAST(n_bullet * 10 > n_lines * 9 AS INT) AS flag_bullet,
+           CAST(n_ellipsis * 10 > n_lines * 3 AS INT) AS flag_ellipsis
+    FROM m
+    """,
+)
+def gopher_line_flags_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher bullet-/ellipsis-line gates over the constructed
+    line-shape corpus — construction, per-line predicates, and the
+    integer threshold comparisons all value-hashed in DuckDB."""
+    docs = constructed_gopher_pages(load(spark, sf_dir, "documents"))
+    return gopher_line_flags(docs)
