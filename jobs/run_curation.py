@@ -73,6 +73,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-filter", action="store_true",
                    help="drop LM-surprisal 'tail' bucket docs "
                         "(ml/quality_lm, corpus-trained)")
+    p.add_argument("--soft-dedup-cap", type=int, default=None,
+                   metavar="MFP",
+                   help="drop documents whose SoftDedup gram commonness "
+                        "exceeds MFP milli-units (e.g. 3000 = content "
+                        "repeated ~3x corpus-wide; ml/softdedup.py)")
     p.add_argument("--nb-filter", action="store_true",
                    help="drop docs the gate-distilled NB quality "
                         "classifier scores negative "
@@ -225,6 +230,22 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col, id_col=args.url_col,
         ).filter(F.col("predicted") == 0).select(args.url_col)
         docs = docs.join(neg_ids, args.url_col, "left_anti")
+
+    if args.soft_dedup_cap:
+        from readur_spark.ml.softdedup import soft_dedup_weights
+
+        # anti-join the ids whose gram commonness exceeds the cap —
+        # heavily-syndicated content leaves, the long tail of partial
+        # duplication stays (the soft alternative to exact dedup's
+        # keep-one; the exact-dedup winner election below still runs)
+        heavy_ids = (
+            soft_dedup_weights(
+                docs, id_col=args.url_col, text_col=args.text_col
+            )
+            .filter(F.col("commonness_mfp") > args.soft_dedup_cap)
+            .select(F.col("doc_id").alias(args.url_col))
+        )
+        docs = docs.join(heavy_ids, args.url_col, "left_anti")
 
     text = F.col(args.text_col)
 

@@ -441,3 +441,41 @@ def test_curation_mojibake_and_paragraph_dedup_compose(tmp_path, pages_parquet):
     summary = json.loads(line)
     assert summary["status"] == "written"
     assert sum(v["n_docs"] for v in summary["yields"].values()) > 0
+
+
+def test_curation_soft_dedup_cap(tmp_path, pages_parquet):
+    """--soft-dedup-cap drops gram-commonness-heavy documents; with a
+    permissive cap the pipeline still yields rows, and a prohibitive
+    cap (999 < the 1000 full-weight floor) drops every doc with grams
+    while gramless docs fall to the word gate — proving the stage is
+    actually wired in."""
+    store = str(tmp_path / "sdstore")
+    r1 = _run_job(["--input", pages_parquet, "--store", store,
+                   "--run-id", "sd1", "--cpus", "8"])
+    assert r1["status"] == "committed"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+
+    def run(cap, out_dir):
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+             "--input", store, "--output", out_dir,
+             "--min-words", "5", "--cpus", "8",
+             "--soft-dedup-cap", str(cap)],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        return json.loads(line)
+
+    loose = run(10_000_000, str(tmp_path / "sd_loose"))
+    assert loose["status"] == "written"
+    n_loose = sum(v["n_docs"] for v in loose["yields"].values())
+    assert n_loose > 0
+
+    tight = run(999, str(tmp_path / "sd_tight"))
+    n_tight = sum(v["n_docs"] for v in tight["yields"].values())
+    assert n_tight < n_loose
