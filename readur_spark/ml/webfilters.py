@@ -483,3 +483,115 @@ def host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("flag_repetitive").cast("long").alias("n_flag_repetitive"),
         F.sum("keep").cast("long").alias("n_keep"),
     )
+
+
+# ---- Gopher symbol-ratio / alpha-word gates -------------------------------
+
+# Rae et al. (Gopher): drop when (# + "...") symbols exceed 10 % of the
+# word count, or when fewer than 80 % of words contain an alphabetic
+# character. Integer comparisons: 10·n_sym > n_words and
+# 10·n_alpha_words < 8·n_words.
+
+
+def gopher_symbol_alpha_flags(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_words, n_sym, n_alpha_words, flag_symbol_ratio,
+    flag_alpha_words) — both gates as pure projections: symbol counts
+    via length-difference of non-overlapping replace (identical
+    left-to-right semantics on every engine), alpha-word counts via an
+    array filter. No explode, no shuffle."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+    n_words = F.size(words).cast("long")
+    n_hash = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_ell = (
+        (
+            F.length(text)
+            - F.length(F.replace(text, F.lit("..."), F.lit("")))
+        )
+        / 3
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    return (
+        df.select(
+            F.col(id_col),
+            n_words.alias("n_words"),
+            (n_hash + n_ell).alias("n_sym"),
+            n_alpha.alias("n_alpha_words"),
+        )
+        .withColumn(
+            "flag_symbol_ratio",
+            (F.col("n_sym") * 10 > F.col("n_words")).cast("int"),
+        )
+        .withColumn(
+            "flag_alpha_words",
+            (F.col("n_alpha_words") * 10 < F.col("n_words") * 8).cast(
+                "int"
+            ),
+        )
+    )
+
+
+# constructed symbol/number injection (the synthetic corpus is clean
+# alphabetic prose — modulo rules create known violations)
+_SYM_TAIL = " # # # # # # # # # # # # ..."
+_NUM_TAIL = " " + " ".join(str(100 + i) for i in range(25))
+
+_GSA_CONSTRUCT_SQL = f"""
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 6 = 0 THEN '{_SYM_TAIL}' ELSE '' END
+         || CASE WHEN doc_id % 9 = 0 THEN '{_NUM_TAIL}' ELSE '' END
+           AS text
+  FROM documents
+"""
+
+
+@register(
+    "gopher_symbol_alpha_flags",
+    oracle=f"""
+    WITH c AS ({_GSA_CONSTRUCT_SQL}),
+    m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS n_sym,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha_words
+      FROM c
+    )
+    SELECT doc_id, n_words, n_sym, n_alpha_words,
+           CAST(n_sym * 10 > n_words AS INT) AS flag_symbol_ratio,
+           CAST(n_alpha_words * 10 < n_words * 8 AS INT)
+             AS flag_alpha_words
+    FROM m
+    """,
+)
+def gopher_symbol_alpha_flags_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gopher symbol-ratio and alpha-word gates over a constructed
+    symbol/number-injected corpus — counts and both integer threshold
+    comparisons value-hashed in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(_SYM_TAIL)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(_NUM_TAIL)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return gopher_symbol_alpha_flags(injected)
