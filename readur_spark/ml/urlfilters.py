@@ -234,3 +234,95 @@ def domain_cap_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").withColumn("url", synthetic_url())
     out = domain_cap_sample(docs, 10)
     return out.select("doc_id", "domain", "domain_rank")
+
+
+# ---- IDN homograph detection (UTS #39 confusable skeleton, subset) -------
+
+# Cyrillic/Greek letters visually confusable with Latin (the classic
+# IDN-spoofing alphabet; UTS #39 confusablesSummary, re-implemented
+# from the published table's Latin-target subset). translate() maps
+# them to their Latin skeletons on every engine.
+CONFUSABLE_SRC = "аеорсѕхуіјԁɡονα"
+CONFUSABLE_DST = "aeopcsxyijdgova"
+
+
+def confusable_skeleton(col: Column) -> Column:
+    """Latin skeleton of a hostname under the confusable subset —
+    equal skeletons with unequal raw forms = a homograph pair."""
+    return F.translate(F.lower(col), CONFUSABLE_SRC, CONFUSABLE_DST)
+
+
+def homograph_pairs(hosts: DataFrame, host_col: str = "host") -> DataFrame:
+    """(skeleton, spoof_host, legit_host) — host pairs that collapse to
+    one skeleton where exactly one side is pure-ASCII (the spoof is the
+    non-ASCII member; an all-ASCII collision is just a different host).
+
+    Scale: hosts is already host-granular (corpus-distinct — millions,
+    not trillions); the self-join keys on the skeleton hash so each
+    task sees one skeleton bucket. A crawl frontier runs this against
+    its OWN host table to refuse spoofed enqueue targets."""
+    sk = (
+        hosts.select(F.col(host_col).alias("h"))
+        .distinct()
+        .withColumn("skeleton", confusable_skeleton(F.col("h")))
+        .withColumn("is_ascii", (F.col("h") == F.col("skeleton")).cast("int"))
+    )
+    spoof = sk.filter(F.col("is_ascii") == 0).select(
+        "skeleton", F.col("h").alias("spoof_host")
+    )
+    legit = sk.filter(F.col("is_ascii") == 1).select(
+        "skeleton", F.col("h").alias("legit_host")
+    )
+    return spoof.join(legit, "skeleton")
+
+
+# constructed spoofs: every doc_id % 11 == 0 contributes a host whose
+# 'a' and 'e' are Cyrillic (U+0430, U+0435) — same skeleton as the
+# legit source host
+_SPOOF_SQL = f"""
+  SELECT DISTINCT
+         CASE WHEN doc_id % 11 = 0
+              THEN replace(replace(source || '.example', 'a', 'а'),
+                           'e', 'е')
+              ELSE source || '.example' END AS host
+  FROM documents
+"""
+
+
+@register(
+    "idn_homograph_pairs",
+    oracle=f"""
+    WITH hosts AS ({_SPOOF_SQL}),
+    sk AS (
+      SELECT host AS h,
+             translate(lower(host), '{CONFUSABLE_SRC}', '{CONFUSABLE_DST}')
+               AS skeleton
+      FROM hosts
+    )
+    SELECT s.skeleton, s.h AS spoof_host, l.h AS legit_host
+    FROM (SELECT * FROM sk WHERE h <> skeleton) s
+    JOIN (SELECT * FROM sk WHERE h = skeleton) l USING (skeleton)
+    """,
+)
+def idn_homograph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusable-skeleton homograph pairs over a constructed host set
+    (Cyrillic а/е injected by modulo rule) — skeletons, ASCII split,
+    and the pair join all value-hashed in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.replace(
+                F.replace(
+                    F.concat(F.col("source"), F.lit(".example")),
+                    F.lit("a"),
+                    F.lit("а"),
+                ),
+                F.lit("e"),
+                F.lit("е"),
+            ),
+        )
+        .otherwise(F.concat(F.col("source"), F.lit(".example")))
+        .alias("host")
+    ).distinct()
+    return homograph_pairs(hosts)
