@@ -224,3 +224,41 @@ class TestSaltedTopK:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Window") >= 2  # phase 1 (salted) + phase 2
+
+
+class TestSession2Plans:
+    """Plan pins for the session-2 operators: every one is pure
+    Catalyst (zero Python evals — the md5/conv/translate/bin kernels
+    are all JVM expressions) and keeps its shuffle count at the
+    designed number."""
+
+    KEYS_MAX_SHUFFLES = {
+        "dedup_soft_weights": 6,
+        "dedup_soft_sample": 8,
+        "ngram_novelty_rate": 6,
+        "split_leakage_report": 8,
+        "search_rank_bm25": 8,
+        "collocations_pmi": 8,
+        "dataset_split_assign": 0,
+        "gopher_line_flags": 0,
+        "gopher_symbol_alpha_flags": 0,
+        "idn_homograph_pairs": 6,
+        "host_commonness_rollup": 8,
+        "quality_threshold_by_lang": 10,
+    }
+
+    def test_no_python_and_bounded_shuffles(self, spark):
+        from readur_spark.plans.audit import shuffle_count
+        from readur_spark.queries.registry import queries
+
+        qs = queries()
+        bad = []
+        for key, max_sh in self.KEYS_MAX_SHUFFLES.items():
+            df = qs[key](spark, "/root/testdata/sf0.001")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if "Python" in plan or "ArrowEval" in plan:
+                bad.append((key, "python-op in plan"))
+            n = shuffle_count(df)
+            if n > max_sh:
+                bad.append((key, f"{n} shuffles > {max_sh}"))
+        assert bad == [], bad
