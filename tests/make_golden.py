@@ -100,6 +100,33 @@ def hostile_html_pages() -> list[tuple[str, bytes]]:
         ("https://hostile.example/shape/no-html-root.html",
          b"<p>Tag soup with no root element at all.</p>"
          b"<div>Second fragment.</div>"),
+        # --- foreign / embedded content (r5 session 2) ---
+        ("https://hostile.example/foreign/svg-math.html",
+         b"<html><body><p>Prose before foreign content.</p>"
+         b"<svg><title>svg title text</title><rect/></svg>"
+         b"<math><mi>x</mi><mo>+</mo><mi>y</mi></math>"
+         b"<p>Prose after foreign content.</p></body></html>"),
+        ("https://hostile.example/foreign/template-noscript.html",
+         b"<html><body><template><p>template fragment, render-inert"
+         b"</p></template><noscript><p>noscript fallback branch</p>"
+         b"</noscript><p>Always-rendered sentence.</p></body></html>"),
+        ("https://hostile.example/foreign/iframe-object.html",
+         b"<html><body><iframe src=\"x.html\"><p>iframe fallback"
+         b" body</p></iframe><object data=\"y.pdf\"><p>object"
+         b" fallback body</p></object><p>Host page sentence.</p>"
+         b"</body></html>"),
+        # --- whitespace / invisible characters (r5 session 2) ---
+        ("https://hostile.example/ws/pre-block.html",
+         b"<html><body><pre>  indented   code\n\tkeeps   internal"
+         b"\n      spacing</pre><p>Prose after the pre block.</p>"
+         b"</body></html>"),
+        ("https://hostile.example/ws/zero-width.html",
+         "<html><body><p>Zero​width‌joiners‍ and a"
+         " ﻿BOM mid-text plus an  nbsp.</p></body>"
+         "</html>".encode("utf-8")),
+        ("https://hostile.example/ws/crlf-mixed.html",
+         b"<html><body><p>Carriage\r\nreturn lines\rmixed\nwith"
+         b" bare newlines.</p></body></html>"),
     ]
     return pages
 
