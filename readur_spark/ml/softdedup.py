@@ -379,3 +379,99 @@ def host_commonness_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---- incremental soft-dedup (delta probe vs stored gram-df table) --------
+
+
+def incremental_soft_weights(
+    stored_df: DataFrame,
+    delta_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_GRAM,
+) -> DataFrame:
+    """SoftDedup weights for a DELTA batch against a STORED (gh, df)
+    gram-frequency table — the continuous-crawl shape (the soft
+    sibling of ml/dedup.py's incremental_neardup_plan): probe cost
+    scales with the delta, not the corpus, and because document
+    frequency is additive over disjoint document sets
+    (df_full = df_stored + df_delta exactly), the incremental result
+    is BIT-IDENTICAL to re-running the batch computation on
+    stored ∪ delta. A crawl maintains the (gh, df) table as a
+    map-side-mergeable rollup and upserts the delta's counts after
+    each probe."""
+    pairs = gram_type_hashes(
+        delta_docs, id_col=id_col, text_col=text_col, k=k
+    ).persist()
+    delta_df = pairs.groupBy("gh").agg(F.count(F.lit(1)).alias("df_delta"))
+    merged = delta_df.join(
+        stored_df.select("gh", F.col("df").alias("df_stored")), "gh", "left"
+    ).select(
+        "gh",
+        (
+            F.coalesce(F.col("df_stored"), F.lit(0).cast("long"))
+            + F.col("df_delta")
+        ).alias("df"),
+    )
+    per_doc = (
+        pairs.join(merged, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gram_types"),
+            F.sum("df").alias("_sum_df"),
+        )
+        .withColumn(
+            "commonness_mfp", F.expr("(1000L * _sum_df) div n_gram_types")
+        )
+        .withColumn("weight_ufp", F.expr("1000000000L div commonness_mfp"))
+        .drop("_sum_df")
+    )
+    return (
+        delta_docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_gram_types"), F.lit(0).cast("long")).alias(
+                "n_gram_types"
+            ),
+            F.coalesce(
+                F.col("commonness_mfp"), F.lit(1000).cast("long")
+            ).alias("commonness_mfp"),
+            F.coalesce(
+                F.col("weight_ufp"), F.lit(1000000).cast("long")
+            ).alias("weight_ufp"),
+        )
+    )
+
+
+# deterministic 80/20 corpus/delta split by id hash (no percentile agg
+# — the incremental_neardup lesson from VERDICT r4)
+_DELTA_PRED_SQL = "doc_id % 5 = 4"
+
+
+@register(
+    "incremental_soft_weights",
+    oracle=f"""
+    WITH {_WEIGHTS_SQL}
+    SELECT doc_id, n_gram_types, commonness_mfp, weight_ufp
+    FROM wts WHERE {_DELTA_PRED_SQL}
+    """,
+)
+def incremental_soft_weights_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-batch soft weights via the stored-df probe, checked
+    against the ORACLE'S BATCH SEMANTICS: DuckDB computes the
+    full-corpus weights and restricts to the delta — the additivity of
+    document frequency makes the incremental plan provably equal, and
+    the value hash enforces it. Corpus/delta split is a deterministic
+    id cut (doc_id % 5 == 4), never a percentile aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    stored_docs = docs.filter(~F.expr(_DELTA_PRED_SQL))
+    delta_docs = docs.filter(F.expr(_DELTA_PRED_SQL))
+    stored_df = gram_type_hashes(stored_docs).groupBy("gh").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return incremental_soft_weights(stored_df, delta_docs)
