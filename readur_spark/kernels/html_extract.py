@@ -105,6 +105,8 @@ class _ContentParser(HTMLParser):
 
     @staticmethod
     def _hint_of(attrs) -> int:
+        if not attrs:  # the common case — _fast_attrs bails to []
+            return 0
         joined = " ".join(v for k, v in attrs if k in ("class", "id") and v)
         if not joined:
             return 0
@@ -115,8 +117,11 @@ class _ContentParser(HTMLParser):
         return 0
 
     # -- HTMLParser hooks
+    # NOTE: no tag.lower() here — both feeders already deliver
+    # lowercase tag names (html.parser lowercases by spec;
+    # _fast_feed lowercases before dispatch). Pinned by the
+    # uppercase-tags hostile golden.
     def handle_starttag(self, tag, attrs):
-        tag = tag.lower()
         if tag == "title":
             self._in_title = True
             return
@@ -142,7 +147,6 @@ class _ContentParser(HTMLParser):
             self._stack.append(tag)
 
     def handle_endtag(self, tag):
-        tag = tag.lower()
         if tag == "title":
             self._in_title = False
             return
