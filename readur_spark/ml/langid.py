@@ -1,0 +1,212 @@
+"""Character-trigram language identification, integer-exact.
+
+The production web-pipeline langid stage (CCNet / cld3 / fasttext's
+langid model) is a linear classifier over character n-gram features.
+This re-expresses it as the repo's integer-exact multinomial NB
+(ml/quality_classifier.py's device, multi-class): per-language
+trigram surprisal bits via `floor(log2(T_lang div (c+1)))`, document
+score = summed bits, prediction = argmin surprisal with a
+deterministic language tie-break. No libm anywhere, so the DuckDB
+oracle replays training, scoring, and the argmin bit-for-bit.
+
+The synthetic corpus draws every language from ONE shared vocabulary
+(no lexical signal — the qc_nb_classifier fixture note), so the
+registered query prepends per-language marker phrases by a CASE rule
+both engines replay: the classifier then separates the constructed
+corpus perfectly, and the value hash pins the whole round trip.
+
+Scale design (10^12 docs):
+  - the probe is CAPPED at the first 256 chars per document — langid
+    needs a prefix, not the payload; the explode is 254 rows/doc of
+    (doc_id, 3-char string) regardless of document size;
+  - training counts are ONE map-side-combinable (tri, lang) aggregate;
+    per-language totals are a |langs|-row agg over that same grouped
+    frame (the quality_lm single-pass convention);
+  - scoring joins the trigram stream against the model keyed by
+    (tri, lang) — the model is trigram-vocab-sized (Zipf-compact,
+    ≤ |alphabet|^3), so AQE elects broadcast; the argmin is a window
+    over |langs| rows per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from readur_spark.ml.quality_lm import int_log2
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load
+
+PREFIX_CAP = 256
+
+# per-language marker phrases (common function words), prepended so
+# they land inside the prefix cap
+LANG_MARKERS = {
+    "en": "the and of to in ",
+    "de": "der die und das ist ",
+    "es": "el la los de y ",
+    "fr": "le la les et des ",
+    "zh": "de shi zai le bu ",
+}
+
+
+def char_trigrams(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = PREFIX_CAP,
+) -> DataFrame:
+    """(doc_id, tri) occurrence stream over the lowercased first `cap`
+    characters — every occurrence, not types (NB weighs evidence by
+    count)."""
+    s = F.lower(F.substring(F.col(text_col), 1, cap))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.length(s) >= 3,
+                F.sequence(F.lit(1), F.length(s) - 2),
+            ).otherwise(F.expr("array()").cast("array<int>"))
+        ).alias("i"),
+        s.alias("_s"),
+    ).select("doc_id", F.expr("substring(_s, i, 3)").alias("tri"))
+
+
+def langid_nb(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Train on the corpus's own (text, lang) pairs and classify every
+    document: (doc_id, lang, pred_lang, correct). In-corpus accuracy —
+    the deployment shape trains on a labelled seed set and broadcasts
+    the model; the arithmetic is identical."""
+    tris = char_trigrams(docs, id_col=id_col, text_col=text_col).persist()
+    labeled = tris.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col)),
+        "doc_id",
+    )
+    counts = labeled.groupBy("tri", lang_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.groupBy(lang_col).agg(
+        F.sum("cnt").cast("long").alias("t")
+    )
+    model = counts.join(tot, lang_col).select(
+        "tri",
+        lang_col,
+        int_log2(F.expr("t div (cnt + 1L)")).alias("bits"),
+    )
+    langs = tot.select(
+        lang_col, (int_log2(F.col("t") + 1)).alias("prior_bits")
+    )
+    scored = (
+        tris.crossJoin(F.broadcast(langs))
+        .join(model, ["tri", lang_col], "left")
+        .select(
+            "doc_id",
+            lang_col,
+            F.coalesce(F.col("bits"), F.col("prior_bits")).alias("b"),
+        )
+        .groupBy("doc_id", lang_col)
+        .agg(F.sum("b").cast("long").alias("sbits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("sbits", lang_col)
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col(lang_col).alias("pred_lang"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col))
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            lang_col,
+            "pred_lang",
+            (F.col(lang_col) == F.col("pred_lang")).cast("int").alias(
+                "correct"
+            ),
+        )
+    )
+
+
+_MARKER_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN '{m}'" for lang, m in sorted(LANG_MARKERS.items())
+) + " ELSE '' END"
+
+_CONSTRUCT_SQL = f"""
+  SELECT doc_id, lang, {_MARKER_CASE_SQL} || text AS text
+  FROM documents
+"""
+
+
+def constructed_langid_pages(docs: DataFrame) -> DataFrame:
+    """Prepend the per-language marker phrase (inside the prefix cap)
+    — SQL-replayable construction giving the shared-vocabulary corpus
+    a real lexical language signal."""
+    marker = F.lit("")
+    expr = None
+    for lang, m in sorted(LANG_MARKERS.items()):
+        cond = F.when(F.col("lang") == lang, F.lit(m))
+        expr = cond if expr is None else expr.when(
+            F.col("lang") == lang, F.lit(m)
+        )
+    expr = expr.otherwise(marker)
+    return docs.select(
+        "doc_id", "lang", F.concat(expr, F.col("text")).alias("text")
+    )
+
+
+@register(
+    "langid_chartrigram_nb",
+    oracle=f"""
+    WITH c AS ({_CONSTRUCT_SQL}),
+    s AS (
+      SELECT doc_id, lang, lower(substr(text, 1, {PREFIX_CAP})) AS s
+      FROM c
+    ),
+    tris AS (
+      SELECT doc_id, lang, substr(s, i.i, 3) AS tri
+      FROM s, UNNEST(range(1, greatest(len(s) - 2, 0) + 1)) AS i(i)
+    ),
+    counts AS (
+      SELECT tri, lang, count(*) AS cnt FROM tris GROUP BY tri, lang
+    ),
+    tot AS (
+      SELECT lang, CAST(sum(cnt) AS BIGINT) AS t FROM counts GROUP BY lang
+    ),
+    model AS (
+      SELECT tri, counts.lang,
+             length(bin(t // (cnt + 1))) - 1 AS bits
+      FROM counts JOIN tot USING (lang)
+    ),
+    scored AS (
+      SELECT dt.doc_id, l.lang,
+             CAST(sum(coalesce(m.bits, length(bin(l.t + 1)) - 1))
+                  AS BIGINT) AS sbits
+      FROM (SELECT doc_id, tri FROM tris) dt
+      CROSS JOIN tot l
+      LEFT JOIN model m ON m.tri = dt.tri AND m.lang = l.lang
+      GROUP BY dt.doc_id, l.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY sbits, lang) AS rn
+      FROM scored
+    )
+    SELECT d.doc_id, d.lang, p.pred_lang,
+           CAST(d.lang = p.pred_lang AS INT) AS correct
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id AND p.rn = 1
+    """,
+)
+def langid_chartrigram_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram NB language ID over the marker-constructed corpus
+    — training counts, per-language totals, integer surprisal bits,
+    and the argmin prediction all value-hashed in DuckDB."""
+    docs = constructed_langid_pages(load(spark, sf_dir, "documents"))
+    return langid_nb(docs)

@@ -198,6 +198,7 @@ def _load_all() -> None:
     from readur_spark.ml import semdedup as ml_semdedup  # noqa: F401
     from readur_spark.ml import softdedup as ml_softdedup  # noqa: F401
     from readur_spark.ml import collocations as ml_collocations  # noqa: F401
+    from readur_spark.ml import langid as ml_langid  # noqa: F401
     from readur_spark.ml import urlfilters as ml_urlfilters  # noqa: F401
     from readur_spark.ml import packing as ml_packing  # noqa: F401
     from readur_spark.ml import webfilters as ml_webfilters  # noqa: F401

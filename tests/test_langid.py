@@ -1,0 +1,86 @@
+"""ml/langid.py — char-trigram NB language ID (integer-exact)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from readur_spark.ml.langid import (
+    LANG_MARKERS,
+    PREFIX_CAP,
+    char_trigrams,
+    constructed_langid_pages,
+    langid_nb,
+)
+
+
+class TestTrigramStream:
+    def test_occurrences_not_types(self, spark):
+        """'ababa' → aba, bab, aba: repeats kept (NB weighs by count)."""
+        docs = spark.createDataFrame([(1, "ababa")], "doc_id long, text string")
+        got = sorted(r["tri"] for r in char_trigrams(docs).collect())
+        assert got == ["aba", "aba", "bab"]
+
+    def test_short_text_yields_nothing(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "ab"), (2, ""), (3, None)], "doc_id long, text string"
+        )
+        assert char_trigrams(docs).count() == 0
+
+    def test_prefix_cap_bounds_the_explode(self, spark):
+        """A 1 MB document contributes exactly cap-2 trigrams — the
+        langid probe cost is independent of payload size."""
+        docs = spark.createDataFrame(
+            [(1, "x" * 1_000_000)], "doc_id long, text string"
+        )
+        assert char_trigrams(docs).count() == PREFIX_CAP - 2
+
+    def test_lowercased(self, spark):
+        docs = spark.createDataFrame([(1, "ABC")], "doc_id long, text string")
+        assert char_trigrams(docs).first()["tri"] == "abc"
+
+
+class TestClassifier:
+    def test_separates_marker_constructed_corpus(self, spark):
+        """Per-language marker phrases over a shared base vocabulary:
+        the trigram NB recovers every label (the registered query's
+        construction, in miniature)."""
+        base = "lorem ipsum dolor sit amet consectetur"
+        rows = []
+        i = 0
+        for lang, marker in LANG_MARKERS.items():
+            for _ in range(4):
+                rows.append((i, lang, marker + base))
+                i += 1
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = langid_nb(docs)
+        assert out.count() == i
+        assert out.agg(F.sum("correct")).first()[0] == i
+
+    def test_deterministic_tie_break(self, spark):
+        """Two languages with identical trigram streams: every doc
+        predicts the lexicographically first language."""
+        docs = spark.createDataFrame(
+            [(1, "aa", "same text here"), (2, "zz", "same text here")],
+            "doc_id long, lang string, text string",
+        )
+        preds = {r["doc_id"]: r["pred_lang"] for r in langid_nb(docs).collect()}
+        assert preds == {1: "aa", 2: "aa"}
+
+    def test_constructed_pages_prepend_markers(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "en", "body"), (2, "de", "body"), (3, "xx", "body")],
+            "doc_id long, lang string, text string",
+        )
+        got = {r["doc_id"]: r["text"] for r in constructed_langid_pages(docs).collect()}
+        assert got[1] == LANG_MARKERS["en"] + "body"
+        assert got[2] == LANG_MARKERS["de"] + "body"
+        assert got[3] == "body"
+
+    def test_no_python_in_plan(self, spark):
+        """Training + scoring + argmin stay JVM-side end to end."""
+        docs = spark.createDataFrame(
+            [(1, "en", "the and of to in x"), (2, "de", "der die und das y")],
+            "doc_id long, lang string, text string",
+        )
+        plan = langid_nb(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, plan
