@@ -147,3 +147,88 @@ def dedup_near_components(spark, sf_dir: str) -> DataFrame:
     return component_summary(labels).select(
         F.col("comp").alias("cluster_id"), F.col("cluster_size")
     )
+
+
+def keep_best_per_component(
+    labels: DataFrame,
+    quality: DataFrame,
+    *,
+    id_col: str = "id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Representative selection: within each component keep the
+    highest-`quality_col` document (tie → min id). Production web
+    dedup keeps the LONGEST member of a duplicate cluster, not an
+    arbitrary one — the syndicated copies and truncated mirrors lose
+    to the canonical full page (RefinedWeb §3.3's convention).
+
+    One window over the slim (id, comp, quality) frame; payloads never
+    enter the shuffle."""
+    from pyspark.sql import Window
+
+    sized = labels.join(quality, labels[id_col] == quality[id_col]).select(
+        labels[id_col].alias("id"), "comp", quality_col
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col(quality_col).desc(), F.col("id")
+    )
+    return sized.withColumn("rn", F.row_number().over(w)).select(
+        F.col("id"),
+        F.col("comp"),
+        F.col(quality_col),
+        (F.col("rn") == 1).cast("int").alias("keep"),
+    )
+
+
+@register(
+    "neardup_keep_longest",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_SQL},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+      WHERE r.comp < e.b
+    ),
+    comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+    ranked AS (
+      SELECT c.id, c.comp, CAST(length(d.text) AS BIGINT) AS n_chars,
+             row_number() OVER (PARTITION BY c.comp
+                                ORDER BY length(d.text) DESC, c.id) AS rn
+      FROM comps c JOIN documents d ON d.doc_id = c.id
+    )
+    SELECT id AS doc_id, comp AS cluster_id, n_chars,
+           CAST(rn = 1 AS INT) AS keep
+    FROM ranked
+    """,
+)
+def neardup_keep_longest(spark, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representatives: same pair list and
+    components as `dedup_near_components`, but every member row comes
+    out with its keep/drop verdict — the longest document (tie → min
+    doc_id) survives each cluster. Component labels, lengths, and the
+    verdicts are all value-hashed in DuckDB."""
+    from readur_spark.ml.dedup import jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "source"],
+        threshold=0.8, df_cap=450, n_shingle=1,
+    )
+    labels = connected_components(pairs)
+    quality = docs.select(
+        F.col("doc_id").alias("id"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    kept = keep_best_per_component(labels, quality)
+    return kept.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "n_chars",
+        "keep",
+    )

@@ -169,6 +169,124 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |A∩B| / |A|: the
+    quote/subset-duplicate detector Jaccard misses. A short page fully
+    embedded in a long one (syndicated excerpt, quoted post, boilerplate
+    wrapper) has high containment from the short side but low Jaccard —
+    Broder's original resemblance/containment split (SEQUENCES '97).
+
+    Emits (id_a, id_b, contain_a_r, contain_b_r) for ordered pairs
+    where EITHER direction clears the threshold; the consumer keeps
+    the superset doc and drops the contained one. Identical posting
+    shape (and df-cap fanout guard) as `jaccard_pairs` — the shuffle
+    keys are (block, token), never payloads."""
+    t = F.split(F.col(text_col), " ")
+    if n_shingle > 1:
+        n_out = F.size(t) - (n_shingle - 1)
+        shingles = F.when(
+            n_out >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_out),
+                lambda i: F.array_join(F.slice(t, i, n_shingle), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        shingles = t
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.explode(F.array_distinct(shingles)).alias("token"),
+    )
+    if df_cap is not None:
+        freq = toks.groupBy("token").count().filter(F.col("count") <= df_cap)
+        toks = toks.join(F.broadcast(freq.select("token")), "token", "left_semi")
+
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+
+    a = toks.alias("a")
+    b = toks.alias("b")
+    join_cond = [F.col("a.token") == F.col("b.token")] + [
+        F.col("a." + c) == F.col("b." + c) for c in block_cols
+    ]
+    pairs = (
+        a.join(b, join_cond)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("contain_a", F.col("inter") / F.col("sz_a"))
+        .withColumn("contain_b", F.col("inter") / F.col("sz_b"))
+        .filter(
+            F.greatest(F.col("contain_a"), F.col("contain_b")) >= threshold
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("contain_a", 3).alias("contain_a_r"),
+        F.round("contain_b", 3).alias("contain_b_r"),
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH t0 AS (
+      SELECT doc_id AS id, lang, source, string_split(text, ' ') AS t FROM documents
+    ), toks0 AS (
+      SELECT id, lang, source,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+             ))) AS token
+      FROM t0
+    ), capped AS (
+      SELECT token FROM (SELECT token, count(*) AS c FROM toks0 GROUP BY token)
+      WHERE c <= 1000
+    ), toks AS (
+      SELECT toks0.* FROM toks0 SEMI JOIN capped USING (token)
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM toks GROUP BY id
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM toks a JOIN toks b
+        ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+      WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT p.id_a, p.id_b,
+           round(CAST(p.inter AS DOUBLE) / sa.sz, 3) AS contain_a_r,
+           round(CAST(p.inter AS DOUBLE) / sb.sz, 3) AS contain_b_r
+    FROM pairs p
+    JOIN sizes sa ON sa.id = p.id_a
+    JOIN sizes sb ON sb.id = p.id_b
+    WHERE greatest(CAST(p.inter AS DOUBLE) / sa.sz,
+                   CAST(p.inter AS DOUBLE) / sb.sz) >= 0.5
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate pairs at containment ≥ 0.5 (3-word shingles,
+    df-capped postings): both directional containments value-hashed,
+    so the asymmetry itself — not just pair membership — is checked."""
+    docs = load(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", ["lang", "source"],
+        threshold=0.5, df_cap=1000, n_shingle=3,
+    )
+
+
 # ---- MinHash + LSH ----------------------------------------------------------
 
 

@@ -134,6 +134,64 @@ def langid_nb(
     )
 
 
+def langid_margin(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, pred_lang, margin_bits): the CCNet-style confidence
+    signal — how many surprisal bits separate the best language from
+    the runner-up. A production langid gate keeps a document only when
+    the margin clears a threshold (ambiguous pages are worth less than
+    the misrouting risk); margin 0 = a tie the tie-break resolved.
+
+    Same slim frames as `langid_nb`: the margin is one conditional agg
+    over the top-2 window rows per document — no extra corpus pass."""
+    tris = char_trigrams(docs, id_col=id_col, text_col=text_col).persist()
+    labeled = tris.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col)),
+        "doc_id",
+    )
+    counts = labeled.groupBy("tri", lang_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.groupBy(lang_col).agg(
+        F.sum("cnt").cast("long").alias("t")
+    )
+    model = counts.join(tot, lang_col).select(
+        "tri",
+        lang_col,
+        int_log2(F.expr("t div (cnt + 1L)")).alias("bits"),
+    )
+    langs = tot.select(
+        lang_col, (int_log2(F.col("t") + 1)).alias("prior_bits")
+    )
+    scored = (
+        tris.crossJoin(F.broadcast(langs))
+        .join(model, ["tri", lang_col], "left")
+        .select(
+            "doc_id",
+            lang_col,
+            F.coalesce(F.col("bits"), F.col("prior_bits")).alias("b"),
+        )
+        .groupBy("doc_id", lang_col)
+        .agg(F.sum("b").cast("long").alias("sbits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("sbits", lang_col)
+    top2 = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    return top2.groupBy("doc_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col(lang_col))).alias("pred_lang"),
+        (
+            F.min(F.when(F.col("rn") == 2, F.col("sbits")))
+            - F.min(F.when(F.col("rn") == 1, F.col("sbits")))
+        ).cast("long").alias("margin_bits"),
+    )
+
+
 _MARKER_CASE_SQL = "CASE lang " + " ".join(
     f"WHEN '{lang}' THEN '{m}'" for lang, m in sorted(LANG_MARKERS.items())
 ) + " ELSE '' END"
@@ -210,3 +268,73 @@ def langid_chartrigram_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the argmin prediction all value-hashed in DuckDB."""
     docs = constructed_langid_pages(load(spark, sf_dir, "documents"))
     return langid_nb(docs)
+
+
+# demo threshold elected to split the sf0.01 constructed corpus
+# (margins there span 43-98 bits; production calibrates per corpus,
+# e.g. via quality_threshold_by_lang's histogram-CDF election)
+MIN_MARGIN_BITS = 64
+
+
+@register(
+    "langid_margin_gate",
+    oracle=f"""
+    WITH c AS ({_CONSTRUCT_SQL}),
+    s AS (
+      SELECT doc_id, lang, lower(substr(text, 1, {PREFIX_CAP})) AS s
+      FROM c
+    ),
+    tris AS (
+      SELECT doc_id, lang, substr(s, i.i, 3) AS tri
+      FROM s, UNNEST(range(1, greatest(len(s) - 2, 0) + 1)) AS i(i)
+    ),
+    counts AS (
+      SELECT tri, lang, count(*) AS cnt FROM tris GROUP BY tri, lang
+    ),
+    tot AS (
+      SELECT lang, CAST(sum(cnt) AS BIGINT) AS t FROM counts GROUP BY lang
+    ),
+    model AS (
+      SELECT tri, counts.lang,
+             length(bin(t // (cnt + 1))) - 1 AS bits
+      FROM counts JOIN tot USING (lang)
+    ),
+    scored AS (
+      SELECT dt.doc_id, l.lang,
+             CAST(sum(coalesce(m.bits, length(bin(l.t + 1)) - 1))
+                  AS BIGINT) AS sbits
+      FROM (SELECT doc_id, tri FROM tris) dt
+      CROSS JOIN tot l
+      LEFT JOIN model m ON m.tri = dt.tri AND m.lang = l.lang
+      GROUP BY dt.doc_id, l.lang
+    ),
+    ranked AS (
+      SELECT doc_id, lang, sbits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY sbits, lang) AS rn
+      FROM scored
+    )
+    SELECT doc_id,
+           min(CASE WHEN rn = 1 THEN lang END) AS pred_lang,
+           CAST(min(CASE WHEN rn = 2 THEN sbits END)
+              - min(CASE WHEN rn = 1 THEN sbits END) AS BIGINT)
+             AS margin_bits,
+           CAST(min(CASE WHEN rn = 2 THEN sbits END)
+              - min(CASE WHEN rn = 1 THEN sbits END)
+              >= {MIN_MARGIN_BITS} AS INT) AS kept
+    FROM ranked WHERE rn <= 2 GROUP BY doc_id
+    """,
+)
+def langid_margin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-confidence gate: keep a document only when
+    the best language beats the runner-up by ≥ MIN_MARGIN_BITS of
+    summed trigram surprisal. Prediction, margin, and the gate verdict
+    are all value-hashed in DuckDB."""
+    docs = constructed_langid_pages(load(spark, sf_dir, "documents"))
+    m = langid_margin(docs)
+    return m.select(
+        "doc_id",
+        "pred_lang",
+        "margin_bits",
+        (F.col("margin_bits") >= MIN_MARGIN_BITS).cast("int").alias("kept"),
+    )

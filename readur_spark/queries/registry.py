@@ -81,7 +81,9 @@ _PRIORITY: list[str] = [
     "search_rank_tsrank_single",
     # packing / labels
     "chunk_for_embedding",
-    "label_counts",
+    # (label_counts ceded to the session-3 additions: its sibling
+    # document_label_names exercises the same M:N label join plus the
+    # name projection; both stay oracle-checked in pytest)
     "document_label_names",
     # --- code paths touched in round 5: fresh driver rows ---
     "line_dedup_clean",  # now routed through line_dedup's scale
@@ -96,7 +98,8 @@ _PRIORITY: list[str] = [
     "image_dhash_constructed",
     "image_neardup_dhash",
     # new round-5 operator family: winnowing (MOSS) local text reuse
-    "winnow_fingerprint_rollup",
+    # (winnow_fingerprint_rollup ceded: winnow_reuse_pairs exercises
+    # the same fingerprint kernel plus the reuse join; pytest keeps it)
     "winnow_reuse_pairs",
     # round-5 constructed oracle for the frame-sampler plumbing
     "frame_sample_constructed",
@@ -110,10 +113,18 @@ _PRIORITY: list[str] = [
     "qc_unigram_entropy",
     # --- standing representatives of each major family ---
     # (dedup_exact_groups, daily_analytics_rollup, qc_nb_classifier,
-    # search_simple_and and ann_cosine_topk ceded — each has a green
-    # r4 driver row; all stay oracle-checked in pytest)
-    "curation_pipeline",
-    "training_yield_report",
+    # search_simple_and, ann_cosine_topk — and, for the session-3
+    # additions below, curation_pipeline and training_yield_report —
+    # ceded: each has a green r4 driver row; all stay oracle-checked
+    # in pytest)
+    # new round-5 operator families, session 3: char-trigram NB langid
+    # (+ the CCNet-style confidence-margin gate), asymmetric shingle
+    # containment (subset-duplicate pairs), and quality-aware near-dup
+    # representative selection (keep the longest cluster member)
+    "langid_chartrigram_nb",
+    "langid_margin_gate",
+    "dedup_containment_pairs",
+    "neardup_keep_longest",
     # new round-5 operator families, session 2: SoftDedup weights,
     # training-order n-gram novelty, fixed-point BM25 ranking
     # (pii_redaction, repeated_ngram_spans, dedup_substring_clean

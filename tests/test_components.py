@@ -38,3 +38,32 @@ def test_component_summary_sizes(spark):
     labels = connected_components(df)
     sizes = {r.comp: r.cluster_size for r in component_summary(labels).collect()}
     assert sizes == {1: 3, 10: 2}
+
+
+class TestKeepBestPerComponent:
+    def test_longest_wins_tie_breaks_by_id(self, spark):
+        from readur_spark.ml.components import keep_best_per_component
+
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id long, comp long"
+        )
+        quality = spark.createDataFrame(
+            [(1, 10), (2, 40), (3, 40), (7, 5), (8, 5)],
+            "id long, n_chars long",
+        )
+        rows = {
+            r["id"]: r["keep"]
+            for r in keep_best_per_component(labels, quality).collect()
+        }
+        # comp 1: 2 and 3 tie at 40 -> min id 2 wins; comp 7: tie -> 7
+        assert rows == {1: 0, 2: 1, 3: 0, 7: 1, 8: 0}
+
+    def test_exactly_one_keeper_per_cluster(self, spark):
+        from readur_spark.ml.components import neardup_keep_longest
+
+        out = neardup_keep_longest(spark, "/root/testdata/sf0.01")
+        import pyspark.sql.functions as F
+
+        per = out.groupBy("cluster_id").agg(F.sum("keep").alias("k"))
+        assert per.filter(F.col("k") != 1).count() == 0
+        assert out.count() > 0

@@ -76,6 +76,28 @@ class TestClassifier:
         assert got[2] == LANG_MARKERS["de"] + "body"
         assert got[3] == "body"
 
+    def test_margin_gate_orders_confidence(self, spark):
+        """A doc whose text is pure marker scores a larger margin than
+        one whose marker is diluted by shared filler; prediction stays
+        correct for both."""
+        from readur_spark.ml.langid import langid_margin
+
+        shared = " lorem ipsum dolor sit amet" * 6
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "the and of to in " * 8),
+                (2, "en", "the and of to in" + shared),
+                (3, "de", "der die und das ist " * 8),
+                (4, "de", "der die und das ist" + shared),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        rows = {r["doc_id"]: r for r in langid_margin(docs).collect()}
+        assert rows[1]["pred_lang"] == "en" and rows[3]["pred_lang"] == "de"
+        assert rows[1]["margin_bits"] > rows[2]["margin_bits"]
+        assert rows[3]["margin_bits"] > rows[4]["margin_bits"]
+        assert all(r["margin_bits"] >= 0 for r in rows.values())
+
     def test_no_python_in_plan(self, spark):
         """Training + scoring + argmin stay JVM-side end to end."""
         docs = spark.createDataFrame(

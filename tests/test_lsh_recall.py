@@ -248,3 +248,46 @@ def test_minhash_jvm_recall_and_no_python_stage(spark, corpus_df):
     assert recall >= 0.9, (recall, len(truth), len(cand))
     n = corpus_df.count()
     assert len(cand) < 0.05 * n * (n - 1) / 2, len(cand)
+
+
+class TestContainmentPairs:
+    def test_subset_detected_where_jaccard_misses(self, spark):
+        """Doc 2 = a strict prefix of doc 1 (quote/excerpt shape):
+        containment from the short side is 1.0 while Jaccard stays
+        under a dedup threshold."""
+        from readur_spark.ml.dedup import containment_pairs, jaccard_pairs
+
+        long_text = " ".join("w%d" % i for i in range(40))
+        short_text = " ".join("w%d" % i for i in range(10))
+        docs = spark.createDataFrame(
+            [(1, long_text, "en"), (2, short_text, "en")],
+            "doc_id long, text string, lang string",
+        )
+        got = containment_pairs(
+            docs, "doc_id", "text", ["lang"], threshold=0.9, n_shingle=3
+        ).collect()
+        assert len(got) == 1
+        r = got[0]
+        # 8 shingles in the short doc, all present in the long one
+        assert (r["id_a"], r["id_b"]) == (1, 2)
+        assert r["contain_b_r"] == 1.0
+        assert r["contain_a_r"] < 0.25
+        jac = jaccard_pairs(
+            docs, "doc_id", "text", ["lang"], threshold=0.8, n_shingle=3
+        ).collect()
+        assert jac == []
+
+    def test_df_cap_guards_fanout(self, spark):
+        """A shingle shared by every doc is dropped by the cap, so no
+        pair survives on its evidence alone."""
+        from readur_spark.ml.dedup import containment_pairs
+
+        docs = spark.createDataFrame(
+            [(i, "common a b unique%d x y" % i, "en") for i in range(6)],
+            "doc_id long, text string, lang string",
+        )
+        got = containment_pairs(
+            docs, "doc_id", "text", ["lang"],
+            threshold=0.3, df_cap=3, n_shingle=3,
+        ).collect()
+        assert got == []
