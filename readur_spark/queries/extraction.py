@@ -182,3 +182,95 @@ def wet_emission_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("wet").alias("n_bytes"),
         F.sha2(F.col("wet"), 256).alias("member_sha256"),
     )
+
+
+# ---- structure-preserving table extraction ---------------------------------
+
+
+TABLE_MD_SCHEMA = (
+    "url string, table_idx int, markdown string, n_rows int, n_cols int"
+)
+
+
+def table_markdown_table(pages: DataFrame) -> DataFrame:
+    """(url, table_idx, markdown, n_rows, n_cols) — every <table> in
+    every page as a GitHub pipe table (kernels/tables.py semantics).
+    One narrow mapInPandas stage: the payload crosses the Python
+    boundary once; the emitted frame is slim markdown."""
+
+    def run(batches):
+        import pandas as pd
+
+        from readur_spark.kernels.tables import extract_tables_markdown
+
+        cols = ["url", "table_idx", "markdown", "n_rows", "n_cols"]
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                blob = bytes(html) if html is not None else b""
+                for idx, md, nr, nc in extract_tables_markdown(
+                    blob.decode("utf-8", "replace")
+                ):
+                    rows.append(
+                        {"url": url, "table_idx": idx, "markdown": md,
+                         "n_rows": nr, "n_cols": nc}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(run, schema=TABLE_MD_SCHEMA)
+
+
+def _tabled_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose tables both engines can derive: a decoy EMPTY table
+    (must be dropped but must still consume index 0), then a real
+    key/value table carrying the doc's lang, source, and word count —
+    with markup noise (a <b> inside a cell) and irregular whitespace
+    the kernel must normalize."""
+    from readur_spark.queries.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><table class="nav"></table>'
+              "<table><tr><th>key</th><th>value</th></tr>"
+              "<tr><td>lang</td><td><b>"),
+        F.col("lang"),
+        F.lit("</b></td></tr>\n<tr><td>source</td><td>  "),
+        F.col("source"),
+        F.lit("\n</td></tr><tr><td>words</td><td>"),
+        F.size(F.split(F.col("text"), " ")).cast("string"),
+        F.lit("</td></tr></table></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/doc"),
+        F.col("doc_id").cast("string"), F.lit(".html"),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.encode(html, "utf-8").cast("binary").alias("html"),
+    )
+
+
+@register(
+    "extract_tables_markdown",
+    oracle="""
+    SELECT 'https://' || source || '.example/doc' || doc_id || '.html'
+             AS url,
+           CAST(1 AS INT) AS table_idx,
+           '| key | value |' || chr(10) || '| --- | --- |' || chr(10)
+             || '| lang | ' || lang || ' |' || chr(10)
+             || '| source | ' || source || ' |' || chr(10)
+             || '| words | '
+             || CAST(len(string_split(text, ' ')) AS VARCHAR) || ' |'
+             AS markdown,
+           CAST(4 AS INT) AS n_rows,
+           CAST(2 AS INT) AS n_cols
+    FROM documents
+    """,
+)
+def extract_tables_markdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table→markdown kernel value-hash-checked end-to-end: the
+    REAL parser walks constructed HTML (decoy empty table, nested
+    markup in cells, irregular whitespace) and the oracle re-derives
+    the exact markdown string — header row, separator, escaping,
+    row/col counts — from the construction rule."""
+    return table_markdown_table(_tabled_pages(spark, sf_dir))

@@ -95,8 +95,10 @@ _PRIORITY: list[str] = [
     # untouched in r5 — the oracle's early-break CASE guard is
     # exercised by pytest's identical DuckDB tier)
     # new round-5 operator family: perceptual image dedup (dHash)
+    # (image_neardup_dhash ceded to session 3's table extraction: its
+    # constructed sibling value-hashes the dHash kernel itself and the
+    # pair self-join stays oracle-checked in pytest)
     "image_dhash_constructed",
-    "image_neardup_dhash",
     # new round-5 operator family: winnowing (MOSS) local text reuse
     # (winnow_fingerprint_rollup ceded: winnow_reuse_pairs exercises
     # the same fingerprint kernel plus the reuse join; pytest keeps it)
@@ -125,6 +127,8 @@ _PRIORITY: list[str] = [
     "langid_margin_gate",
     "dedup_containment_pairs",
     "neardup_keep_longest",
+    # session 3: structure-preserving HTML table → markdown extraction
+    "extract_tables_markdown",
     # new round-5 operator families, session 2: SoftDedup weights,
     # training-order n-gram novelty, fixed-point BM25 ranking
     # (pii_redaction, repeated_ngram_spans, dedup_substring_clean

@@ -1,0 +1,63 @@
+"""kernels/tables.py — HTML table → GitHub-markdown extraction."""
+
+from __future__ import annotations
+
+from readur_spark.kernels.tables import extract_tables_markdown as x
+
+
+class TestTableKernel:
+    def test_basic_pipe_table(self):
+        h = ("<table><tr><th>k</th><th>v</th></tr>"
+             "<tr><td>a</td><td>1</td></tr></table>")
+        assert x(h) == [
+            (0, "| k | v |\n| --- | --- |\n| a | 1 |", 2, 2)
+        ]
+
+    def test_nested_table_gets_own_index_and_text(self):
+        """Inner table text never leaks into the outer cell; indices
+        follow OPEN order so the inner table numbers after its host."""
+        h = ("<table><tr><td>outer"
+             "<table><tr><td>inner</td></tr></table>"
+             "</td><td>b</td></tr></table>")
+        got = x(h)
+        assert got == [
+            (0, "| outer | b |\n| --- | --- |", 1, 2),
+            (1, "| inner |\n| --- |", 1, 1),
+        ]
+
+    def test_empty_table_dropped_but_consumes_index(self):
+        h = ("<table></table>"
+             "<table><tr><td>real</td></tr></table>")
+        assert x(h) == [(1, "| real |\n| --- |", 1, 1)]
+
+    def test_pipes_escaped_rows_padded(self):
+        h = ("<table><tr><td>a|b</td><td></td><td>c</td></tr>"
+             "<tr><td>only</td></tr></table>")
+        (idx, md, nr, nc), = x(h)
+        assert (idx, nr, nc) == (0, 2, 3)
+        assert md.splitlines() == [
+            "| a\\|b |  | c |",
+            "| --- | --- | --- |",
+            "| only |  |  |",
+        ]
+
+    def test_tag_soup_unclosed_rows_and_cells(self):
+        """Implicit cell/row closes (the HTML5 tree-builder behavior
+        HTMLParser approximates through our flush-on-open rule)."""
+        h = "<table><td>x<td>y<tr><td>z</table>"
+        assert x(h) == [
+            (0, "| x | y |\n| --- | --- |\n| z |  |", 2, 2)
+        ]
+
+    def test_whitespace_normalized_markup_stripped(self):
+        h = ("<table><tr><td>  a\n\n <b>bold</b>\tend </td></tr></table>")
+        (_, md, _, _), = x(h)
+        assert md == "| a bold end |\n| --- |"
+
+    def test_no_tables(self):
+        assert x("<p>nothing here</p>") == []
+
+    def test_entities_decoded(self):
+        h = "<table><tr><td>a &amp; b &lt;c&gt;</td></tr></table>"
+        (_, md, _, _), = x(h)
+        assert md == "| a & b <c> |\n| --- |"
