@@ -274,3 +274,100 @@ def extract_tables_markdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact markdown string — header row, separator, escaping,
     row/col counts — from the construction rule."""
     return table_markdown_table(_tabled_pages(spark, sf_dir))
+
+
+# ---- full-page markdown rendering -------------------------------------------
+
+
+def markdown_table(pages: DataFrame) -> DataFrame:
+    """(url, markdown, n_chars) — every page rendered to GitHub-flavored
+    markdown (kernels/markdown.py). One narrow mapInPandas stage."""
+
+    def run(batches):
+        import pandas as pd
+
+        from readur_spark.kernels.markdown import html_to_markdown
+
+        cols = ["url", "markdown", "n_chars"]
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                blob = bytes(html) if html is not None else b""
+                m = html_to_markdown(blob.decode("utf-8", "replace"))
+                rows.append({"url": url, "markdown": m, "n_chars": len(m)})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(
+        run, schema="url string, markdown string, n_chars long"
+    )
+
+
+def _markdown_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose markdown both engines can derive: heading, emphasized
+    paragraph with a link, a two-item list, a blockquote, and a <pre>
+    with interior whitespace the renderer must keep verbatim — plus a
+    <nav> that must vanish."""
+    from readur_spark.queries.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>skip</title></head><body>"
+              "<nav>boilerplate menu</nav><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>Language <b>"),
+        F.col("lang"),
+        F.lit("</b> from <a href=\"https://"),
+        F.col("source"),
+        F.lit(".example/\">"),
+        F.col("source"),
+        F.lit("</a></p><ul><li>first</li><li>"),
+        F.col("lang"),
+        F.lit("</li></ul><blockquote><p>q "),
+        F.col("lang"),
+        F.lit("</p></blockquote><pre>raw  "),
+        F.col("source"),
+        F.lit("</pre></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/doc"),
+        F.col("doc_id").cast("string"), F.lit(".html"),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.encode(html, "utf-8").cast("binary").alias("html"),
+    )
+
+
+@register(
+    "extract_markdown",
+    oracle="""
+    WITH m AS (
+      SELECT 'https://' || source || '.example/doc' || doc_id || '.html'
+               AS url,
+             '# Doc ' || doc_id
+               || chr(10) || chr(10)
+               || 'Language **' || lang || '** from ['
+               || source || '](https://' || source || '.example/)'
+               || chr(10) || chr(10)
+               || '- first' || chr(10) || '- ' || lang
+               || chr(10) || chr(10)
+               || '> q ' || lang
+               || chr(10) || chr(10)
+               || chr(96) || chr(96) || chr(96) || chr(10)
+               || 'raw  ' || source || chr(10)
+               || chr(96) || chr(96) || chr(96)
+               AS markdown
+      FROM documents
+    )
+    SELECT url, markdown,
+           CAST(length(markdown) AS BIGINT) AS n_chars
+    FROM m
+    """,
+)
+def extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTML→markdown renderer value-hash-checked end-to-end: the
+    REAL parser walks constructed pages (killed nav/title, heading,
+    bold + link inlines, list grouping, blockquote prefixing, verbatim
+    <pre> fencing) and the oracle re-derives the exact markdown string
+    — every byte of it — from the construction rule."""
+    return markdown_table(_markdown_pages(spark, sf_dir))

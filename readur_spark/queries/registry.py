@@ -78,7 +78,10 @@ _PRIORITY: list[str] = [
     # search ('english' FTS config + postings + single-term rank)
     "search_simple_and_english",
     "search_via_postings_english",
-    "search_rank_tsrank_single",
+    # (search_rank_tsrank_single ceded to session 3's markdown
+    # renderer: the tsrank family already holds two green r4 driver
+    # rows — search_rank_tsrank and search_rank_tsrank_english — and
+    # the single-term variant stays oracle-checked in pytest)
     # packing / labels
     "chunk_for_embedding",
     # (label_counts ceded to the session-3 additions: its sibling
@@ -127,8 +130,9 @@ _PRIORITY: list[str] = [
     "langid_margin_gate",
     "dedup_containment_pairs",
     "neardup_keep_longest",
-    # session 3: structure-preserving HTML table → markdown extraction
+    # session 3: structure-preserving HTML table / full-page markdown
     "extract_tables_markdown",
+    "extract_markdown",
     # new round-5 operator families, session 2: SoftDedup weights,
     # training-order n-gram novelty, fixed-point BM25 ranking
     # (pii_redaction, repeated_ngram_spans, dedup_substring_clean
