@@ -133,9 +133,11 @@ def kmeans_lloyd(
 # ---- oracle twin -----------------------------------------------------------
 
 
-def _kmeans_oracle(k: int, num_iters: int) -> str:
-    """DuckDB replay: same grid snap, same seeds, same integer
-    argmin/update per iteration (materialized CTEs — see ml/bpe.py)."""
+def kmeans_cte_sql(k: int, num_iters: int) -> str:
+    """The shared WITH-chain replaying grid snap, seeds, and every
+    integer argmin/update through c{num_iters}/a{num_iters} — used by
+    this module's oracle and by downstream composers (ml/outliers.py)
+    that extend the trajectory with their own CTEs."""
     sql = f"""
     WITH comps AS MATERIALIZED (
       SELECT vec_id AS vid, r.pos AS pos,
@@ -167,6 +169,13 @@ def _kmeans_oracle(k: int, num_iters: int) -> str:
       FROM comps JOIN a{i} a USING (vid)
       GROUP BY a.cid, comps.pos
     )"""
+    return sql
+
+
+def _kmeans_oracle(k: int, num_iters: int) -> str:
+    """DuckDB replay: same grid snap, same seeds, same integer
+    argmin/update per iteration (materialized CTEs — see ml/bpe.py)."""
+    sql = kmeans_cte_sql(k, num_iters)
     last = f"c{num_iters}"
     alast = f"a{num_iters}" if num_iters > 0 else None
     size_join = (
