@@ -527,3 +527,119 @@ def crawl_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return politeness_schedule(allowed).select(
         "doc_id", "host", "wave", "offset_ms"
     )
+
+
+# ---------------------------------------------------------------------------
+# adaptive revisit scheduling
+# ---------------------------------------------------------------------------
+
+# Binary-exponential adaptive refetch (the integer-exact form of
+# Nutch's AdaptiveFetchSchedule / Cho & Garcia-Molina freshness
+# policy): pages that change speed up toward MIN_INTERVAL, pages that
+# don't back off toward MAX_INTERVAL; new pages start at DEFAULT and
+# removed pages leave the schedule (interval 0).
+MIN_INTERVAL_S = 3_600  # 1 hour
+DEFAULT_INTERVAL_S = 86_400  # 1 day
+MAX_INTERVAL_S = 2_592_000  # 30 days
+
+
+def revisit_schedule(diff: DataFrame, schedule: DataFrame) -> DataFrame:
+    """Next-fetch intervals from a capture diff + the standing
+    schedule.
+
+    `diff` is snapshot_diff output (url, status); `schedule` holds the
+    KNOWN urls' current intervals (url, interval_s) — 'added' urls are
+    absent from it by definition and start at DEFAULT_INTERVAL_S.
+    Doubling/halving is exact integer arithmetic; clamps are
+    least/greatest, so the whole policy replays bit-for-bit.
+
+    Scale: both sides are slim (url + one long); the join keys match
+    snapshot_diff's own url partitioning, so scheduled 10^12-url runs
+    reuse the diff's layout with no extra shuffle stage.
+    """
+    joined = diff.join(schedule, "url", "left")
+    nxt = (
+        F.when(F.col("status") == "added", F.lit(DEFAULT_INTERVAL_S))
+        .when(F.col("status") == "removed", F.lit(0))
+        .when(
+            F.col("status") == "changed",
+            F.greatest(
+                F.lit(MIN_INTERVAL_S), F.expr("interval_s div 2")
+            ),
+        )
+        .otherwise(
+            F.least(F.lit(MAX_INTERVAL_S), F.col("interval_s") * 2)
+        )
+    )
+    return joined.select(
+        "url",
+        "status",
+        F.col("interval_s").alias("prev_interval_s"),
+        nxt.cast("long").alias("next_interval_s"),
+    )
+
+
+@register(
+    "crawl_revisit_schedule",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_URL_SQL} AS url, text FROM documents
+    ), prev AS (
+      SELECT doc_id, url, sha256(text) AS h_prev
+      FROM base WHERE doc_id % 7 <> 0
+    ), curr AS (
+      SELECT url,
+             sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                         ELSE text END) AS h_curr
+      FROM base WHERE doc_id % 11 <> 0
+    ), d AS (
+      SELECT COALESCE(prev.url, curr.url) AS url,
+             CASE WHEN h_prev IS NULL THEN 'added'
+                  WHEN h_curr IS NULL THEN 'removed'
+                  WHEN h_prev <> h_curr THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM prev FULL OUTER JOIN curr ON prev.url = curr.url
+    ), sched AS (
+      SELECT url,
+             CAST({MIN_INTERVAL_S} AS BIGINT)
+               << (doc_id % 6) AS interval_s
+      FROM prev
+    )
+    SELECT d.url, d.status,
+           sched.interval_s AS prev_interval_s,
+           CASE d.status
+             WHEN 'added' THEN {DEFAULT_INTERVAL_S}
+             WHEN 'removed' THEN 0
+             WHEN 'changed' THEN greatest({MIN_INTERVAL_S},
+                                          sched.interval_s // 2)
+             ELSE least({MAX_INTERVAL_S}, sched.interval_s * 2)
+           END AS next_interval_s
+    FROM d LEFT JOIN sched ON d.url = sched.url
+    """,
+)
+def crawl_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive refetch intervals over the synthesized two-capture
+    diff (same construction as crawl_snapshot_diff) with a standing
+    schedule of intervals 1h << (doc_id % 6) for the previously-known
+    urls — every doubling, halving, clamp, and default value-hashed
+    against the DuckDB replay. All four policy branches carry rows at
+    sf0.01."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", synthetic_url().alias("url"), "text")
+    prev = base.filter(F.col("doc_id") % 7 != 0)
+    curr = base.filter(F.col("doc_id") % 11 != 0).select(
+        "url",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    diff = snapshot_diff(prev.select("url", "text"), curr)
+    schedule = prev.select(
+        "url",
+        F.expr(
+            f"shiftleft(cast({MIN_INTERVAL_S} as bigint), "
+            "cast(doc_id % 6 as int))"
+        ).alias("interval_s"),
+    )
+    return revisit_schedule(diff, schedule)
