@@ -50,10 +50,11 @@ def resolve_redirects(edges: DataFrame, rounds: int = ROUNDS) -> DataFrame:
     """Collapse a functional (src_url, dst_url) redirect mapping.
 
     Returns one row per redirect SOURCE: (src_url, final_url, hops,
-    resolved). `resolved` is false (final_url NULL) when the chain
-    still points at another redirect after `rounds` doublings — a loop
-    or an over-long chain, indistinguishable by policy and handled the
-    same way."""
+    resolved). `resolved` is false (final_url = '' — an empty-string
+    sentinel, not NULL, so downstream sorts/joins and the driver's
+    row-sort compare never meet a None) when the chain still points at
+    another redirect after `rounds` doublings — a loop or an over-long
+    chain, indistinguishable by policy and handled the same way."""
     state = edges.select(
         "src_url", F.col("dst_url").alias("cur"), F.lit(1).alias("hops")
     ).persist()
@@ -87,9 +88,9 @@ def resolve_redirects(edges: DataFrame, rounds: int = ROUNDS) -> DataFrame:
             )
             .select(
                 "src_url",
-                F.when(
-                    F.col("_is_redirect").isNull(), F.col("cur")
-                ).alias("final_url"),
+                F.when(F.col("_is_redirect").isNull(), F.col("cur"))
+                .otherwise(F.lit(""))
+                .alias("final_url"),
                 F.col("hops").cast("long").alias("hops"),
                 F.col("_is_redirect").isNull().alias("resolved"),
             )
@@ -169,7 +170,7 @@ def _redirect_oracle(rounds: int) -> str:
         sql
         + f"""
     SELECT m.src_url,
-           CASE WHEN s.src_url IS NULL THEN m.cur END AS final_url,
+           CASE WHEN s.src_url IS NULL THEN m.cur ELSE '' END AS final_url,
            CAST(m.hops AS BIGINT) AS hops,
            s.src_url IS NULL AS resolved
     FROM m{rounds} m

@@ -53,16 +53,23 @@ _PRIORITY: list[str] = [
     "bpe_doc_token_counts",
     "bpe_fertility_by_lang",
     "mixture_token_plan",
-    "mixture_bpe_token_plan",
+    # (mixture_bpe_token_plan ceded to the session-4 families: its two
+    # halves stay windowed — mixture_token_plan pins the token-budget
+    # planner and bpe_doc_token_counts/bpe_fertility_by_lang pin the
+    # BPE accounting it composes; pytest keeps the composition)
     "training_order_shuffle",
     "qc_token_count_bpe",
     # crawl tier (robots/politeness/Bloom/frontier/sync)
     "crawl_frontier_plan",
     "crawl_politeness_schedule",
     "crawl_frontier_bloom",
-    "crawl_snapshot_diff",
+    # (crawl_snapshot_diff ceded: the session-4 crawl_revisit_schedule
+    # below replays the identical two-capture construction AND the
+    # full diff inside its oracle, so its driver row covers the diff
+    # end-to-end; etag_normalize ceded: a bounded string kernel whose
+    # url_canonicalize sibling keeps the normalization family in the
+    # window. Both stay oracle-checked in pytest.)
     "url_canonicalize",
-    "etag_normalize",
     "canonical_collapse_plan",
     # web-graph parsing (constructed-corpus oracles)
     "outlink_edges_parse",
@@ -72,11 +79,15 @@ _PRIORITY: list[str] = [
     "domain_topk_quality",
     # text QC
     "qc_script_detect",
-    "qc_dup_line_fraction",
+    # (qc_dup_line_fraction ceded: a pure projection whose line-family
+    # siblings line_dedup_clean + sentence_dedup_clean hold two window
+    # slots; pytest keeps it)
     "heavy_hitter_tokens",
     "length_histogram_quantiles",
     # search ('english' FTS config + postings + single-term rank)
-    "search_simple_and_english",
+    # (search_simple_and_english ceded: the postings variant below is
+    # the scale path and exercises the same Porter2/stopword kernel;
+    # pytest keeps the direct-scan twin)
     "search_via_postings_english",
     # (search_rank_tsrank_single ceded to session 3's markdown
     # renderer: the tsrank family already holds two green r4 driver
@@ -84,10 +95,12 @@ _PRIORITY: list[str] = [
     # the single-term variant stays oracle-checked in pytest)
     # packing / labels
     "chunk_for_embedding",
+    # (document_label_names ceded: the M:N label-join family holds a
+    # green r4 driver row via label_join_counts; pytest keeps both
+    # name-projection variants)
     # (label_counts ceded to the session-3 additions: its sibling
     # document_label_names exercises the same M:N label join plus the
     # name projection; both stay oracle-checked in pytest)
-    "document_label_names",
     # --- code paths touched in round 5: fresh driver rows ---
     "line_dedup_clean",  # now routed through line_dedup's scale
     # dispatch (literal ≤ MAX_LITERAL_HASHES, hash join above)
@@ -106,8 +119,9 @@ _PRIORITY: list[str] = [
     # (winnow_fingerprint_rollup ceded: winnow_reuse_pairs exercises
     # the same fingerprint kernel plus the reuse join; pytest keeps it)
     "winnow_reuse_pairs",
-    # round-5 constructed oracle for the frame-sampler plumbing
-    "frame_sample_constructed",
+    # (frame_sample_constructed ceded: a plumbing pin whose multimodal
+    # siblings image_meta_constructed / thumbnail_dims_constructed /
+    # image_dhash_constructed hold three window slots; pytest keeps it)
     # new round-5 operator families: paragraph dedup, mojibake repair,
     # Luhn card PII, unigram entropy (paragraph_dup_stats and the
     # 1-row token_zipf_fit stay on the pytest oracle tier — their
@@ -146,6 +160,19 @@ _PRIORITY: list[str] = [
     # (web_curation_report and sessionize_events ceded: green r4
     # driver rows, code untouched in r5; both stay oracle-checked
     # in pytest)
+    # new round-5 operator families, session 4: sentence-level corpus
+    # dedup (abbreviation-guarded segmentation), embedding outlier
+    # gate (Lloyd-trajectory distances), recency-decay PPS sampling,
+    # DOM template fingerprinting, C4 banned-term blocklist gate,
+    # adaptive revisit scheduling, and pointer-doubling redirect
+    # collapse — seven families with no prior window representation
+    "sentence_dedup_clean",
+    "embedding_outlier_flags",
+    "sample_recency_decay",
+    "template_fingerprint_rollup",
+    "qc_blocklist_gate",
+    "crawl_revisit_schedule",
+    "redirect_chain_resolve",
 ]
 
 

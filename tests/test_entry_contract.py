@@ -68,17 +68,22 @@ class TestPriorityWindow:
 
     def test_backbone_inside_window(self):
         first50 = set(list(QUERIES)[:50])
-        # r5 session-2 rotation: pii_redaction / repeated_ngram_spans /
-        # dedup_substring_clean ceded their slots (green r4 driver rows,
-        # code untouched) to the new operator families below.
+        # r5 rotations: session 2 ceded pii_redaction /
+        # repeated_ngram_spans / dedup_substring_clean; session 3 ceded
+        # curation_pipeline / training_yield_report (green r4 driver
+        # rows, code untouched); session 4 added its seven new families
+        # — the pinned backbone is the byte-identity pair plus one
+        # representative per round-5 session.
         backbone = {
             "extract_text_passthrough",
             "extract_wordcount_by_lang",
-            "training_yield_report",
-            "curation_pipeline",
             "dedup_soft_weights",
             "ngram_novelty_rate",
             "search_rank_bm25",
+            "langid_chartrigram_nb",
+            "extract_markdown",
+            "sentence_dedup_clean",
+            "redirect_chain_resolve",
         }
         assert backbone <= first50, backbone - first50
 

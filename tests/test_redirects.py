@@ -30,8 +30,8 @@ class TestResolution:
 
     def test_two_cycle_flagged_unresolved(self, spark):
         got = _resolve(spark, [("x", "y"), ("y", "x")])
-        assert got["x"] == (None, 2**ROUNDS, False)
-        assert got["y"] == (None, 2**ROUNDS, False)
+        assert got["x"] == ("", 2**ROUNDS, False)
+        assert got["y"] == ("", 2**ROUNDS, False)
 
     def test_fan_in_shares_terminal(self, spark):
         got = _resolve(spark, [("a", "t"), ("b", "t"), ("c", "a")])
