@@ -73,6 +73,14 @@ HEADLINE_QUERIES = [
     "dedup_soft_weights",
     "ngram_novelty_rate",
     "search_rank_bm25",
+    # round 5, session 3
+    "langid_chartrigram_nb",
+    "extract_markdown",
+    # round 5, session 4
+    "sentence_dedup_clean",
+    "embedding_outlier_flags",
+    "qc_blocklist_gate",
+    "redirect_chain_resolve",
 ]
 
 
