@@ -69,7 +69,10 @@ MAX_LINK_DENSITY = 0.333
 
 
 class _Block:
-    __slots__ = ("texts", "link_chars", "total_chars", "tag", "hint", "depth")
+    __slots__ = (
+        "texts", "link_chars", "total_chars", "tag", "hint", "depth",
+        "src_start", "src_end",
+    )
 
     def __init__(self, tag: str, hint: int, depth: int):
         self.texts: list[str] = []
@@ -78,6 +81,12 @@ class _Block:
         self.tag = tag
         self.hint = hint  # -1 negative, 0 neutral, +1 positive class/id hint
         self.depth = depth
+        # source char range [src_start, src_end) spanning the block's
+        # first through last contributing data chunk — only the fast
+        # tokenizer supplies positions (stdlib path leaves -1); the
+        # north rule's span-offset contract rides on these
+        self.src_start = -1
+        self.src_end = -1
 
 
 class _ContentParser(HTMLParser):
@@ -91,6 +100,11 @@ class _ContentParser(HTMLParser):
         self._current: _Block | None = None
         self._in_title = False
         self.title = ""
+        # source coords of the data chunk about to be delivered —
+        # written by _fast_feed before each handle_data call; None on
+        # the stdlib path (spans then stay -1)
+        self._src_pos: int | None = None
+        self._src_end = 0
 
     # -- helpers
     def _open_block(self, tag: str) -> None:
@@ -200,6 +214,10 @@ class _ContentParser(HTMLParser):
         b.total_chars += n
         if self._anchor_depth:
             b.link_chars += n
+        if self._src_pos is not None:
+            if b.src_start < 0:
+                b.src_start = self._src_pos
+            b.src_end = self._src_end
 
 
 def _block_score(b: _Block) -> float:
@@ -275,14 +293,18 @@ def _fast_feed(parser: "_ContentParser", html: str) -> None:
         if lt < 0:
             data = html[pos:]
             if data:
+                parser._src_pos, parser._src_end = pos, n
                 parser.handle_data(unescape(data) if "&" in data else data)
             break
         if lt > pos:
             data = html[pos:lt]
+            parser._src_pos, parser._src_end = pos, lt
             parser.handle_data(unescape(data) if "&" in data else data)
         m = _TOKEN_RE.match(html, lt)
         if m is None:
-            parser.handle_data("<")  # stray '<' is data (parser is tolerant)
+            # stray '<' is data (parser is tolerant)
+            parser._src_pos, parser._src_end = lt, lt + 1
+            parser.handle_data("<")
             pos = lt + 1
             continue
         tag = m.group(2)
@@ -302,6 +324,7 @@ def _fast_feed(parser: "_ContentParser", html: str) -> None:
                     raw_end = cm.start() if cm else n
                     raw = html[m.end():raw_end]
                     if raw:
+                        parser._src_pos, parser._src_end = m.end(), raw_end
                         parser.handle_data(
                             unescape(raw) if "&" in raw else raw
                         )
@@ -311,11 +334,12 @@ def _fast_feed(parser: "_ContentParser", html: str) -> None:
         pos = m.end()
 
 
-def extract_main_content(html: str, use_fast_tokenizer: bool = True) -> str:
-    """Boilerplate-stripped main content, blocks joined with '\\n'.
-
-    Returns '' when no block passes (pure-boilerplate page).
-    """
+def _parse_and_select(html: str, use_fast_tokenizer: bool):
+    """Shared parse + block-selection pass. Returns (blocks,
+    norm_texts, accepted), or None when tag soup defeats the tokenizer
+    (callers take the tag-strip fallback). Behavior-identical to the
+    historical extract_main_content body — pinned by the frozen
+    goldens."""
     parser = _ContentParser()
     try:
         if use_fast_tokenizer:
@@ -324,8 +348,7 @@ def extract_main_content(html: str, use_fast_tokenizer: bool = True) -> str:
             parser.feed(html)
             parser.close()
     except Exception:
-        # tag-soup beyond the tokenizer's tolerance: fall back to tag-strip
-        return _WS_RE.sub(" ", re.sub(r"<[^>]*>", " ", html)).strip()
+        return None
     parser._flush()
 
     blocks = parser.blocks
@@ -370,12 +393,48 @@ def extract_main_content(html: str, use_fast_tokenizer: bool = True) -> str:
             link_density = b.link_chars / b.total_chars if b.total_chars else 1.0
             if b.hint >= 0 and link_density <= MAX_LINK_DENSITY:
                 accepted[i] = True
+    return blocks, norm_texts, accepted
 
+
+def extract_main_content(html: str, use_fast_tokenizer: bool = True) -> str:
+    """Boilerplate-stripped main content, blocks joined with '\\n'.
+
+    Returns '' when no block passes (pure-boilerplate page).
+    """
+    sel = _parse_and_select(html, use_fast_tokenizer)
+    if sel is None:
+        # tag-soup beyond the tokenizer's tolerance: fall back to tag-strip
+        return _WS_RE.sub(" ", re.sub(r"<[^>]*>", " ", html)).strip()
+    blocks, norm_texts, accepted = sel
     out: list[str] = []
     for text, ok in zip(norm_texts, accepted):
         if ok and text:
             out.append(text)
     return "\n".join(out)
+
+
+def extract_main_content_spans(
+    html: str,
+) -> list[tuple[int, int, str]]:
+    """Kept blocks WITH their source spans: (src_start, src_end,
+    normalized_text) per emitted block, in emission order — src ranges
+    are char offsets into the decoded html string covering the block's
+    first through last contributing data chunk (markup between chunks
+    included; that is the block's source extent, the span the north
+    rule's fixtures pin). Join of the text fields == extract_main_
+    content(html) by construction. Tag-soup fallback (and the stdlib
+    tokenizer, which supplies no positions) yields spans of (-1, -1)
+    over the whole stripped text."""
+    sel = _parse_and_select(html, use_fast_tokenizer=True)
+    if sel is None:
+        txt = _WS_RE.sub(" ", re.sub(r"<[^>]*>", " ", html)).strip()
+        return [(-1, -1, txt)] if txt else []
+    blocks, norm_texts, accepted = sel
+    return [
+        (b.src_start, b.src_end, text)
+        for b, text, ok in zip(blocks, norm_texts, accepted)
+        if ok and text
+    ]
 
 
 def html_document_score(html: str) -> float:

@@ -371,3 +371,110 @@ def extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     <pre> fencing) and the oracle re-derives the exact markdown string
     — every byte of it — from the construction rule."""
     return markdown_table(_markdown_pages(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# main-content span offsets (north-rule contract: extracted text AND spans)
+# ---------------------------------------------------------------------------
+
+def span_table(pages: DataFrame) -> DataFrame:
+    """(url, pos, src_start, src_end, block_text) — one row per KEPT
+    content block with its source char range from
+    kernels/html_extract.py: extract_main_content_spans. One narrow
+    mapInPandas stage; joining block_text by newline per url
+    reproduces extract_main_content byte-for-byte."""
+
+    def run(batches):
+        import pandas as pd
+
+        from readur_spark.kernels.html_extract import (
+            extract_main_content_spans,
+        )
+
+        cols = ["url", "pos", "src_start", "src_end", "block_text"]
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                blob = bytes(html) if html is not None else b""
+                spans = extract_main_content_spans(
+                    blob.decode("utf-8", "replace")
+                )
+                for i, (s, e, t) in enumerate(spans):
+                    rows.append({
+                        "url": url, "pos": i, "src_start": s,
+                        "src_end": e, "block_text": t,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(
+        run,
+        schema=(
+            "url string, pos int, src_start long, src_end long,"
+            " block_text string"
+        ),
+    )
+
+
+_SPAN_P1 = '<html><body><nav>Nav menu links listed here</nav><p>'
+_SPAN_MID = "</p><p>"
+_SPAN_TAIL_PRE = "Appendix note for "
+_SPAN_TAIL_POST = " readers."
+_SPAN_END = "</p></body></html>"
+
+
+def _span_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readur_spark.queries.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_SPAN_P1), F.col("text"), F.lit(_SPAN_MID),
+        F.lit(_SPAN_TAIL_PRE), F.col("lang"), F.lit(_SPAN_TAIL_POST),
+        F.lit(_SPAN_END),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/doc"),
+        F.col("doc_id").cast("string"), F.lit(".html"),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.encode(html, "utf-8").cast("binary").alias("html"),
+    )
+
+
+@register(
+    "extract_spans_constructed",
+    oracle=f"""
+    WITH c AS (
+      SELECT 'https://' || source || '.example/doc' || doc_id || '.html'
+               AS url,
+             text, lang, length(text) AS lt
+      FROM documents
+    ),
+    b1 AS (
+      SELECT url, CAST(0 AS INT) AS pos,
+             CAST({len(_SPAN_P1)} AS BIGINT) AS src_start,
+             CAST({len(_SPAN_P1)} + lt AS BIGINT) AS src_end,
+             text AS block_text
+      FROM c
+    ),
+    b2 AS (
+      SELECT url, CAST(1 AS INT) AS pos,
+             CAST({len(_SPAN_P1)} + lt + {len(_SPAN_MID)} AS BIGINT)
+               AS src_start,
+             CAST({len(_SPAN_P1)} + lt + {len(_SPAN_MID)}
+                  + length('{_SPAN_TAIL_PRE}' || lang
+                           || '{_SPAN_TAIL_POST}') AS BIGINT) AS src_end,
+             '{_SPAN_TAIL_PRE}' || lang || '{_SPAN_TAIL_POST}'
+               AS block_text
+      FROM c
+    )
+    SELECT * FROM b1 UNION ALL SELECT * FROM b2
+    """,
+)
+def extract_spans_constructed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-offset contract, value-hash-checked end-to-end: the REAL
+    extractor (kill-tag nav, two kept blocks) walks constructed pages
+    and the oracle re-derives every block's exact (src_start, src_end)
+    char range and text from the construction-rule lengths — the
+    SQL-expressible twin of the frozen-golden span pins."""
+    return span_table(_span_pages(spark, sf_dir))

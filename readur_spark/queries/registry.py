@@ -73,7 +73,10 @@ _PRIORITY: list[str] = [
     "canonical_collapse_plan",
     # web-graph parsing (constructed-corpus oracles)
     "outlink_edges_parse",
-    "anchor_terms_parse",
+    # (anchor_terms_parse ceded to the session-4 span contract below:
+    # outlink_edges_parse keeps the href-kernel family in the window
+    # and the anchor-text kernel stays golden-pinned + oracle-checked
+    # in pytest)
     # host-level quality rollups
     "host_quality_rollup",
     "domain_topk_quality",
@@ -166,6 +169,9 @@ _PRIORITY: list[str] = [
     # DOM template fingerprinting, C4 banned-term blocklist gate,
     # adaptive revisit scheduling, and pointer-doubling redirect
     # collapse — seven families with no prior window representation
+    # session 4's north-rule span contract: the REAL extractor's kept
+    # blocks with source char ranges, value-hashed per block
+    "extract_spans_constructed",
     "sentence_dedup_clean",
     "embedding_outlier_flags",
     "sample_recency_decay",
