@@ -250,6 +250,7 @@ def _load_all() -> None:
     from readur_spark.ml import templates as ml_templates  # noqa: F401
     from readur_spark.ml import blocklist as ml_blocklist  # noqa: F401
     from readur_spark.ml import redirects as ml_redirects  # noqa: F401
+    from readur_spark.ml import apportion as ml_apportion  # noqa: F401
     from readur_spark.ml import mojibake as ml_mojibake  # noqa: F401
     from readur_spark.ml import pii_cards as ml_pii_cards  # noqa: F401
     from readur_spark.ml import infostats as ml_infostats  # noqa: F401
