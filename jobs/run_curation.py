@@ -13,6 +13,9 @@ end-to-end:
     → [--line-filter] C4 line gates (ml/linefilters)
     → [--paragraph-dedup] corpus-wide keep-first paragraph dedup
       (ml/paradedup)
+    → [--sentence-dedup] corpus-frequency sentence removal
+      (ml/sentdedup)
+    → [--blocklist FILE] C4 banned-term document drop (ml/blocklist)
     → [--lm-filter] drop LM-surprisal tail bucket (ml/quality_lm)
     → [--nb-filter] drop NB-classifier negatives (ml/quality_classifier)
     → C4/Gopher document gates (ml/webfilters.web_filter_signals)
@@ -70,6 +73,13 @@ def main(argv: list[str] | None = None) -> int:
                         "hashing/gating")
     p.add_argument("--line-filter", action="store_true",
                    help="apply the C4 line gates to each document")
+    p.add_argument("--sentence-dedup", action="store_true",
+                   help="remove corpus-frequent sentences (>= 3 docs, "
+                        ">= 3 words; CCNet/Dolma recipe, ml/sentdedup)")
+    p.add_argument("--blocklist", default=None, metavar="FILE",
+                   help="text file of banned terms (unigrams or "
+                        "two-word phrases), one per line; drop any doc "
+                        "with a hit (C4 recipe, ml/blocklist)")
     p.add_argument("--lm-filter", action="store_true",
                    help="drop LM-surprisal 'tail' bucket docs "
                         "(ml/quality_lm, corpus-trained)")
@@ -193,6 +203,39 @@ def main(argv: list[str] | None = None) -> int:
             .withColumn(args.text_col, F.col("__para"))
             .drop("__para", "n_paras", "n_paras_kept")
         )
+    if args.sentence_dedup:
+        from readur_spark.ml.sentdedup import sentence_dedup
+
+        # below-paragraph granularity: syndicated single sentences
+        # inside otherwise-unique paragraphs (runs after the paragraph
+        # pass so whole-paragraph duplicates are already gone)
+        docs = (
+            sentence_dedup(
+                docs, text_col=args.text_col,
+                id_col=args.url_col, out_col="__sent",
+            )
+            .withColumn(args.text_col, F.col("__sent"))
+            .drop("__sent", "n_sents", "n_sents_kept")
+        )
+    if args.blocklist:
+        from readur_spark.ml.blocklist import banned_term_hits
+
+        with open(args.blocklist, encoding="utf-8") as fh:
+            terms = [
+                (ln.strip().lower(),) for ln in fh if ln.strip()
+            ]
+        terms_df = docs.sparkSession.createDataFrame(
+            terms, "term string"
+        )
+        hit_ids = (
+            banned_term_hits(
+                docs, terms_df,
+                text_col=args.text_col, id_col=args.url_col,
+            )
+            .filter(F.col("n_banned_hits") > 0)
+            .select(args.url_col)
+        )
+        docs = docs.join(hit_ids, args.url_col, "left_anti")
     if args.lm_filter:
         from readur_spark.ml.quality_lm import score_unigram_surprisal
 

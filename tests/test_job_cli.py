@@ -479,3 +479,47 @@ def test_curation_soft_dedup_cap(tmp_path, pages_parquet):
     tight = run(999, str(tmp_path / "sd_tight"))
     n_tight = sum(v["n_docs"] for v in tight["yields"].values())
     assert n_tight < n_loose
+
+
+def test_curation_sentence_dedup_and_blocklist_compose(tmp_path, pages_parquet):
+    """--sentence-dedup removes corpus-frequent sentences and
+    --blocklist drops docs containing banned terms; composed with the
+    document gates the job still yields rows, and a blocklist naming a
+    corpus-universal word drops everything — proving both stages are
+    actually wired in."""
+    store = str(tmp_path / "sbstore")
+    r1 = _run_job(["--input", pages_parquet, "--store", store,
+                   "--run-id", "sb1", "--cpus", "8"])
+    assert r1["status"] == "committed"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+
+    def run(extra, out_dir):
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+             "--input", store, "--output", out_dir,
+             "--min-words", "5", "--cpus", "8"] + extra,
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        return json.loads(line)
+
+    rare = str(tmp_path / "rare.txt")
+    with open(rare, "w") as fh:
+        fh.write("zzz_never_in_corpus\n# not a term\nzz qq\n".replace("# not a term\n", ""))
+    s1 = run(["--sentence-dedup", "--blocklist", rare],
+             str(tmp_path / "sb_loose"))
+    assert s1["status"] == "written"
+    n_loose = sum(v["n_docs"] for v in s1["yields"].values())
+    assert n_loose > 0
+
+    common = str(tmp_path / "common.txt")
+    with open(common, "w") as fh:
+        fh.write("the\n")  # near-universal in extracted English text
+    s2 = run(["--blocklist", common], str(tmp_path / "sb_tight"))
+    n_tight = sum(v["n_docs"] for v in s2["yields"].values())
+    assert n_tight < n_loose
