@@ -643,3 +643,84 @@ def crawl_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("interval_s"),
     )
     return revisit_schedule(diff, schedule)
+
+
+# ---------------------------------------------------------------------------
+# URL pattern census (spider-trap detection)
+# ---------------------------------------------------------------------------
+
+def url_pattern(url: Column) -> Column:
+    """Structural URL shape: digit runs -> 'N', 32+-char hex runs ->
+    'H' (session ids / content hashes). Calendar pages, paginated
+    archives, and session-id traps collapse to ONE pattern per host,
+    so a census over (host, pattern) exposes the infinite-URL-space
+    subtrees a frontier must cap — the classic spider-trap signal
+    (Heydon & Najork, Mercator). Regexes stay in the Java-regex ∩ RE2
+    subset so DuckDB replays them."""
+    p = F.regexp_replace(url, r"[0-9a-f]{32,}", "H")
+    return F.regexp_replace(p, r"[0-9]+", "N")
+
+
+def url_pattern_census(
+    urls: DataFrame, *, url_col: str = "url", host_col: str = "host"
+) -> DataFrame:
+    """(host, pattern, n_urls) + the host-level dominance needed for
+    trap capping: per-host url count and the dominant pattern's share
+    as an exact integer pair (top_pattern_n, host_urls). Two map-side-
+    combinable aggregates, argmax via max(struct), no window."""
+    per = urls.groupBy(host_col, url_pattern(F.col(url_col)).alias("pattern")).agg(
+        F.count(F.lit(1)).alias("n_urls")
+    )
+    host_tot = per.groupBy(host_col).agg(
+        F.sum("n_urls").alias("host_urls"),
+        F.max(F.struct("n_urls", "pattern")).getField("n_urls").alias(
+            "top_pattern_n"
+        ),
+    )
+    return per.join(host_tot, host_col)
+
+
+@register(
+    "url_pattern_census",
+    oracle=f"""
+    WITH u AS (
+      SELECT source || '.example' AS host,
+             regexp_replace(regexp_replace(
+               {_URL_SQL},
+               '[0-9a-f]{{32,}}', 'H', 'g'),
+               '[0-9]+', 'N', 'g') AS pattern
+      FROM documents
+    ),
+    per AS (
+      SELECT host, pattern, count(*) AS n_urls
+      FROM u GROUP BY host, pattern
+    ),
+    tot AS (
+      SELECT host, CAST(sum(n_urls) AS BIGINT) AS host_urls,
+             (max(struct_pack(n_urls := n_urls, pattern := pattern))).n_urls
+               AS top_pattern_n
+      FROM per GROUP BY host
+    )
+    SELECT per.host, per.pattern, per.n_urls,
+           tot.host_urls, tot.top_pattern_n
+    FROM per JOIN tot USING (host)
+    """,
+)
+def url_pattern_census_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit/hex-collapsed URL shape census per host — the synthetic
+    urls (.../docN.txt) collapse to one pattern per host by
+    construction, so dominance == host_urls; the pattern string, all
+    counts, and the argmax are value-hashed against the DuckDB replay
+    of the identical regex pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        synthetic_url().alias("url"),
+    )
+    out = url_pattern_census(urls)
+    return out.select(
+        "host", "pattern",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        "host_urls",
+        F.col("top_pattern_n").cast("long").alias("top_pattern_n"),
+    )
