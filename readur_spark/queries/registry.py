@@ -144,7 +144,9 @@ _PRIORITY: list[str] = [
     # containment (subset-duplicate pairs), and quality-aware near-dup
     # representative selection (keep the longest cluster member)
     "langid_chartrigram_nb",
-    "langid_margin_gate",
+    # (langid_margin_gate ceded to session 5's charset ladder: the
+    # margin gate extends the langid chain whose trainer/scorer stays
+    # windowed above; pytest keeps the gate oracle-checked)
     "dedup_containment_pairs",
     "neardup_keep_longest",
     # session 3: structure-preserving HTML table / full-page markdown
@@ -178,6 +180,9 @@ _PRIORITY: list[str] = [
     "template_fingerprint_rollup",
     "qc_blocklist_gate",
     "crawl_revisit_schedule",
+    # new round-5 session-5 family: WHATWG charset detection + decode
+    # (BOM / meta-prescan / strict-UTF-8 / total windows-1252 ladder)
+    "charset_detect_decode",
     "redirect_chain_resolve",
 ]
 
@@ -261,6 +266,7 @@ def _load_all() -> None:
     from readur_spark.ml import urlfilters as ml_urlfilters  # noqa: F401
     from readur_spark.ml import packing as ml_packing  # noqa: F401
     from readur_spark.ml import webfilters as ml_webfilters  # noqa: F401
+    from readur_spark.ml import charset as ml_charset  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
