@@ -1,0 +1,235 @@
+"""Publication-date extraction — the htmldate recipe, Catalyst-native.
+
+Training-data pipelines need document dates for recency weighting
+(ml/recency.py), temporal decontamination (is this page older than the
+eval set?), and dump-level mixture accounting — but Common-Crawl pages
+carry their FETCH time, not their publication time. The published
+extraction recipe (Barbaresi, "htmldate: A Python package for fast and
+robust document date extraction", JOSS 2020) is a precedence ladder
+over redundant in-page signals:
+
+  1. <meta property="article:published_time" content="...">  (OpenGraph)
+  2. <meta name="date" content="...">
+  3. <time datetime="...">
+  4. a /YYYY/MM[/DD]/ segment in the URL path
+  5. none -> NULL
+
+Everything here is JVM/Catalyst expression-level — regexp_extract +
+try_to_date + coalesce/CASE — the same stance as ml/templates.py: the
+operator applies to REAL page HTML with zero Python, DuckDB replays it
+token-for-token (RE2-compatible patterns, no lookaround), and the
+whole ladder is a pure projection fused into the scan (no shuffle, no
+UDF). Candidate strings that fail date validation (month 15, Feb 30)
+fall through to the next rung via try_to_date/TRY_CAST null semantics,
+which the two engines share.
+
+Reference tie-in: the reference's metadata tier extracts per-format
+timestamps (src/metadata_extraction.rs — EXIF dates, PDF creation
+dates); this is the HTML analogue its extraction tier lacks, shaped
+for 10^12 rows.
+
+The registered query runs the ladder over a CONSTRUCTED corpus where
+each doc's date and signal placement derive from doc_id (class 0 also
+plants a DIFFERENT decoy date in the URL, so rung precedence — not
+just extraction — is value-hashed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load
+
+# RE2-safe patterns, shared verbatim with the DuckDB twin. The quote
+# class [\"'] tolerates either attribute quoting; attribute ORDER is a
+# documented heuristic (property before content), same stance as
+# ml/templates.py's tag regex — not a DOM parse.
+_META_ARTICLE_RE = (
+    "<meta[^>]*property=[\"']article:published_time[\"']"
+    "[^>]*content=[\"'](\\d{4}-\\d{2}-\\d{2})"
+)
+_META_DATE_RE = (
+    "<meta[^>]*name=[\"']date[\"'][^>]*content=[\"'](\\d{4}-\\d{2}-\\d{2})"
+)
+_TIME_RE = "<time[^>]*datetime=[\"'](\\d{4}-\\d{2}-\\d{2})"
+# URL path: /YYYY/MM/ or /YYYY/MM/DD/ with a century guard; day
+# defaults to 01 when absent.
+_URL_RE = "/((?:19|20)\\d{2})/(\\d{2})(?:/(\\d{2}))?/"
+
+_SOURCES = ("meta-article", "meta-date", "time-tag", "url-path")
+
+
+def _date_of(s: Column) -> Column:
+    # '' (regexp_extract's no-match) and invalid calendar dates both
+    # become NULL — the rung falls through.
+    return F.try_to_date(F.nullif(s, F.lit("")))
+
+
+def publication_date_cols(
+    html_str: Column, url: Column
+) -> tuple[Column, Column]:
+    """(pub_date DATE, date_source STRING) from the ladder; both NULL
+    when no rung fires."""
+    lower = F.lower(html_str)
+    cands = [
+        _date_of(F.regexp_extract(lower, _META_ARTICLE_RE, 1)),
+        _date_of(F.regexp_extract(lower, _META_DATE_RE, 1)),
+        _date_of(F.regexp_extract(lower, _TIME_RE, 1)),
+        _date_of(
+            F.concat_ws(
+                "-",
+                F.nullif(F.regexp_extract(url, _URL_RE, 1), F.lit("")),
+                F.regexp_extract(url, _URL_RE, 2),
+                F.coalesce(
+                    F.nullif(F.regexp_extract(url, _URL_RE, 3), F.lit("")),
+                    F.lit("01"),
+                ),
+            )
+        ),
+    ]
+    pub = F.coalesce(*cands)
+    src = F.lit(None).cast("string")
+    for cand, name in reversed(list(zip(cands, _SOURCES))):
+        src = F.when(cand.isNotNull(), F.lit(name)).otherwise(src)
+    return pub, src
+
+
+def publication_dates(
+    pages: DataFrame, *, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, pub_date, date_source) from a binary html column — pure
+    projection, zero Python, fuses into the scan."""
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    pub, src = publication_date_cols(html_str, F.col(url_col))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        pub.alias("pub_date"),
+        src.alias("date_source"),
+    )
+
+
+# ---- constructed-corpus driver query ---------------------------------------
+
+# rule: date D = 2015-01-01 + (doc_id % 3650) days; class = doc_id % 5
+# places D behind exactly one rung. Class 0's URL also carries a DECOY
+# date (2001-01-01) so the oracle proves meta-article outranks
+# url-path, not merely that extraction works.
+_EPOCH = "2015-01-01"
+_DECOY_PATH = "/2001/01/01/"
+
+
+def constructed_dated_pages(docs: DataFrame) -> DataFrame:
+    cls = (F.col("doc_id") % 5).cast("int")
+    d = F.date_add(F.lit(_EPOCH).cast("date"), (F.col("doc_id") % 3650).cast("int"))
+    ds = F.date_format(d, "yyyy-MM-dd")
+    body = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+    html = (
+        F.when(
+            cls == 0,
+            F.concat(
+                F.lit('<html><head><meta property="article:published_time" '
+                      'content="'),
+                ds,
+                F.lit('T08:00:00Z"></head><body>'),
+                body,
+                F.lit("</body></html>"),
+            ),
+        )
+        .when(
+            cls == 1,
+            F.concat(
+                F.lit('<html><head><meta name="date" content="'),
+                ds,
+                F.lit('"></head><body>'),
+                body,
+                F.lit("</body></html>"),
+            ),
+        )
+        .when(
+            cls == 2,
+            F.concat(
+                F.lit('<html><body><time datetime="'),
+                ds,
+                F.lit('">then</time>'),
+                body,
+                F.lit("</body></html>"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("<html><body>"), body, F.lit("</body></html>"))
+        )
+    )
+    url = (
+        F.when(
+            cls == 0,
+            F.concat(
+                F.lit("https://h0.example" + _DECOY_PATH + "post-"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            cls == 3,
+            F.concat(
+                F.lit("https://h3.example/"),
+                F.date_format(d, "yyyy/MM/dd"),
+                F.lit("/post-"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h9.example/post-"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+
+
+_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, CAST(doc_id % 5 AS INT) AS cls,
+         DATE '{_EPOCH}' + CAST(doc_id % 3650 AS INT) AS d
+  FROM documents
+), u AS (
+  SELECT doc_id, cls, d,
+    CASE
+      WHEN cls = 0 THEN 'https://h0.example{_DECOY_PATH}post-' || doc_id
+      WHEN cls = 3 THEN 'https://h3.example/' || strftime(d, '%Y/%m/%d')
+                        || '/post-' || doc_id
+      ELSE 'https://h9.example/post-' || doc_id
+    END AS url
+  FROM b
+)
+SELECT url,
+       CASE WHEN cls <= 3 THEN strftime(d, '%Y-%m-%d') ELSE '' END
+         AS pub_date,
+       CASE cls WHEN 0 THEN 'meta-article' WHEN 1 THEN 'meta-date'
+                WHEN 2 THEN 'time-tag' WHEN 3 THEN 'url-path'
+                ELSE 'none' END AS date_source
+FROM u
+"""
+
+
+@register("pubdate_extract", oracle=_ORACLE)
+def pubdate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """htmldate-style publication-date ladder over the constructed
+    dated corpus: per-rung extraction, calendar validation, and the
+    precedence order (class 0's decoy URL date must LOSE to the meta
+    tag) are all value-hashed against the construction rule. Dateless
+    rows surface as ''/'none' sentinels — the driver's row sort cannot
+    order NULL against str; the library API (publication_dates) keeps
+    honest NULLs."""
+    docs = load(spark, sf_dir, "documents")
+    out = publication_dates(constructed_dated_pages(docs))
+    return out.select(
+        "url",
+        F.coalesce(
+            F.date_format("pub_date", "yyyy-MM-dd"), F.lit("")
+        ).alias("pub_date"),
+        F.coalesce("date_source", F.lit("none")).alias("date_source"),
+    )

@@ -132,7 +132,9 @@ _PRIORITY: list[str] = [
     "paragraph_dedup_keep_first",
     "mojibake_repair_constructed",
     "pii_luhn_cards",
-    "qc_unigram_entropy",
+    # (qc_unigram_entropy ceded to session 5's publication-date
+    # ladder: the infostats family keeps ngram_novelty_rate windowed;
+    # entropy stays oracle-checked in pytest)
     # --- standing representatives of each major family ---
     # (dedup_exact_groups, daily_analytics_rollup, qc_nb_classifier,
     # search_simple_and, ann_cosine_topk — and, for the session-3
@@ -183,6 +185,9 @@ _PRIORITY: list[str] = [
     # new round-5 session-5 family: WHATWG charset detection + decode
     # (BOM / meta-prescan / strict-UTF-8 / total windows-1252 ladder)
     "charset_detect_decode",
+    # new round-5 session-5 family: htmldate-style publication-date
+    # ladder (meta/time/url-path precedence, calendar validation)
+    "pubdate_extract",
     "redirect_chain_resolve",
 ]
 
@@ -267,6 +272,7 @@ def _load_all() -> None:
     from readur_spark.ml import packing as ml_packing  # noqa: F401
     from readur_spark.ml import webfilters as ml_webfilters  # noqa: F401
     from readur_spark.ml import charset as ml_charset  # noqa: F401
+    from readur_spark.ml import pubdate as ml_pubdate  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
