@@ -273,6 +273,7 @@ def _load_all() -> None:
     from readur_spark.ml import webfilters as ml_webfilters  # noqa: F401
     from readur_spark.ml import charset as ml_charset  # noqa: F401
     from readur_spark.ml import pubdate as ml_pubdate  # noqa: F401
+    from readur_spark.ml import repetition as ml_repetition  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
