@@ -112,7 +112,9 @@ def publication_dates(
 
 # ---- constructed-corpus driver query ---------------------------------------
 
-# rule: date D = 2015-01-01 + (doc_id % 3650) days; class = doc_id % 5
+# rule: date D = 2015-01-01 + (doc_id * 37 % 3650) days (37 is
+# coprime to 3650, spreading small doc_id ranges over all ten years);
+# class = doc_id % 5
 # places D behind exactly one rung. Class 0's URL also carries a DECOY
 # date (2001-01-01) so the oracle proves meta-article outranks
 # url-path, not merely that extraction works.
@@ -122,7 +124,7 @@ _DECOY_PATH = "/2001/01/01/"
 
 def constructed_dated_pages(docs: DataFrame) -> DataFrame:
     cls = (F.col("doc_id") % 5).cast("int")
-    d = F.date_add(F.lit(_EPOCH).cast("date"), (F.col("doc_id") % 3650).cast("int"))
+    d = F.date_add(F.lit(_EPOCH).cast("date"), (F.col("doc_id") * 37 % 3650).cast("int"))
     ds = F.date_format(d, "yyyy-MM-dd")
     body = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
     html = (
@@ -193,7 +195,7 @@ def constructed_dated_pages(docs: DataFrame) -> DataFrame:
 _ORACLE = f"""
 WITH b AS (
   SELECT doc_id, CAST(doc_id % 5 AS INT) AS cls,
-         DATE '{_EPOCH}' + CAST(doc_id % 3650 AS INT) AS d
+         DATE '{_EPOCH}' + CAST(doc_id * 37 % 3650 AS INT) AS d
   FROM documents
 ), u AS (
   SELECT doc_id, cls, d,
@@ -213,6 +215,118 @@ SELECT url,
                 ELSE 'none' END AS date_source
 FROM u
 """
+
+
+# ---- time-decay mixture plan (composes the ladder into planning) -----------
+
+# Dump-age mixture weighting (the CommonCrawl-mixture recipe used by
+# C4/RefinedWeb-style corpora: fresher dumps get larger shares):
+# per publication year, weight = token mass decayed by a one-year
+# half-life (integer bit-shift, exact both engines), then the existing
+# largest-remainder apportionment (ml/apportion.py) turns weights into
+# INTEGER token quotas summing exactly to the budget. Chain:
+# date ladder -> year rollup -> decay -> Hamilton quotas; a wrong date
+# anywhere moves a year's whole quota, so the composed oracle is a
+# sharp end-to-end check of all four stages.
+_ANCHOR_YEAR = 2025  # construction bound: epoch 2015 + 3650d < 2025
+_TOKEN_BUDGET = 1_000_000
+
+
+def _time_decay_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT doc_id, CAST(doc_id % 5 AS INT) AS cls,
+             DATE '{_EPOCH}' + CAST(doc_id * 37 % 3650 AS INT) AS d,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), y AS (
+      SELECT CAST(year(d) AS INT) AS pub_year,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM b WHERE cls <= 3 GROUP BY 1
+    ), s AS (
+      SELECT *, n_tokens // (CAST(1 AS BIGINT)
+                             << ({_ANCHOR_YEAR} - pub_year)) AS weight
+      FROM y
+    ), t AS (
+      SELECT CAST(sum(weight) AS BIGINT) AS S FROM s WHERE weight > 0
+    ), d2 AS (
+      SELECT pub_year, n_docs, n_tokens, weight,
+             ({_TOKEN_BUDGET} * weight) // t.S AS fl,
+             ({_TOKEN_BUDGET} * weight) % t.S AS rem
+      FROM s, t WHERE weight > 0
+    ), lo AS (
+      SELECT {_TOKEN_BUDGET} - CAST(sum(fl) AS BIGINT) AS k FROM d2
+    ), r AS (
+      SELECT pub_year,
+             row_number() OVER (ORDER BY rem DESC, pub_year) AS rk
+      FROM d2
+    )
+    SELECT d2.pub_year, d2.n_docs, d2.n_tokens,
+           CAST(d2.weight AS BIGINT) AS weight,
+           CAST(fl + CASE WHEN r.rk <= lo.k THEN 1 ELSE 0 END AS BIGINT)
+             AS token_quota
+    FROM d2 JOIN r USING (pub_year), lo
+    UNION ALL
+    SELECT pub_year, n_docs, n_tokens, CAST(weight AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM s WHERE weight <= 0
+    """
+
+
+@register("mixture_time_decay_plan", oracle=_time_decay_oracle())
+def mixture_time_decay_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-year token quotas under one-year-half-life decay:
+    the date ladder runs on REAL (constructed) page bytes, the rollup /
+    decay / largest-remainder stages run on its output, and the oracle
+    re-derives every quota from the construction rule — dates, token
+    masses, bit-shift weights, floors, remainders, and the leftover
+    seat election."""
+    from readur_spark.ml.apportion import apportion_budget
+
+    docs = load(spark, sf_dir, "documents")
+    pages = constructed_dated_pages(docs)
+    pub, _src = publication_date_cols(
+        F.decode(F.col("html"), "UTF-8"), F.col("url")
+    )
+    dated = pages.select("doc_id", pub.alias("pub_date")).where(
+        pub.isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    per_year = (
+        dated.join(toks, "doc_id")
+        .groupBy(F.year("pub_date").cast("int").alias("pub_year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    scored = per_year.withColumn(
+        "weight",
+        F.expr(
+            f"n_tokens div shiftleft(cast(1 as bigint),"
+            f" {_ANCHOR_YEAR} - pub_year)"
+        ).cast("long"),
+    )
+    plan = apportion_budget(
+        scored.select("pub_year", "weight"),
+        _TOKEN_BUDGET,
+        host_col="pub_year",
+        score_col="weight",
+    )
+    return (
+        scored.select("pub_year", "n_docs", "n_tokens")
+        .join(plan, "pub_year")
+        .select(
+            "pub_year",
+            "n_docs",
+            "n_tokens",
+            F.col("weight").cast("long").alias("weight"),
+            F.col("quota").alias("token_quota"),
+        )
+    )
 
 
 @register("pubdate_extract", oracle=_ORACLE)

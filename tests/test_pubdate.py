@@ -111,6 +111,21 @@ class TestConstruction:
             "url-path",
         ]
 
+    def test_time_decay_plan_exact_budget(self, spark):
+        from readur_spark.ml.pubdate import (
+            _TOKEN_BUDGET,
+            mixture_time_decay_plan,
+        )
+
+        rows = mixture_time_decay_plan(spark, "/root/testdata/sf0.001").collect()
+        assert sum(r["token_quota"] for r in rows) == _TOKEN_BUDGET
+        years = {r["pub_year"] for r in rows}
+        assert len(years) == 10  # the coprime multiplier spreads 2015-2024
+        by_year = {r["pub_year"]: r["token_quota"] for r in rows}
+        # one-year half-life: later years must never get SMALLER quotas
+        # per token; spot-check the decay direction at the extremes
+        assert by_year[max(years)] > by_year[min(years)]
+
     def test_pure_projection_no_python_no_shuffle(self, spark):
         docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         plan = (
