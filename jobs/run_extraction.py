@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="process everything even if already committed")
     p.add_argument("--no-type-filter", action="store_true",
                    help="skip the allowed-file-types ingest gate (A7)")
+    p.add_argument("--charset-normalize", action="store_true",
+                   help="WHATWG-ladder-decode text payloads and rewrite "
+                        "them as clean UTF-8 before extraction (non-UTF-8 "
+                        "pages survive instead of mojibake-ing)")
     p.add_argument("--cpus", type=int, default=None,
                    help="local[] cores (ignored under a real master)")
     p.add_argument("--metrics-json", default=None,
@@ -86,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
         from readur_spark.operators.extract import filter_allowed_pages
 
         pages = filter_allowed_pages(pages)
+
+    if args.charset_normalize:
+        from readur_spark.ml.charset import normalize_page_encoding
+
+        pages = normalize_page_encoding(pages)
 
     store = SnapshotStore(args.store)
     if not args.no_resume:

@@ -186,6 +186,44 @@ def detect_decode_table(
     return df.select(id_col, data_col).mapInPandas(run, schema=schema)
 
 
+def _normalize_bytes(b: bytes) -> bytes:
+    """Ladder-decode then re-encode as clean UTF-8. Binary payloads
+    (PDF/image/zip magics) pass through untouched; already-valid
+    BOM-less UTF-8 returns the SAME object (zero-copy fast path)."""
+    from readur_spark.kernels.mime import _sniff_magic
+
+    if not b or _sniff_magic(b) is not None:
+        return b
+    if sniff_bom(b)[0] is None and scan_meta_charset(b) is None:
+        try:
+            b.decode("utf-8")
+            return b  # the overwhelming majority at crawl scale
+        except UnicodeDecodeError:
+            pass
+    text, _enc, _src = detect_and_decode(b)
+    return text.encode("utf-8")
+
+
+@F.pandas_udf(BinaryType())
+def _normalize_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # the fast path (strict C-level UTF-8 validate, no allocation) runs
+    # per row INSIDE the Arrow batch; only declared/invalid pages pay
+    # for the full ladder — same gating stance as ml/mojibake.py (a
+    # JVM CASE WHEN cannot conditionally skip a Python UDF).
+    for s in batches:
+        yield s.map(_normalize_bytes)
+
+
+def normalize_page_encoding(
+    pages: DataFrame, *, data_col: str = "html"
+) -> DataFrame:
+    """Rewrite text-ish payloads as clean UTF-8 via the WHATWG ladder
+    so every downstream decode (kernels/extract.py's utf-8 read, the
+    FTS tokenizer, language ID) sees one canonical encoding. Pure
+    projection, schema unchanged."""
+    return pages.withColumn(data_col, _normalize_udf(F.col(data_col)))
+
+
 # ---- constructed mixed-charset corpus (SQL-twinnable ground truth) ----------
 
 # body base: ASCII-projected, angle-bracket-free (so body text can

@@ -91,6 +91,53 @@ def test_package_zip_importable(tmp_path):
         sys.path.pop(0)
 
 
+def test_job_charset_normalize_flag(tmp_path, spark):
+    """--charset-normalize: a windows-1252 page extracts to the real
+    punctuation instead of U+FFFD mojibake; the default path is
+    byte-compatible with the historical strict-UTF-8 read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    html = (
+        '<html><head><meta http-equiv="Content-Type" content="text/html; '
+        'charset=iso-8859-1"></head><body><article><p>'
+        + "A long enough paragraph of body prose so the content scorer "
+        "keeps the block, quoting “smart quotes” and the — dash "
+        "to prove the decode. " * 3
+        + "</p></article></body></html>"
+    ).encode("cp1252")
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": ["https://ex.test/a.html"],
+                "warc_ts": pa.array([None], pa.timestamp("us")),
+                "html": pa.array([html], pa.binary()),
+                "text": [None],
+                "lang": ["en"],
+            }
+        ),
+        src,
+    )
+    plain = _run_job(["--input", src, "--store", str(tmp_path / "s1"),
+                      "--cpus", "4"])
+    fixed = _run_job(["--input", src, "--charset-normalize",
+                      "--store", str(tmp_path / "s2"), "--cpus", "4"])
+    assert plain["status"] == fixed["status"] == "committed"
+
+    def _texts(store):
+        df = spark.read.parquet(
+            *[str(p) for p in (tmp_path / store / "snapshots").rglob("*.parquet")]
+        )
+        return [
+            r["extracted_text"] or ""
+            for r in df.select("extracted_text").collect()
+        ]
+
+    assert any("“smart quotes”" in t and "—" in t for t in _texts("s2"))
+    assert not any("“smart quotes”" in t for t in _texts("s1"))
+
+
 def test_curation_job_end_to_end(tmp_path, pages_parquet):
     """extraction job → curation job → shard layout with yields."""
     store = str(tmp_path / "cstore")
