@@ -328,6 +328,166 @@ def _register_pagerank() -> None:
 _register_pagerank()
 
 
+# ---- HITS (hubs & authorities) ---------------------------------------------
+
+HITS_SCALE = 10**6  # L1 fixed-point grid: a_raw * SCALE stays in int64
+HITS_ITERS = 4      # 2 shuffles + 2 scalar aggs per step; lazily chained
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    num_iters: int = HITS_ITERS,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """K-iteration integer HITS (Kleinberg 1999, "Authoritative
+    sources in a hyperlinked environment"): authority(v) = Σ hub(u)
+    over in-edges, hub(v) = Σ authority(w) over out-edges, each side
+    L1-renormalized onto the fixed-point grid per iteration
+    (x * scale div Σx — all-integer, so both engines replay the exact
+    truncation). Parallel edge rows contribute once per occurrence,
+    same stance as pagerank_fixed_point.
+
+    Scale notes: the per-step sums are slim (node, value) frames; the
+    normalizer is a 1-row aggregate joined back by broadcast. Unlike
+    PageRank's damped update, each HITS step references its own
+    intermediate TWICE (raw sums feed both the normalizer and the
+    quotient), so the logical plan DOUBLES per step — persist caches
+    data but not the plan, and analysis alone grows 4× per iteration
+    (measured: 0.8 s → 100 s by step 8). Each side therefore
+    localCheckpoints per step, truncating lineage to the cached
+    blocks: 2K tiny materializations, flat per-step cost.
+    int64 bound: Σ|h| ≈ scale after each renormalize, so
+    a_raw ≤ E·scale and a_raw·scale ≤ E·10^12 — safe below ~10^6
+    edges per connected run at this grid; widen the grid down (10^4)
+    for larger graphs."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("authority"),
+            F.lit(0).cast("long").alias("hub"),
+        )
+    e = edges.select(src.alias("e_src"), dst.alias("e_dst")).persist()
+    h = nodes.select("node", F.lit(scale // n).cast("long").alias("v"))
+    a = None
+    def _step(frame: DataFrame, key, other) -> DataFrame:
+        raw = (
+            e.join(frame, e[key] == frame.node)
+            .groupBy(e[other].alias("node"))
+            .agg(F.sum("v").alias("raw"))
+        )
+        s = raw.agg(F.sum("raw").alias("s"))
+        out = (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(s))
+            .select(
+                "node",
+                F.expr(f"coalesce(raw, 0L) * {scale}L div s").alias("v"),
+            )
+            .localCheckpoint(eager=True)  # cut the lineage NOW — see docstring
+        )
+        return out
+
+    for _ in range(num_iters):
+        a = _step(h, "e_src", "e_dst")
+        h = _step(a, "e_dst", "e_src")
+    result = (
+        a.withColumnRenamed("v", "authority")
+        .join(h.withColumnRenamed("v", "hub"), "node")
+        .select("node", "authority", "hub")
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return result
+
+
+def _hits_oracle(num_iters: int, n_docs: int) -> str:
+    """DuckDB replay: same md5 graph as the pagerank oracle, then the
+    exact integer HITS recursion — every renormalization truncation
+    included. CTEs MATERIALIZED for the same inlining reason."""
+    scale = HITS_SCALE
+    sql = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT doc_id AS src,
+             CAST(concat('0x', substr(md5(doc_id::VARCHAR || '#' || j.j),
+                                      1, 15)) AS BIGINT)
+               % {n_docs} AS dst
+      FROM documents, UNNEST(range(1, {PR_OUT_EDGES + 1})) AS j(j)
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nstat AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    h0 AS MATERIALIZED (
+      SELECT node, {scale} // (SELECT n FROM nstat) AS v FROM nodes
+    )"""
+    for k in range(1, num_iters + 1):
+        p = k - 1
+        sql += f""",
+    ar{k} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(h.v) AS raw
+      FROM edges e JOIN h{p} h ON e.src = h.node GROUP BY e.dst
+    ),
+    sa{k} AS MATERIALIZED (SELECT sum(raw) AS s FROM ar{k}),
+    a{k} AS MATERIALIZED (
+      SELECT n.node,
+             coalesce(ar.raw, 0) * {scale} // (SELECT s FROM sa{k}) AS v
+      FROM nodes n LEFT JOIN ar{k} ar USING (node)
+    ),
+    hr{k} AS MATERIALIZED (
+      SELECT e.src AS node, sum(a.v) AS raw
+      FROM edges e JOIN a{k} a ON e.dst = a.node GROUP BY e.src
+    ),
+    sh{k} AS MATERIALIZED (SELECT sum(raw) AS s FROM hr{k}),
+    h{k} AS MATERIALIZED (
+      SELECT n.node,
+             coalesce(hr.raw, 0) * {scale} // (SELECT s FROM sh{k}) AS v
+      FROM nodes n LEFT JOIN hr{k} hr USING (node)
+    )"""
+    sql += f"""
+    SELECT a.node, CAST(a.v AS BIGINT) AS authority,
+           CAST(h.v AS BIGINT) AS hub
+    FROM a{num_iters} a JOIN h{num_iters} h USING (node)
+    """
+    return sql
+
+
+def _register_hits() -> None:
+    # same lazy fixture guard as _register_pagerank: no fixture tree,
+    # no oracle — but the registry must still import.
+    try:
+        n_docs = table_row_count("/root/testdata/sf0.01", "documents")
+    except Exception:
+        n_docs = None
+    oracle = _hits_oracle(HITS_ITERS, n_docs) if n_docs else None
+
+    @register("host_hits", oracle=oracle)
+    def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Integer HITS hubs/authorities over the md5-derived citation
+        graph: graph derivation, both sum directions, and every
+        renormalization truncation replayed value-for-value. The
+        crawl-seeding complement of host_pagerank (authorities seed
+        content crawls, hubs seed frontier discovery)."""
+        docs = load(spark, sf_dir, "documents")
+        n = table_row_count(sf_dir, "documents")
+        edges = _synthetic_edges(docs, n)
+        return hits_fixed_point(edges, HITS_ITERS)
+
+
+_register_hits()
+
+
 @register("host_link_graph")
 def host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level outlink edge list extracted from the synthetic raw

@@ -1,0 +1,67 @@
+"""Unit tests for integer HITS — hand-computed one-iteration values,
+ranking sanity, and empty-graph behavior."""
+
+from readur_spark.ml.linkgraph import HITS_SCALE, hits_fixed_point
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+class TestHits:
+    def test_one_iteration_hand_computed(self, spark):
+        # graph: 1->2, 1->3, 4->2 ; n=4, h0 = scale//4 = 250000 each.
+        # ar: 2 <- h1+h4 = 500000 ; 3 <- h1 = 250000 ; Sa = 750000
+        # a:  2 = 500000*1e6 div 750000 = 666666 ; 3 = 333333
+        # hr: 1 <- a2+a3 = 999999 ; 4 <- a2 = 666666 ; Sh = 1666665
+        # h:  1 = 999999e6 div 1666665 = 600000 (exact: 1666665*6e5)
+        #     4 = 666666e6 div 1666665 = 400000 (exact)
+        out = {
+            r["node"]: (r["authority"], r["hub"])
+            for r in hits_fixed_point(
+                _edges(spark, [(1, 2), (1, 3), (4, 2)]), 1
+            ).collect()
+        }
+        assert out[2] == (666666, 0)
+        assert out[3] == (333333, 0)
+        assert out[1] == (0, 600000)
+        assert out[4] == (0, 400000)
+
+    def test_symmetric_cycle_is_uniform(self, spark):
+        # 1->2->3->1: perfect symmetry, every node same authority/hub
+        out = hits_fixed_point(
+            _edges(spark, [(1, 2), (2, 3), (3, 1)]), 3
+        ).collect()
+        auths = {r["authority"] for r in out}
+        hubs = {r["hub"] for r in out}
+        assert len(auths) == 1 and len(hubs) == 1
+        assert auths.pop() > 0
+
+    def test_hub_authority_separation(self, spark):
+        # bipartite: hubs {1,2} each link to authorities {10,11,12};
+        # after convergence hubs have zero authority and vice versa,
+        # and the doubly-linked authority outranks the singly-linked.
+        pairs = [(1, 10), (1, 11), (1, 12), (2, 10)]
+        out = {
+            r["node"]: (r["authority"], r["hub"])
+            for r in hits_fixed_point(_edges(spark, pairs), 3).collect()
+        }
+        assert out[1][0] == 0 and out[2][0] == 0
+        assert out[10][1] == 0
+        assert out[10][0] > out[11][0]  # two in-links beat one
+        assert out[1][1] > out[2][1]  # linking the best authority more
+
+    def test_empty_graph(self, spark):
+        rows = hits_fixed_point(
+            spark.createDataFrame([], "src long, dst long"), 2
+        ).collect()
+        assert rows == []
+
+    def test_scores_on_scale_grid(self, spark):
+        out = hits_fixed_point(
+            _edges(spark, [(1, 2), (2, 1), (1, 3)]), 2
+        ).collect()
+        assert all(
+            0 <= r["authority"] <= HITS_SCALE and 0 <= r["hub"] <= HITS_SCALE
+            for r in out
+        )
