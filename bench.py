@@ -81,6 +81,11 @@ HEADLINE_QUERIES = [
     "embedding_outlier_flags",
     "qc_blocklist_gate",
     "redirect_chain_resolve",
+    # round 5, session 5
+    "charset_detect_decode",
+    "pubdate_extract",
+    "qc_dup_ngram_chars",
+    "host_hits",
 ]
 
 
