@@ -488,6 +488,88 @@ def _register_hits() -> None:
 _register_hits()
 
 
+# ---- co-citation -----------------------------------------------------------
+
+COCITE_MAX_OUTDEG = 64  # posting-join df cap: mega-hubs excluded
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_outdeg: int = COCITE_MAX_OUTDEG,
+    min_cocites: int = 2,
+) -> DataFrame:
+    """(node_a, node_b, n_cocites): how many distinct sources link to
+    BOTH targets (Small 1973 co-citation; the transpose — shared
+    outlink targets between sources — is bibliographic coupling and is
+    this same join with src/dst swapped). Co-cited host pairs are the
+    classic mirror/affiliate signal a crawl uses to collapse
+    equivalent sites before budgeting.
+
+    Shape: the standard posting self-join with a frequency cap — the
+    same quadratic-blowup defense as ml/dedup.py's jaccard_pairs:
+    sources with out-degree > max_outdeg contribute no pairs (a
+    mega-hub co-cites everything, carrying no signal and O(d²) rows),
+    so per-source work is bounded by cap². Dedup to distinct
+    (src,dst) first: parallel links must not inflate counts."""
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    small = e.join(deg.where(F.col("outdeg") <= max_outdeg), "s")
+    a = small.select("s", F.col("d").alias("node_a"))
+    b = small.select("s", F.col("d").alias("node_b"))
+    return (
+        a.join(b, "s")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cocites"))
+        .where(F.col("n_cocites") >= min_cocites)
+    )
+
+
+def _register_cocitation() -> None:
+    try:
+        n_docs = table_row_count("/root/testdata/sf0.01", "documents")
+    except Exception:
+        n_docs = None
+    oracle = None
+    if n_docs:
+        oracle = f"""
+        WITH edges AS MATERIALIZED (
+          SELECT DISTINCT doc_id AS s,
+                 CAST(concat('0x', substr(md5(doc_id::VARCHAR || '#' || j.j),
+                                          1, 15)) AS BIGINT)
+                   % {n_docs} AS d
+          FROM documents, UNNEST(range(1, {PR_OUT_EDGES + 1})) AS j(j)
+        ),
+        deg AS (SELECT s, count(*) AS outdeg FROM edges GROUP BY s),
+        small AS (
+          SELECT e.s, e.d FROM edges e JOIN deg USING (s)
+          WHERE deg.outdeg <= {COCITE_MAX_OUTDEG}
+        )
+        SELECT a.d AS node_a, b.d AS node_b,
+               CAST(count(*) AS BIGINT) AS n_cocites
+        FROM small a JOIN small b ON a.s = b.s AND a.d < b.d
+        GROUP BY a.d, b.d
+        HAVING count(*) >= 2
+        """
+
+    @register("graph_cocitation_pairs", oracle=oracle)
+    def graph_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Co-citation pairs over the md5-derived citation graph —
+        the dedup, the degree cap, the capped self-join, and the pair
+        census all replayed by the DuckDB twin."""
+        docs = load(spark, sf_dir, "documents")
+        n = table_row_count(sf_dir, "documents")
+        return cocitation_pairs(_synthetic_edges(docs, n))
+
+
+_register_cocitation()
+
+
 @register("host_link_graph")
 def host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level outlink edge list extracted from the synthetic raw

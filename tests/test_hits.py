@@ -1,7 +1,11 @@
-"""Unit tests for integer HITS — hand-computed one-iteration values,
-ranking sanity, and empty-graph behavior."""
+"""Unit tests for integer HITS and co-citation — hand-computed
+one-iteration values, ranking sanity, cap/dedup behavior."""
 
-from readur_spark.ml.linkgraph import HITS_SCALE, hits_fixed_point
+from readur_spark.ml.linkgraph import (
+    HITS_SCALE,
+    cocitation_pairs,
+    hits_fixed_point,
+)
 
 
 def _edges(spark, pairs):
@@ -56,6 +60,38 @@ class TestHits:
             spark.createDataFrame([], "src long, dst long"), 2
         ).collect()
         assert rows == []
+
+    def test_cocitation_hand_example(self, spark):
+        # srcs 1,2,3 each cite {10,11}; src 4 cites {10,12}:
+        # (10,11) co-cited 3x kept; (10,12) once -> below min_cocites
+        pairs = [(s, t) for s in (1, 2, 3) for t in (10, 11)] + [
+            (4, 10),
+            (4, 12),
+        ]
+        out = {
+            (r["node_a"], r["node_b"]): r["n_cocites"]
+            for r in cocitation_pairs(_edges(spark, pairs)).collect()
+        }
+        assert out == {(10, 11): 3}
+
+    def test_cocitation_parallel_links_count_once(self, spark):
+        pairs = [(1, 10), (1, 10), (1, 11), (2, 10), (2, 11)]
+        out = cocitation_pairs(_edges(spark, pairs)).collect()
+        assert {(r["node_a"], r["node_b"], r["n_cocites"]) for r in out} == {
+            (10, 11, 2)
+        }
+
+    def test_cocitation_megahub_capped(self, spark):
+        # a hub citing 100 targets is excluded by the df cap; the two
+        # modest srcs still produce their pair
+        pairs = [(99, t) for t in range(100)] + [
+            (1, 5),
+            (1, 6),
+            (2, 5),
+            (2, 6),
+        ]
+        out = cocitation_pairs(_edges(spark, pairs)).collect()
+        assert {(r["node_a"], r["node_b"]) for r in out} == {(5, 6)}
 
     def test_scores_on_scale_grid(self, spark):
         out = hits_fixed_point(
