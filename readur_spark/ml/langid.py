@@ -338,3 +338,204 @@ def langid_margin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "margin_bits",
         (F.col("margin_bits") >= MIN_MARGIN_BITS).cast("int").alias("kept"),
     )
+
+
+# ---- paragraph-level language segmentation ---------------------------------
+
+# CCNet splits documents into paragraphs BEFORE langid (its unit of
+# dedup and LM scoring is the paragraph), because multilingual pages —
+# boilerplate in one language wrapping content in another — are common
+# at crawl scale and a doc-level label mislabels half the page. This
+# operator trains the NB model on labelled documents and classifies
+# PARAGRAPH units: same integer arithmetic, unit keys (doc_id, p).
+
+_LANGS_SORTED = sorted(LANG_MARKERS)
+_NEXT_LANG = {
+    l: _LANGS_SORTED[(i + 1) % len(_LANGS_SORTED)]
+    for i, l in enumerate(_LANGS_SORTED)
+}
+_PARA_SLICE = 120
+
+
+def _case_over_lang(mapping: dict[str, str]):
+    expr = None
+    for lang, v in sorted(mapping.items()):
+        expr = (
+            F.when(F.col("lang") == lang, F.lit(v))
+            if expr is None
+            else expr.when(F.col("lang") == lang, F.lit(v))
+        )
+    return expr.otherwise(F.lit(""))
+
+
+def _sql_case_over_lang(mapping: dict[str, str]) -> str:
+    return (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN '{v}'" for lang, v in sorted(mapping.items())
+        )
+        + " ELSE '' END"
+    )
+
+
+def constructed_paragraph_units(docs: DataFrame) -> DataFrame:
+    """(doc_id, p, para_lang, ptext): paragraph 1 in the document's own
+    language, paragraph 2 in the cyclic-successor language — every doc
+    is multilingual by construction, so per-paragraph prediction must
+    DISAGREE with the doc label exactly once. Both slices carry their
+    language's marker phrase inside the prefix cap."""
+    p1 = docs.select(
+        "doc_id",
+        F.lit(1).alias("p"),
+        F.col("lang").alias("para_lang"),
+        F.concat(
+            _case_over_lang(LANG_MARKERS),
+            F.substring("text", 1, _PARA_SLICE),
+        ).alias("ptext"),
+    )
+    next_marker = {
+        l: LANG_MARKERS[_NEXT_LANG[l]] for l in _LANGS_SORTED
+    }
+    p2 = docs.select(
+        "doc_id",
+        F.lit(2).alias("p"),
+        _case_over_lang(_NEXT_LANG).alias("para_lang"),
+        F.concat(
+            _case_over_lang(next_marker),
+            F.substring("text", _PARA_SLICE + 1, _PARA_SLICE),
+        ).alias("ptext"),
+    )
+    return p1.unionByName(p2)
+
+
+def langid_units(
+    train_docs: DataFrame, units: DataFrame
+) -> DataFrame:
+    """Train the trigram NB on (text, lang)-labelled documents, then
+    classify arbitrary text UNITS keyed (doc_id, p). Identical model
+    arithmetic to langid_nb; the scoring stream explodes the unit
+    prefix instead of the document prefix."""
+    tris = char_trigrams(train_docs).persist()
+    labeled = tris.join(
+        train_docs.select("doc_id", "lang"), "doc_id"
+    )
+    counts = labeled.groupBy("tri", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.groupBy("lang").agg(F.sum("cnt").cast("long").alias("t"))
+    model = counts.join(tot, "lang").select(
+        "tri", "lang", int_log2(F.expr("t div (cnt + 1L)")).alias("bits")
+    )
+    langs = tot.select("lang", int_log2(F.col("t") + 1).alias("prior_bits"))
+
+    s = F.lower(F.substring(F.col("ptext"), 1, PREFIX_CAP))
+    utris = units.select(
+        "doc_id",
+        "p",
+        F.explode(
+            F.when(
+                F.length(s) >= 3, F.sequence(F.lit(1), F.length(s) - 2)
+            ).otherwise(F.expr("array()").cast("array<int>"))
+        ).alias("i"),
+        s.alias("_s"),
+    ).select("doc_id", "p", F.expr("substring(_s, i, 3)").alias("tri"))
+    scored = (
+        utris.crossJoin(F.broadcast(langs))
+        .join(model, ["tri", "lang"], "left")
+        .select(
+            "doc_id",
+            "p",
+            "lang",
+            F.coalesce(F.col("bits"), F.col("prior_bits")).alias("b"),
+        )
+        .groupBy("doc_id", "p", "lang")
+        .agg(F.sum("b").cast("long").alias("sbits"))
+    )
+    w = Window.partitionBy("doc_id", "p").orderBy("sbits", "lang")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "p", F.col("lang").alias("pred_lang"))
+    )
+    return units.select("doc_id", "p", "para_lang").join(
+        pred, ["doc_id", "p"]
+    )
+
+
+def _paragraph_oracle() -> str:
+    next_case = _sql_case_over_lang(_NEXT_LANG)
+    next_marker_case = _sql_case_over_lang(
+        {l: LANG_MARKERS[_NEXT_LANG[l]] for l in _LANGS_SORTED}
+    )
+    return f"""
+    WITH c AS ({_CONSTRUCT_SQL}),
+    s AS (
+      SELECT doc_id, lang, lower(substr(text, 1, {PREFIX_CAP})) AS s
+      FROM c
+    ),
+    tris AS (
+      SELECT doc_id, lang, substr(s, i.i, 3) AS tri
+      FROM s, UNNEST(range(1, greatest(len(s) - 2, 0) + 1)) AS i(i)
+    ),
+    counts AS (
+      SELECT tri, lang, count(*) AS cnt FROM tris GROUP BY tri, lang
+    ),
+    tot AS (
+      SELECT lang, CAST(sum(cnt) AS BIGINT) AS t FROM counts GROUP BY lang
+    ),
+    model AS (
+      SELECT tri, counts.lang,
+             length(bin(t // (cnt + 1))) - 1 AS bits
+      FROM counts JOIN tot USING (lang)
+    ),
+    pu AS (
+      SELECT doc_id, 1 AS p, lang AS para_lang,
+             {_MARKER_CASE_SQL} || substr(text, 1, {_PARA_SLICE}) AS ptext
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 2 AS p, {next_case} AS para_lang,
+             {next_marker_case}
+               || substr(text, {_PARA_SLICE + 1}, {_PARA_SLICE}) AS ptext
+      FROM documents
+    ),
+    su AS (
+      SELECT doc_id, p, para_lang,
+             lower(substr(ptext, 1, {PREFIX_CAP})) AS s
+      FROM pu
+    ),
+    ptris AS (
+      SELECT doc_id, p, substr(s, i.i, 3) AS tri
+      FROM su, UNNEST(range(1, greatest(len(s) - 2, 0) + 1)) AS i(i)
+    ),
+    pscored AS (
+      SELECT t.doc_id, t.p, l.lang,
+             CAST(sum(coalesce(m.bits, length(bin(l.t + 1)) - 1))
+                  AS BIGINT) AS sbits
+      FROM ptris t
+      CROSS JOIN tot l
+      LEFT JOIN model m ON m.tri = t.tri AND m.lang = l.lang
+      GROUP BY t.doc_id, t.p, l.lang
+    ),
+    ppred AS (
+      SELECT doc_id, p, lang AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id, p
+                                ORDER BY sbits, lang) AS rn
+      FROM pscored
+    )
+    SELECT su.doc_id, su.p, su.para_lang, pp.pred_lang
+    FROM su JOIN ppred pp
+      ON su.doc_id = pp.doc_id AND su.p = pp.p AND pp.rn = 1
+    """
+
+
+@register("langid_by_paragraph", oracle=_paragraph_oracle())
+def langid_by_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level language ID over a constructed multilingual
+    corpus (every doc's second paragraph is in the cyclic-successor
+    language): model training, per-paragraph scoring, and the argmin
+    are all value-hashed — the sharp check is that prediction FLIPS
+    between paragraphs of the same document."""
+    docs = load(spark, sf_dir, "documents")
+    train = constructed_langid_pages(docs)
+    units = constructed_paragraph_units(docs)
+    return langid_units(train, units)

@@ -106,3 +106,45 @@ class TestClassifier:
         )
         plan = langid_nb(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan, plan
+
+
+class TestParagraphLangid:
+    def test_multilingual_doc_flips_prediction(self, spark):
+        from readur_spark.ml.langid import (
+            constructed_langid_pages,
+            constructed_paragraph_units,
+            langid_units,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "shared vocabulary words repeated here " * 8,
+              ["en", "de", "es", "fr", "zh"][i % 5])
+             for i in range(25)],
+            "doc_id long, text string, lang string",
+        )
+        out = langid_units(
+            constructed_langid_pages(docs),
+            constructed_paragraph_units(docs),
+        ).collect()
+        assert len(out) == 50  # two paragraphs per doc
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], {})[r["p"]] = (
+                r["para_lang"], r["pred_lang"]
+            )
+        for doc_id, ps in by_doc.items():
+            # construction: p1 own lang, p2 successor; marker phrases
+            # give the NB a clean signal, so prediction matches both
+            assert ps[1][0] != ps[2][0]
+            assert ps[1][1] == ps[1][0]
+            assert ps[2][1] == ps[2][0]
+
+    def test_unit_keys_are_paragraph_grained(self, spark):
+        from readur_spark.ml.langid import constructed_paragraph_units
+
+        docs = spark.createDataFrame(
+            [(7, "x " * 200, "en")], "doc_id long, text string, lang string"
+        )
+        units = constructed_paragraph_units(docs).collect()
+        assert {(u["doc_id"], u["p"]) for u in units} == {(7, 1), (7, 2)}
+        assert units[0]["ptext"] != units[1]["ptext"]
