@@ -673,3 +673,116 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", synthetic_url()
     )
     return dataset_split(docs).select("doc_id", "bucket", "split")
+
+
+# ---- temperature-scaled language sampling (alpha = 1/2) --------------------
+
+ALPHA_BUDGET = 1_000_000
+
+
+def isqrt_col(x: Column) -> Column:
+    """Exact integer sqrt of a non-negative long: float sqrt, then a
+    ±1 correction so the result is floor(sqrt(x)) EXACTLY even where
+    double rounding drifts at perfect-square boundaries. Pure
+    projection; DuckDB replays the identical correction."""
+    s = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    s = F.when((s + 1) * (s + 1) <= x, s + 1).otherwise(s)
+    return F.when(s * s > x, s - 1).otherwise(s)
+
+
+def plan_alpha_mixture(
+    docs: DataFrame,
+    budget: int = ALPHA_BUDGET,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled multilingual sampling, alpha = 1/2 (the XLM
+    recipe, Lample & Conneau 2019: sample language l with probability
+    proportional to p_l^alpha — flattening the head so low-resource
+    languages keep signal; alpha=0.5 is their BPE-sampling setting and
+    the one alpha with an EXACT integer form, weight = isqrt(tokens)).
+    Quotas via the largest-remainder apportionment (ml/apportion.py),
+    so per-language integer token budgets sum exactly."""
+    from readur_spark.ml.apportion import apportion_budget
+
+    per_lang = (
+        docs.select(
+            lang_col, F.size(F.split(F.col(text_col), " ")).alias("n_tok")
+        )
+        .groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    scored = per_lang.withColumn("weight", isqrt_col(F.col("n_tokens")))
+    plan = apportion_budget(
+        scored.select(lang_col, "weight"),
+        budget,
+        host_col=lang_col,
+        score_col="weight",
+    )
+    return (
+        scored.select(lang_col, "n_docs", "n_tokens")
+        .join(plan, lang_col)
+        .select(
+            lang_col,
+            "n_docs",
+            "n_tokens",
+            F.col("weight").cast("long").alias("weight"),
+            F.col("quota").alias("token_quota"),
+        )
+    )
+
+
+@register(
+    "mixture_alpha_plan",
+    oracle=f"""
+    WITH y AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), s AS (
+      SELECT *,
+        CASE
+          WHEN (CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) + 1)
+               * (CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) + 1)
+               <= n_tokens
+            THEN CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) + 1
+          WHEN CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT)
+               * CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) > n_tokens
+            THEN CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) - 1
+          ELSE CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT)
+        END AS weight
+      FROM y
+    ), t AS (
+      SELECT CAST(sum(weight) AS BIGINT) AS S FROM s WHERE weight > 0
+    ), d AS (
+      SELECT lang, n_docs, n_tokens, weight,
+             ({ALPHA_BUDGET} * weight) // t.S AS fl,
+             ({ALPHA_BUDGET} * weight) % t.S AS rem
+      FROM s, t WHERE weight > 0
+    ), lo AS (
+      SELECT {ALPHA_BUDGET} - CAST(sum(fl) AS BIGINT) AS k FROM d
+    ), r AS (
+      SELECT lang, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM d
+    )
+    SELECT d.lang, d.n_docs, d.n_tokens,
+           CAST(d.weight AS BIGINT) AS weight,
+           CAST(d.fl + CASE WHEN r.rk <= lo.k THEN 1 ELSE 0 END AS BIGINT)
+             AS token_quota
+    FROM d JOIN r USING (lang), lo
+    UNION ALL
+    SELECT lang, n_docs, n_tokens, CAST(weight AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM s WHERE weight <= 0
+    """,
+)
+def mixture_alpha_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 language-sampling quotas over the real corpus lang
+    column: token rollup, exact integer sqrt (including the boundary
+    correction), floors, remainders, and the leftover election all
+    replayed in DuckDB."""
+    return plan_alpha_mixture(load(spark, sf_dir, "documents"))

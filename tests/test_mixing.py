@@ -251,3 +251,43 @@ class TestTemperaturePlan:
         assert 9 <= ratio_target <= 11
         # targets sum to <= 1000 (floor division loses at most K-1 milli)
         assert sum(r["target_milli"] for r in got.values()) <= 1000
+
+
+class TestAlphaSampling:
+    def test_isqrt_exact_around_squares(self, spark):
+        from pyspark.sql import functions as F
+
+        from readur_spark.ml.mixing import isqrt_col
+
+        vals = []
+        for r in (0, 1, 2, 3, 10, 999, 10**6, 10**9):
+            vals += [r * r - 1, r * r, r * r + 1]
+        vals = sorted({v for v in vals if v >= 0})
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        out = {
+            r["x"]: r["s"]
+            for r in df.select("x", isqrt_col(F.col("x")).alias("s")).collect()
+        }
+        import math
+
+        for v in vals:
+            assert out[v] == math.isqrt(v), v
+
+    def test_alpha_plan_flattens_the_head(self, spark):
+        from readur_spark.ml.mixing import plan_alpha_mixture
+
+        docs = spark.createDataFrame(
+            [(i, "w " * 100, "en") for i in range(90)]
+            + [(1000 + i, "w " * 100, "sw") for i in range(10)],
+            "doc_id long, text string, lang string",
+        )
+        rows = {r["lang"]: r for r in plan_alpha_mixture(docs).collect()}
+        total = sum(r["token_quota"] for r in rows.values())
+        assert total == 1_000_000
+        en_raw = rows["en"]["n_tokens"] / (
+            rows["en"]["n_tokens"] + rows["sw"]["n_tokens"]
+        )
+        en_quota = rows["en"]["token_quota"] / total
+        # alpha=0.5: 90/10 token split -> 3:1 weight split, not 9:1
+        assert en_quota < en_raw
+        assert abs(en_quota - 0.75) < 0.01
