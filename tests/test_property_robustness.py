@@ -103,3 +103,44 @@ def test_word_count_nonnegative_and_trim_invariant(t):
     n = count_words_in_text(t)
     assert n >= 0
     assert count_words_in_text("  " + t) >= 0
+
+
+# ---- charset ladder (r5s5) --------------------------------------------------
+
+from readur_spark.ml.charset import (
+    decode_windows1252,
+    detect_and_decode,
+    normalize_label,
+)
+
+
+@given(st.binary(min_size=0, max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_charset_ladder_total_on_arbitrary_bytes(data):
+    """detect_and_decode never raises and always returns a str plus a
+    valid (encoding, source) pair — the fallback rung is total."""
+    text, enc, src = detect_and_decode(data)
+    assert isinstance(text, str)
+    assert enc in {"utf-8", "windows-1252", "utf-16-le", "utf-16-be"}
+    assert src in {"bom", "meta", "utf8-valid", "fallback"}
+
+
+@given(st.binary(min_size=1, max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_whatwg_1252_decode_roundtrips(data):
+    """WHATWG windows-1252 is injective byte->char: applying the
+    inverse map to the decoded string recovers the exact bytes."""
+    from readur_spark.ml.charset import _W1252_MAP
+
+    text = decode_windows1252(data)
+    inv = {v: k for k, v in _W1252_MAP.items()}
+    raw = bytes(inv.get(c, ord(c)) for c in text)
+    assert raw == data
+
+
+@given(st.text(min_size=0, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_label_normalization_never_raises(label):
+    assert normalize_label(label) in {
+        None, "utf-8", "windows-1252", "utf-16-le", "utf-16-be"
+    }
