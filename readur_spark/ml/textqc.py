@@ -591,3 +591,150 @@ def qc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands replayed identically in DuckDB."""
     docs = load(spark, sf_dir, "documents")
     return readability_table(docs)
+
+
+# ---- count-min sketch heavy hitters (r5s5) ---------------------------------
+
+CMS_W = 1024  # counter width per hash row
+CMS_D = 3     # independent hash rows
+CMS_TOPK = 20
+
+
+def _cms_bucket(tok, i: int):
+    # md5-derived bucket, the _synthetic_edges cross-engine trick:
+    # both engines hash the same "token#i" bytes to the same counter.
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(tok, F.lit(f"#{i}")), "UTF-8")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = CMS_TOPK,
+) -> DataFrame:
+    """Heavy hitters via a Count-Min sketch (Cormode & Muthukrishnan
+    2005): d=3 hash rows of w=1024 counters, estimate = min over rows,
+    one-sided error (estimate >= true count, over by at most eN/w with
+    prob 1-exp(-d)). The sketch is the 100 TB answer to heavy-hitter
+    queries: the counter table is w·d integers REGARDLESS of corpus
+    size, map-side combinable, and mergeable across shards/streams by
+    plain addition — where the exact twin (`heavy_hitter_tokens`)
+    shuffles the full (token, n) vocabulary.
+
+    Returns the top-k tokens by ESTIMATE with the exact count
+    alongside (est >= n_exact always; equality whenever the token's d
+    buckets are collision-free). Fully deterministic — the md5 hash
+    family is fixed — so DuckDB replays counters, estimates, and the
+    top-k election value-for-value."""
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("token")
+    )
+    ib = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    _cms_bucket(F.col("token"), i).alias("b"),
+                )
+                for i in range(1, CMS_D + 1)
+            ]
+        )
+    ).alias("ib")
+    counters = (
+        toks.select(ib)
+        .select("ib.i", "ib.b")
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    cand = exact.select("token", "n_exact", ib).select(
+        "token", "n_exact", "ib.i", "ib.b"
+    )
+    est = (
+        cand.join(counters, ["i", "b"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("c").cast("long").alias("est"))
+    )
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps + driver merge), NOT a row_number window over one
+    # partition; the residual rank window runs on the k-row remnant.
+    from pyspark.sql import Window
+
+    topk = est.orderBy(F.col("est").desc(), F.col("token")).limit(k)
+    w = Window.orderBy(F.col("est").desc(), F.col("token"))
+    return topk.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select("token", "est", "n_exact", "rnk")
+
+
+def _cms_bucket_sql(tok: str, i: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({tok} || '#{i}'), 1, 15)) AS BIGINT)"
+        f" % {CMS_W}"
+    )
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.token
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS t(token)
+    ),
+    ib AS (
+      SELECT token, i.i,
+             CASE i.i
+               {" ".join(f"WHEN {i} THEN {_cms_bucket_sql('token', i)}" for i in range(1, CMS_D + 1))}
+             END AS b
+      FROM toks, UNNEST(range(1, {CMS_D + 1})) AS i(i)
+    ),
+    counters AS (
+      SELECT i, b, count(*) AS c FROM ib GROUP BY i, b
+    ),
+    exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+      FROM toks GROUP BY token
+    ),
+    cand AS (
+      SELECT e.token, e.n_exact, i.i,
+             CASE i.i
+               {" ".join(f"WHEN {i} THEN {_cms_bucket_sql('e.token', i)}" for i in range(1, CMS_D + 1))}
+             END AS b
+      FROM exact e, UNNEST(range(1, {CMS_D + 1})) AS i(i)
+    ),
+    est AS (
+      SELECT cand.token, cand.n_exact, CAST(min(c.c) AS BIGINT) AS est
+      FROM cand JOIN counters c USING (i, b)
+      GROUP BY cand.token, cand.n_exact
+    )
+    SELECT token, est, n_exact, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY est DESC, token) AS rnk
+      FROM est
+    ) WHERE rnk <= {CMS_TOPK}
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the corpus token stream — counter
+    table, per-token min-estimates, and the deterministic top-k
+    election all value-hashed against the DuckDB replay."""
+    return cms_heavy_hitters(load(spark, sf_dir, "documents"))

@@ -119,3 +119,41 @@ class TestHistogramQuantiles:
         first_sort = plan.find("Sort ")
         assert first_agg != -1
         assert first_sort == -1 or first_sort < first_agg or "n_chars" in plan[first_sort:first_sort+200]
+
+
+class TestCmsHeavyHitters:
+    def test_overestimate_property_under_collisions(self, spark):
+        # vocab (3000) >> width (1024): collisions are guaranteed, so
+        # some estimates exceed truth; none may undershoot, and the
+        # genuinely heavy token must surface at rank 1 with an exact
+        # (collision-free-min) or over-estimate.
+        from readur_spark.ml.textqc import cms_heavy_hitters
+
+        def alpha(n):  # digits->letters: the splitter keeps [a-z] only
+            return "t" + "".join(chr(97 + int(c)) for c in str(n))
+
+        docs = spark.createDataFrame(
+            [(0, "common " * 500)]
+            + [(i, " ".join(alpha(i * 1000 + j) for j in range(30)))
+               for i in range(1, 101)],
+            "doc_id long, text string",
+        )
+        rows = cms_heavy_hitters(docs).collect()
+        assert all(r["est"] >= r["n_exact"] for r in rows)
+        top = min(rows, key=lambda r: r["rnk"])
+        assert top["token"] == "common" and top["n_exact"] == 500
+        assert top["est"] >= 500
+
+    def test_counter_table_is_bounded(self, spark):
+        # the sketch's state is w*d counters no matter the corpus; the
+        # estimate join touches counters, never the token stream twice
+        from readur_spark.ml.textqc import CMS_D, CMS_W, _cms_bucket
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("abc",), ("zzz",)], "token string")
+        out = df.select(
+            *[_cms_bucket(F.col("token"), i).alias(f"b{i}")
+              for i in range(1, CMS_D + 1)]
+        ).collect()
+        for r in out:
+            assert all(0 <= r[f"b{i}"] < CMS_W for i in range(1, CMS_D + 1))
