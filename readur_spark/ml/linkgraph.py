@@ -782,3 +782,257 @@ def anchor_terms_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_term_profile(_anchored_pages(spark, sf_dir)).select(
         "dst_host", "term", "n"
     )
+
+
+# ---- reciprocity (link-farm signal) -----------------------------------------
+
+
+def reciprocity_stats(
+    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, outdeg, n_reciprocal, recip_pct): what fraction of a
+    node's distinct outlinks point straight back (Fetterly et al.,
+    "Spam, damn spam, and statistics", WebDB 2004 — excessive
+    reciprocity marks link farms and mutual-admiration rings that
+    inflate citation ranks). Integer percent, floor division.
+
+    Shape: dedup to distinct pairs, self-join on the REVERSED pair
+    (equi-join on both keys — hash join, no inequality blowup), two
+    map-side-combinable aggregates. Self-loops are excluded: a page
+    linking itself is not reciprocity."""
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(F.col(src_col) != F.col(dst_col))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = (
+        e.intersect(rev)
+        .groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    )
+    deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    return deg.join(recip, "node", "left").select(
+        "node",
+        "outdeg",
+        F.coalesce("n_reciprocal", F.lit(0)).cast("long").alias(
+            "n_reciprocal"
+        ),
+        F.expr("100L * coalesce(n_reciprocal, 0L) div outdeg").alias(
+            "recip_pct"
+        ),
+    )
+
+
+def _register_reciprocity() -> None:
+    try:
+        n_docs = table_row_count("/root/testdata/sf0.01", "documents")
+    except Exception:
+        n_docs = None
+    oracle = None
+    if n_docs:
+        oracle = f"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT doc_id AS s,
+                 CAST(concat('0x', substr(md5(doc_id::VARCHAR || '#' || j.j),
+                                          1, 15)) AS BIGINT)
+                   % {n_docs} AS d
+          FROM documents, UNNEST(range(1, {PR_OUT_EDGES + 1})) AS j(j)
+          WHERE doc_id <> CAST(concat('0x',
+                   substr(md5(doc_id::VARCHAR || '#' || j.j), 1, 15))
+                   AS BIGINT) % {n_docs}
+        ),
+        recip AS (
+          SELECT e.s AS node, count(*) AS n_reciprocal
+          FROM e JOIN e r ON e.s = r.d AND e.d = r.s
+          GROUP BY e.s
+        ),
+        deg AS (SELECT s AS node, count(*) AS outdeg FROM e GROUP BY s)
+        SELECT deg.node, CAST(deg.outdeg AS BIGINT) AS outdeg,
+               CAST(coalesce(recip.n_reciprocal, 0) AS BIGINT)
+                 AS n_reciprocal,
+               100 * coalesce(recip.n_reciprocal, 0) // deg.outdeg
+                 AS recip_pct
+        FROM deg LEFT JOIN recip USING (node)
+        """
+
+    @register("graph_reciprocity", oracle=oracle)
+    def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-node reciprocal-link fraction over the md5 citation
+        graph — dedup, the reversed-pair equi-join, and the integer
+        percentages replayed in DuckDB."""
+        docs = load(spark, sf_dir, "documents")
+        n = table_row_count(sf_dir, "documents")
+        return reciprocity_stats(_synthetic_edges(docs, n))
+
+
+_register_reciprocity()
+
+
+# ---- TrustRank (seed-biased PageRank) ---------------------------------------
+
+TR_ITERS = 6
+TR_SEED_MOD = 17  # deterministic demo seed rule: node % 17 == 0
+
+
+def trustrank_fixed_point(
+    edges: DataFrame,
+    seeds: DataFrame,
+    num_iters: int = TR_ITERS,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_pct: int = DAMPING_PCT,
+    scale: int = SCALE,
+    materialize_every: int = 8,
+) -> DataFrame:
+    """Integer TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB
+    2004, "Combating web spam with TrustRank"): PageRank whose
+    teleport mass flows ONLY to a trusted seed set — trust decays
+    along links, so spam hosts far from any seed end near zero even
+    with heavy in-link counts. Same exact-integer update as
+    pagerank_fixed_point, with base(v) and the initial rank nonzero
+    only for seeds (mass divided by |S|, not N). `seeds` is a 1-column
+    (node) frame; it broadcasts onto the node table once. Iterations
+    chain lazily — no per-step scalar, so the PageRank plan-depth
+    argument carries over unchanged."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+        .join(
+            F.broadcast(
+                seeds.select(F.col("node"), F.lit(True).alias("is_seed"))
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+        .persist()
+    )
+    n_seeds = nodes.where("is_seed").count()
+    if n_seeds == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank"))
+    seed_base = ((100 - damping_pct) * (scale // n_seeds)) // 100
+    base = F.when(F.col("is_seed"), F.lit(seed_base)).otherwise(F.lit(0))
+    deg = edges.groupBy(src.alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    adj = (
+        edges.select(src.alias("node"), dst.alias("dst"))
+        .join(deg, "node")
+        .repartition("node")
+        .persist()
+    )
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(scale // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    materialized: DataFrame | None = None
+    for step in range(1, num_iters + 1):
+        sums = (
+            adj.join(ranks, "node")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                base
+                + F.expr(f"({damping_pct}L * coalesce(s, 0L)) div 100L")
+            ).cast("long").alias("rank"),
+        )
+        if step % materialize_every == 0 and step < num_iters:
+            nxt = ranks.persist()
+            nxt.count()
+            if materialized is not None:
+                materialized.unpersist()
+            materialized = nxt
+            ranks = nxt
+    return ranks
+
+
+def _trustrank_oracle(num_iters: int, n_docs: int) -> str:
+    scale, damp, mod = SCALE, DAMPING_PCT, TR_SEED_MOD
+    sql = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT doc_id AS src,
+             CAST(concat('0x', substr(md5(doc_id::VARCHAR || '#' || j.j),
+                                      1, 15)) AS BIGINT)
+               % {n_docs} AS dst
+      FROM documents, UNNEST(range(1, {PR_OUT_EDGES + 1})) AS j(j)
+    ),
+    nodes AS MATERIALIZED (
+      SELECT node, node % {mod} = 0 AS is_seed FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+      )
+    ),
+    sstat AS MATERIALIZED (
+      SELECT count(*) AS ns FROM nodes WHERE is_seed
+    ),
+    adj AS MATERIALIZED (
+      SELECT src AS node, dst, count(*) OVER (PARTITION BY src) AS outdeg
+      FROM edges
+    ),
+    r0 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN is_seed
+                  THEN {scale} // (SELECT ns FROM sstat) ELSE 0 END AS rank
+      FROM nodes
+    )"""
+    for k in range(1, num_iters + 1):
+        p = k - 1
+        sql += f""",
+    s{k} AS MATERIALIZED (
+      SELECT a.dst AS node, sum(r.rank // a.outdeg) AS s
+      FROM adj a JOIN r{p} r USING (node)
+      GROUP BY a.dst
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(CASE WHEN n.is_seed
+                  THEN (100 - {damp})
+                       * ({scale} // (SELECT ns FROM sstat)) // 100
+                  ELSE 0 END
+                  + {damp} * coalesce(s.s, 0) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN s{k} s USING (node)
+    )"""
+    sql += f"""
+    SELECT node, rank FROM r{num_iters}
+    """
+    return sql
+
+
+def _register_trustrank() -> None:
+    try:
+        n_docs = table_row_count("/root/testdata/sf0.01", "documents")
+    except Exception:
+        n_docs = None
+    oracle = _trustrank_oracle(TR_ITERS, n_docs) if n_docs else None
+
+    @register("host_trustrank", oracle=oracle)
+    def host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Integer TrustRank over the md5 citation graph with the
+        deterministic node%17 seed set — seeding, the biased teleport,
+        and all damping iterations replayed value-for-value."""
+        docs = load(spark, sf_dir, "documents")
+        n = table_row_count(sf_dir, "documents")
+        edges = _synthetic_edges(docs, n)
+        nodes = edges.select(F.col("src").alias("node")).union(
+            edges.select(F.col("dst").alias("node"))
+        ).distinct()
+        seeds = nodes.where(F.col("node") % TR_SEED_MOD == 0)
+        return trustrank_fixed_point(edges, seeds, TR_ITERS)
+
+
+_register_trustrank()

@@ -101,3 +101,55 @@ class TestHits:
             0 <= r["authority"] <= HITS_SCALE and 0 <= r["hub"] <= HITS_SCALE
             for r in out
         )
+
+
+class TestTrustRankReciprocity:
+    def test_trustrank_one_iteration_hand_computed(self, spark):
+        from readur_spark.ml.linkgraph import SCALE, trustrank_fixed_point
+
+        edges = _edges(spark, [(1, 2), (3, 1)])
+        seeds = spark.createDataFrame([(1,)], "node long")
+        out = {
+            r["node"]: r["rank"]
+            for r in trustrank_fixed_point(edges, seeds, 1).collect()
+        }
+        # seed 1: base only = 15% of scale (its in-link source 3 holds
+        # zero trust); node 2 receives 85% of seed's full initial mass;
+        # node 3: not a seed, no in-links -> exactly zero
+        assert out[1] == 15 * SCALE // 100
+        assert out[2] == 85 * SCALE // 100
+        assert out[3] == 0
+
+    def test_trustrank_empty_seed_set(self, spark):
+        from readur_spark.ml.linkgraph import trustrank_fixed_point
+
+        edges = _edges(spark, [(1, 2)])
+        seeds = spark.createDataFrame([], "node long")
+        out = trustrank_fixed_point(edges, seeds, 2).collect()
+        assert all(r["rank"] == 0 for r in out)
+
+    def test_trust_decays_with_distance(self, spark):
+        from readur_spark.ml.linkgraph import trustrank_fixed_point
+
+        # chain 1->2->3->4, seed 1: strictly decreasing trust
+        edges = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+        seeds = spark.createDataFrame([(1,)], "node long")
+        out = {
+            r["node"]: r["rank"]
+            for r in trustrank_fixed_point(edges, seeds, 4).collect()
+        }
+        assert out[2] > out[3] > out[4] > 0
+
+    def test_reciprocity_hand_example(self, spark):
+        from readur_spark.ml.linkgraph import reciprocity_stats
+
+        # 1<->2 reciprocal; 1->3 one-way; self-loop 4->4 excluded
+        edges = _edges(spark, [(1, 2), (2, 1), (1, 3), (4, 4), (4, 1)])
+        out = {
+            r["node"]: (r["outdeg"], r["n_reciprocal"], r["recip_pct"])
+            for r in reciprocity_stats(edges).collect()
+        }
+        assert out[1] == (2, 1, 50)
+        assert out[2] == (1, 1, 100)
+        assert out[4] == (1, 0, 0)
+        assert 3 not in out  # no outlinks -> no row
