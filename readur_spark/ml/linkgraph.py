@@ -1036,3 +1036,98 @@ def _register_trustrank() -> None:
 
 
 _register_trustrank()
+
+
+# ---- spam mass (PageRank vs TrustRank composition) --------------------------
+
+
+def spam_mass(pr: DataFrame, tr: DataFrame) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen
+    2006, "Link spam detection based on mass estimation"): the share
+    of a node's PageRank NOT backed by trust —
+    permille((pr - tr) / pr), clipped at 0. Both ranks inject the same
+    damped teleport mass total (0.15·scale per round), so the integer
+    ratio is directly comparable; a high-PR node with near-zero
+    TrustRank is the canonical link-spam shape. Pure projection over
+    the two slim rank frames."""
+    return (
+        pr.select("node", F.col("rank").alias("pr"))
+        .join(tr.select("node", F.col("rank").alias("tr")), "node")
+        .select(
+            "node",
+            "pr",
+            "tr",
+            F.when(
+                F.col("pr") > 0,
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.expr("(1000L * (pr - tr)) div pr"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("spam_mass_permille"),
+        )
+    )
+
+
+def _prefixed_chain(prefix: str, body: str) -> str:
+    """Rename every CTE of a rank oracle chain with a prefix so two
+    chains can share one WITH clause (both generators emit the same
+    names)."""
+    import re as _re
+
+    names = set(_re.findall(r"([a-z]+\d*) AS MATERIALIZED", body))
+    out = body
+    for n in sorted(names, key=len, reverse=True):
+        out = _re.sub(rf"\b{n}\b", f"{prefix}{n}", out)
+    return out
+
+
+def _spam_mass_oracle(num_iters: int, n_docs: int) -> str:
+    pr_chain = _pagerank_oracle(num_iters, n_docs)
+    tr_chain = _trustrank_oracle(num_iters, n_docs)
+    # strip each chain to its CTE list + remember its final select
+    pr_ctes = _prefixed_chain(
+        "pr_", pr_chain[pr_chain.index("WITH") + 4 : pr_chain.rindex("SELECT")]
+    )
+    tr_ctes = _prefixed_chain(
+        "tr_", tr_chain[tr_chain.index("WITH") + 4 : tr_chain.rindex("SELECT")]
+    )
+    return f"""
+    WITH {pr_ctes.strip().rstrip(',')},
+    {tr_ctes.strip().rstrip(',')}
+    SELECT p.node, p.rank AS pr, t.rank AS tr,
+           CAST(CASE WHEN p.rank > 0
+                THEN greatest(0, (1000 * (p.rank - t.rank)) // p.rank)
+                ELSE 0 END AS BIGINT) AS spam_mass_permille
+    FROM pr_r{num_iters} p JOIN tr_r{num_iters} t USING (node)
+    """
+
+
+def _register_spam_mass() -> None:
+    try:
+        n_docs = table_row_count("/root/testdata/sf0.01", "documents")
+    except Exception:
+        n_docs = None
+    oracle = _spam_mass_oracle(PR_ITERS, n_docs) if n_docs else None
+
+    @register("host_spam_mass", oracle=oracle)
+    def host_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Spam mass over the md5 citation graph: BOTH fixed points —
+        PageRank and the node%17-seeded TrustRank — replayed in one
+        oracle, then the clipped permille ratio value-hashed. A wrong
+        iteration anywhere in either chain moves the composition."""
+        docs = load(spark, sf_dir, "documents")
+        n = table_row_count(sf_dir, "documents")
+        edges = _synthetic_edges(docs, n)
+        pr = pagerank_fixed_point(edges, PR_ITERS)
+        nodes = edges.select(F.col("src").alias("node")).union(
+            edges.select(F.col("dst").alias("node"))
+        ).distinct()
+        seeds = nodes.where(F.col("node") % TR_SEED_MOD == 0)
+        tr = trustrank_fixed_point(edges, seeds, PR_ITERS)
+        return spam_mass(pr, tr)
+
+
+_register_spam_mass()

@@ -153,3 +153,23 @@ class TestTrustRankReciprocity:
         assert out[2] == (1, 1, 100)
         assert out[4] == (1, 0, 0)
         assert 3 not in out  # no outlinks -> no row
+
+    def test_spam_mass_hand_example(self, spark):
+        from readur_spark.ml.linkgraph import (
+            pagerank_fixed_point,
+            spam_mass,
+            trustrank_fixed_point,
+        )
+
+        # seed 1 links 2; spam node 9 also links 2 heavily via 8,9
+        edges = _edges(spark, [(1, 2), (8, 9), (9, 8), (8, 2), (9, 2)])
+        seeds = spark.createDataFrame([(1,)], "node long")
+        pr = pagerank_fixed_point(edges, 3)
+        tr = trustrank_fixed_point(edges, seeds, 3)
+        out = {r["node"]: r for r in spam_mass(pr, tr).collect()}
+        # the reciprocal 8<->9 ring gets PageRank but zero trust
+        assert out[8]["tr"] == 0 and out[8]["spam_mass_permille"] == 1000
+        assert out[9]["tr"] == 0 and out[9]["spam_mass_permille"] == 1000
+        # the seed itself is fully trusted relative to its PR share
+        assert out[1]["spam_mass_permille"] < 1000
+        assert all(0 <= r["spam_mass_permille"] <= 1000 for r in out.values())
