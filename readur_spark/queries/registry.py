@@ -43,7 +43,10 @@ _PRIORITY: list[str] = [
     # keys, VERDICT r4 item 4, + the self-documenting window manifest)
     "window_manifest",
     "image_meta_constructed",
-    "thumbnail_dims_constructed",
+    # (thumbnail_dims_constructed ceded to session 6's structured-
+    # metadata family: the image-constructed pins keep two window
+    # slots via image_meta_constructed / image_dhash_constructed;
+    # pytest keeps the thumbnail-dims oracle)
     "wet_record_manifest",
     # --- the 29 never-driver-checked oracle keys (r4 additions) ---
     # dedup / selection tier
@@ -58,10 +61,14 @@ _PRIORITY: list[str] = [
     # planner and bpe_doc_token_counts/bpe_fertility_by_lang pin the
     # BPE accounting it composes; pytest keeps the composition)
     "training_order_shuffle",
-    "qc_token_count_bpe",
+    # (qc_token_count_bpe ceded to session 6: bpe_doc_token_counts
+    # above pins the identical encode path; pytest keeps the QC twin)
     # crawl tier (robots/politeness/Bloom/frontier/sync)
     "crawl_frontier_plan",
-    "crawl_politeness_schedule",
+    # (crawl_politeness_schedule ceded to session 6: the windowed
+    # crawl_frontier_plan COMPOSES robots gate + the politeness waves
+    # — queries/crawl.py:492-498 — so its driver row exercises the
+    # scheduler value-for-value; pytest keeps the standalone oracle)
     "crawl_frontier_bloom",
     # (crawl_snapshot_diff ceded: the session-4 crawl_revisit_schedule
     # below replays the identical two-capture construction AND the
@@ -79,7 +86,9 @@ _PRIORITY: list[str] = [
     # in pytest)
     # host-level quality rollups
     "host_quality_rollup",
-    "domain_topk_quality",
+    # (domain_topk_quality ceded to session 6: host_quality_rollup
+    # keeps the host-quality family windowed and the top-k window
+    # function is pinned by the salted twin's pytest oracle)
     # text QC
     "qc_script_detect",
     # (qc_dup_line_fraction ceded: a pure projection whose line-family
@@ -88,10 +97,11 @@ _PRIORITY: list[str] = [
     "heavy_hitter_tokens",
     "length_histogram_quantiles",
     # search ('english' FTS config + postings + single-term rank)
-    # (search_simple_and_english ceded: the postings variant below is
-    # the scale path and exercises the same Porter2/stopword kernel;
-    # pytest keeps the direct-scan twin)
-    "search_via_postings_english",
+    # (search_simple_and_english ceded: the postings variant is the
+    # scale path and exercises the same Porter2/stopword kernel;
+    # search_via_postings_english ceded in session 6 — the 'english'
+    # config family already holds a green r4 driver row via
+    # search_rank_tsrank_english; pytest keeps both postings twins)
     # (search_rank_tsrank_single ceded to session 3's markdown
     # renderer: the tsrank family already holds two green r4 driver
     # rows — search_rank_tsrank and search_rank_tsrank_english — and
@@ -189,6 +199,19 @@ _PRIORITY: list[str] = [
     # ladder (meta/time/url-path precedence, calendar validation)
     "pubdate_extract",
     "redirect_chain_resolve",
+    # new round-5 session-6 family: structured page metadata — JSON-LD
+    # (@type/headline/datePublished via get_json_object), Open Graph /
+    # Twitter cards, hreflang language alternates, RSS item parse, and
+    # IBAN PII with cross-engine ISO 13616 mod-97 validation. All pure
+    # Catalyst (plan-purity pinned in tests/test_structured.py).
+    # (feed_autodiscovery and hreflang_cluster_rollup stay on the
+    # pytest oracle tier: the former shares og_card_extract's page
+    # construction, the latter derives from hreflang_alternates.)
+    "jsonld_extract",
+    "og_card_extract",
+    "hreflang_alternates",
+    "feed_items_parse",
+    "pii_iban_mod97",
 ]
 
 
@@ -274,6 +297,7 @@ def _load_all() -> None:
     from readur_spark.ml import charset as ml_charset  # noqa: F401
     from readur_spark.ml import pubdate as ml_pubdate  # noqa: F401
     from readur_spark.ml import repetition as ml_repetition  # noqa: F401
+    from readur_spark.ml import structured as ml_structured  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
