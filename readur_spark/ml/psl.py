@@ -1,0 +1,271 @@
+"""Public-suffix-list (PSL) registered-domain extraction.
+
+`ml/urlfilters.py` approximates the registrable domain as the last two
+host labels and documents the deviation ("a public-suffix list would
+refine multi-label TLDs like co.uk"). This module closes it with the
+real Mozilla PSL algorithm (publicsuffix.org/list/ semantics):
+
+  - a rule set of normal (`co.uk`), wildcard (`*.kobe.jp`) and
+    exception (`!city.kobe.jp`) rules;
+  - the matching rule with the MOST labels wins, except an exception
+    rule beats any wildcard it punches a hole in;
+  - the public suffix is the winning rule's span (wildcard: one label
+    deeper than its base; exception: one label shallower than the
+    rule); with no match the default rule `*` applies (public suffix =
+    the bare TLD);
+  - the registered domain is the public suffix plus exactly one more
+    label, or '' when the host IS a public suffix.
+
+Domain capping, blocklists, and per-site rollups should group on THIS
+key: last-two-labels splits `a.co.uk` sites apart from `b.co.uk` sites
+correctly but merges every `*.co.uk` site into one pseudo-domain
+`co.uk`, destroying the cap.
+
+Scale design: hosts are label-split and their suffix candidates
+exploded (≤ host-depth rows per host, slim strings), joined against
+the BROADCAST rule table (the full PSL is ~10k rules, trivially
+broadcast), and reduced with one max(struct) argmax per host — pure
+Catalyst end-to-end, no Python. At corpus scale the function belongs
+on the DISTINCT-host dimension (millions of rows, not 10^12), with the
+result broadcast-joined back to pages; the registered query does
+exactly that.
+
+Correctness: the registered query builds hosts from the driver's
+`documents` table by an 8-branch construction rule covering every PSL
+case (normal multi-label, wildcard, exception inside the wildcard,
+exception at depth 1, unknown TLD default, host-is-suffix), and the
+DuckDB oracle replays the SAME rule table and matching algorithm in
+SQL — two independent longest-match implementations that must agree
+row-for-row. The embedded rule subset mirrors the public list's test
+vectors (publicsuffix.org/list/ is public data); production swaps in
+the full list as a dimension table via `psl_rules_df`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load
+from readur_spark.ml.urlfilters import url_host
+
+# (rule-without-markers, kind): 'n' normal, 'w' wildcard base,
+# 'x' exception. Subset of the public list covering its documented
+# test shapes (publicsuffix.org/list/).
+PSL_RULES: list[tuple[str, str]] = [
+    ("com", "n"),
+    ("org", "n"),
+    ("net", "n"),
+    ("io", "n"),
+    ("uk", "n"),
+    ("co.uk", "n"),
+    ("org.uk", "n"),
+    ("jp", "n"),
+    ("kobe.jp", "w"),       # *.kobe.jp
+    ("city.kobe.jp", "x"),  # !city.kobe.jp
+    ("ck", "w"),            # *.ck
+    ("www.ck", "x"),        # !www.ck
+    ("au", "n"),
+    ("com.au", "n"),
+]
+
+
+def psl_rules_df(spark: SparkSession,
+                 rules: list[tuple[str, str]] | None = None) -> DataFrame:
+    """The rule table as a broadcastable dimension frame."""
+    return spark.createDataFrame(
+        rules or PSL_RULES, "rule string, kind string"
+    )
+
+
+def registered_domains(hosts: DataFrame, rules: DataFrame) -> DataFrame:
+    """(host, public_suffix, registered_domain) for each DISTINCT host
+    in `hosts` (column `host`). Candidate suffixes exploded, broadcast
+    rule join, exception-beats-wildcard-beats-length argmax."""
+    h = hosts.select("host").where(F.col("host") != "").distinct()
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    cand = (
+        h.withColumn("labels", labels)
+        .withColumn("n", n)
+        .select(
+            "host", "labels", "n",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
+        )
+        .select(
+            "host",
+            F.concat_ws(
+                ".",
+                F.slice(
+                    F.col("labels"), F.col("i"),
+                    F.col("n") - F.col("i") + 1,
+                ),
+            ).alias("suffix"),
+            (F.col("n") - F.col("i") + 1).alias("n_labels"),
+            F.when(
+                F.col("i") > 1, F.element_at(F.col("labels"), F.col("i") - 1)
+            ).otherwise(F.lit("")).alias("prev_label"),
+        )
+    )
+    j = cand.join(
+        F.broadcast(rules), cand["suffix"] == rules["rule"], "inner"
+    )
+    # effective public suffix per matched rule
+    eff = (
+        F.when(F.col("kind") == "x",
+               F.regexp_replace(F.col("suffix"), r"^[^.]+\.", ""))
+        .when(F.col("kind") == "w",
+              F.concat(F.col("prev_label"), F.lit("."), F.col("suffix")))
+        .otherwise(F.col("suffix"))
+    )
+    eff_n = (
+        F.when(F.col("kind") == "x", F.col("n_labels") - 1)
+        .when(F.col("kind") == "w", F.col("n_labels") + 1)
+        .otherwise(F.col("n_labels"))
+    )
+    prio = F.when(F.col("kind") == "x", F.lit(1)).otherwise(F.lit(0))
+    matched = (
+        j.where((F.col("kind") != "w") | (F.col("prev_label") != ""))
+        .select(
+            "host",
+            F.struct(
+                prio.alias("prio"),
+                eff_n.alias("eff_n"),
+                eff.alias("eff"),
+            ).alias("m"),
+        )
+        .groupBy("host")
+        .agg(F.max("m").alias("m"))
+        .select("host", F.col("m.eff").alias("ps"))
+    )
+    out = h.join(matched, "host", "left").select(
+        "host",
+        # default rule '*': the bare last label
+        F.coalesce(
+            F.col("ps"),
+            F.element_at(F.split(F.col("host"), r"\."), -1),
+        ).alias("public_suffix"),
+    )
+    left = F.when(
+        F.col("host") != F.col("public_suffix"),
+        F.substring(
+            F.col("host"), F.lit(1),
+            F.length("host") - F.length("public_suffix") - 1,
+        ),
+    ).otherwise(F.lit(""))
+    reg = F.when(
+        F.col("host") == F.col("public_suffix"), F.lit("")
+    ).otherwise(
+        F.concat(
+            F.regexp_extract(left, r"([^.]+)$", 1),
+            F.lit("."),
+            F.col("public_suffix"),
+        )
+    )
+    return out.select(
+        "host", "public_suffix", reg.alias("registered_domain")
+    )
+
+
+# ---------------------------------------------------------------------------
+# constructed-corpus oracle
+# ---------------------------------------------------------------------------
+
+
+def _constructed_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-branch construction over documents: one host per doc covering
+    normal 1- and 2-label suffixes, wildcard, exception-in-wildcard,
+    exception-at-TLD, unknown-TLD default, and host-is-suffix."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    b = F.col("doc_id") % 8
+    host = (
+        F.when(b == 0, F.concat(F.lit("a"), d, F.lit(".example.com")))
+        .when(b == 1, F.concat(F.lit("deep.b"), d, F.lit(".co.uk")))
+        .when(b == 2, F.lit("x.city.kobe.jp"))
+        .when(b == 3, F.concat(F.lit("a"), d, F.lit(".foo.kobe.jp")))
+        .when(b == 4, F.concat(F.lit("shop.c"), d, F.lit(".com.au")))
+        .when(b == 5, F.lit("www.ck"))
+        .when(b == 6, F.concat(F.lit("a"), d, F.lit(".weird")))
+        .otherwise(F.lit("com"))
+    )
+    return docs.select(host.alias("host"))
+
+
+_PSL_ORACLE = """
+    WITH hosts AS (
+      SELECT DISTINCT
+        CASE doc_id % 8
+          WHEN 0 THEN 'a' || CAST(doc_id AS VARCHAR) || '.example.com'
+          WHEN 1 THEN 'deep.b' || CAST(doc_id AS VARCHAR) || '.co.uk'
+          WHEN 2 THEN 'x.city.kobe.jp'
+          WHEN 3 THEN 'a' || CAST(doc_id AS VARCHAR) || '.foo.kobe.jp'
+          WHEN 4 THEN 'shop.c' || CAST(doc_id AS VARCHAR) || '.com.au'
+          WHEN 5 THEN 'www.ck'
+          WHEN 6 THEN 'a' || CAST(doc_id AS VARCHAR) || '.weird'
+          ELSE 'com' END AS host
+      FROM documents
+    ),
+    rules(rule, kind) AS (VALUES
+      ('com', 'n'), ('org', 'n'), ('net', 'n'), ('io', 'n'),
+      ('uk', 'n'), ('co.uk', 'n'), ('org.uk', 'n'), ('jp', 'n'),
+      ('kobe.jp', 'w'), ('city.kobe.jp', 'x'),
+      ('ck', 'w'), ('www.ck', 'x'), ('au', 'n'), ('com.au', 'n')),
+    cand AS (
+      SELECT h.host,
+             array_to_string(string_split(h.host, '.')[t.i:], '.')
+               AS suffix,
+             len(string_split(h.host, '.')) - t.i + 1 AS n_labels,
+             CASE WHEN t.i > 1
+                  THEN string_split(h.host, '.')[t.i - 1]
+                  ELSE '' END AS prev_label
+      FROM hosts h,
+           UNNEST(generate_series(1, len(string_split(h.host, '.'))))
+             AS t(i)
+    ),
+    matched AS (
+      SELECT c.host,
+             CASE r.kind
+               WHEN 'x' THEN regexp_replace(c.suffix, '^[^.]+\\.', '')
+               WHEN 'w' THEN c.prev_label || '.' || c.suffix
+               ELSE c.suffix END AS eff,
+             CASE r.kind
+               WHEN 'x' THEN c.n_labels - 1
+               WHEN 'w' THEN c.n_labels + 1
+               ELSE c.n_labels END AS eff_n,
+             CASE WHEN r.kind = 'x' THEN 1 ELSE 0 END AS prio
+      FROM cand c JOIN rules r ON r.rule = c.suffix
+      WHERE r.kind <> 'w' OR c.prev_label <> ''
+    ),
+    winner AS (
+      SELECT host, eff
+      FROM matched
+      QUALIFY row_number() OVER (
+        PARTITION BY host ORDER BY prio DESC, eff_n DESC, eff) = 1
+    ),
+    ps AS (
+      SELECT h.host,
+             coalesce(w.eff,
+                      string_split(h.host, '.')[-1]) AS public_suffix
+      FROM hosts h LEFT JOIN winner w USING (host)
+    )
+    SELECT host, public_suffix,
+           CASE WHEN host = public_suffix THEN ''
+                ELSE regexp_extract(
+                       substr(host, 1,
+                              len(host) - len(public_suffix) - 1),
+                       '([^.]+)$', 1) || '.' || public_suffix END
+             AS registered_domain
+    FROM ps
+"""
+
+
+@register("psl_registered_domain", oracle=_PSL_ORACLE)
+def psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSL longest-match algorithm value-hash-checked end-to-end:
+    Spark's explode-join-argmax vs an independent SQL replay of the
+    same rule table, across all 8 construction branches (wildcard,
+    exception, default, host-is-suffix included)."""
+    hosts = _constructed_hosts(spark, sf_dir)
+    return registered_domains(hosts, psl_rules_df(spark))

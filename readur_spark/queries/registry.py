@@ -162,7 +162,11 @@ _PRIORITY: list[str] = [
     "dedup_containment_pairs",
     "neardup_keep_longest",
     # session 3: structure-preserving HTML table / full-page markdown
-    "extract_tables_markdown",
+    # (extract_tables_markdown ceded to session 6's PSL family: the
+    # windowed full-page extract_markdown COMPOSES the same table
+    # renderer — kernels/markdown.py imports kernels/tables.py
+    # _to_markdown — so its driver row exercises pipe-table rendering;
+    # pytest keeps the standalone table oracle)
     "extract_markdown",
     # new round-5 operator families, session 2: SoftDedup weights,
     # training-order n-gram novelty, fixed-point BM25 ranking
@@ -212,6 +216,10 @@ _PRIORITY: list[str] = [
     "hreflang_alternates",
     "feed_items_parse",
     "pii_iban_mod97",
+    # session 6: real public-suffix-list registered domains (wildcard
+    # + exception longest-match, broadcast rule join) — closes the
+    # last-two-labels deviation documented in ml/urlfilters.py
+    "psl_registered_domain",
 ]
 
 
@@ -298,6 +306,7 @@ def _load_all() -> None:
     from readur_spark.ml import pubdate as ml_pubdate  # noqa: F401
     from readur_spark.ml import repetition as ml_repetition  # noqa: F401
     from readur_spark.ml import structured as ml_structured  # noqa: F401
+    from readur_spark.ml import psl as ml_psl  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
