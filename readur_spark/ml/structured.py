@@ -508,3 +508,92 @@ def pii_iban_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", iban.alias("iban"), valid.alias("valid_iban")
     )
+
+
+# ---------------------------------------------------------------------------
+# rel=next/prev pagination-chain assembly
+# ---------------------------------------------------------------------------
+
+
+def pagination_chains(pages: DataFrame) -> DataFrame:
+    """(url, chain_head, page_seq) — stitch multi-page articles back
+    together from their `<link rel="prev">` head links. Page 1 of each
+    article carries no prev link and anchors the chain; every other
+    page resolves to it by pointer doubling (`ml/redirects.py`
+    `resolve_redirects` over the prev edges — log2(chain length)
+    shuffle rounds, chains up to 2^ROUNDS=8 pages), with the hop count
+    doubling as the 0-based page sequence. The edge frame is slim
+    (two url strings per paginated page); the payload never enters the
+    iteration."""
+    from readur_spark.ml.redirects import resolve_redirects
+
+    prev = F.regexp_extract(
+        F.col("page"), '<link rel="prev" href="([^"]*)"', 1
+    )
+    parsed = pages.select("url", prev.alias("prev_url"))
+    edges = parsed.where(F.col("prev_url") != "").select(
+        F.col("url").alias("src_url"), F.col("prev_url").alias("dst_url")
+    )
+    heads = parsed.where(F.col("prev_url") == "").select(
+        "url",
+        F.col("url").alias("chain_head"),
+        F.lit(0).cast("long").alias("page_seq"),
+    )
+    rest = resolve_redirects(edges).select(
+        F.col("src_url").alias("url"),
+        F.col("final_url").alias("chain_head"),
+        F.col("hops").alias("page_seq"),
+    )
+    return heads.unionByName(rest)
+
+
+def _paged_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construction rule: article c = doc_id DIV 4 spans the four pages
+    doc_id 4c..4c+3 (doc_ids are contiguous and the table size is a
+    multiple of 4 in every fixture); page position p = doc_id % 4
+    carries rel=prev to position p-1 (absent at p=0) and rel=next to
+    p+1 (absent at p=3), plus a stylesheet decoy link."""
+    docs = load(spark, sf_dir, "documents")
+
+    def art(expr: Column) -> Column:
+        return F.concat(
+            F.lit("https://pages.example/art"), expr.cast("string"),
+            F.lit(".html"),
+        )
+
+    pos = F.col("doc_id") % 4
+    prev_link = F.concat(
+        F.lit('<link rel="prev" href="'), art(F.col("doc_id") - 1),
+        F.lit('">'),
+    )
+    next_link = F.concat(
+        F.lit('<link rel="next" href="'), art(F.col("doc_id") + 1),
+        F.lit('">'),
+    )
+    page = F.concat(
+        F.lit('<head><link rel="stylesheet" href="/s.css">'),
+        F.when(pos > 0, prev_link).otherwise(F.lit("")),
+        F.when(pos < 3, next_link).otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    return docs.select(art(F.col("doc_id")).alias("url"), page.alias("page"))
+
+
+@register(
+    "pagination_chain_assembly",
+    oracle="""
+    SELECT 'https://pages.example/art' || CAST(doc_id AS VARCHAR)
+             || '.html' AS url,
+           'https://pages.example/art'
+             || CAST(doc_id - (doc_id % 4) AS VARCHAR) || '.html'
+             AS chain_head,
+           CAST(doc_id % 4 AS BIGINT) AS page_seq
+    FROM documents
+    """,
+)
+def pagination_chain_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=prev chain assembly value-hash-checked end-to-end: the
+    oracle re-derives every page's chain head and sequence from the
+    construction rule while Spark parses the links and resolves the
+    chains by pointer doubling."""
+    return pagination_chains(_paged_pages(spark, sf_dir))

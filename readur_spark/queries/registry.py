@@ -208,9 +208,11 @@ _PRIORITY: list[str] = [
     # Twitter cards, hreflang language alternates, RSS item parse, and
     # IBAN PII with cross-engine ISO 13616 mod-97 validation. All pure
     # Catalyst (plan-purity pinned in tests/test_structured.py).
-    # (feed_autodiscovery and hreflang_cluster_rollup stay on the
-    # pytest oracle tier: the former shares og_card_extract's page
-    # construction, the latter derives from hreflang_alternates.)
+    # (feed_autodiscovery, hreflang_cluster_rollup and
+    # pagination_chain_assembly stay on the pytest oracle tier: the
+    # first shares og_card_extract's page construction, the second
+    # derives from hreflang_alternates, and the third's pointer-
+    # doubling core is pinned by the windowed redirect_chain_resolve.)
     "jsonld_extract",
     "og_card_extract",
     "hreflang_alternates",

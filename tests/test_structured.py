@@ -162,3 +162,34 @@ class TestPlanPurity:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "MapInPandas" not in plan
+
+
+class TestPaginationChains:
+    def test_chain_of_three_with_orphan(self, spark):
+        from readur_spark.ml.structured import pagination_chains
+
+        def page(prev):
+            p = '<head>'
+            if prev:
+                p += f'<link rel="prev" href="{prev}">'
+            return p + '</head>'
+
+        df = spark.createDataFrame(
+            [
+                ("https://x/a1", page(None)),
+                ("https://x/a2", page("https://x/a1")),
+                ("https://x/a3", page("https://x/a2")),
+                ("https://x/solo", page(None)),
+            ],
+            "url string, page string",
+        )
+        got = {
+            r.url: (r.chain_head, r.page_seq)
+            for r in pagination_chains(df).collect()
+        }
+        assert got == {
+            "https://x/a1": ("https://x/a1", 0),
+            "https://x/a2": ("https://x/a1", 1),
+            "https://x/a3": ("https://x/a1", 2),
+            "https://x/solo": ("https://x/solo", 0),
+        }
