@@ -511,6 +511,149 @@ def pii_iban_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# microdata (itemscope/itemprop)
+# ---------------------------------------------------------------------------
+
+
+def microdata_fields(pages: DataFrame) -> DataFrame:
+    """(url, item_type, item_name) from the first itemscope block —
+    the schema.org *attribute* encoding (microdata), complementing the
+    script-block encoding (JSON-LD) above. '' when absent."""
+    return pages.select(
+        "url",
+        F.regexp_extract(
+            F.col("page"),
+            r'itemscope itemtype="https://schema\.org/([^"]*)"', 1,
+        ).alias("item_type"),
+        F.regexp_extract(
+            F.col("page"), r'<span itemprop="name">([^<]*)</span>', 1
+        ).alias("item_name"),
+    )
+
+
+def _microdata_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construction rule: doc_id%3==0 → Product block, 1 → Article
+    block, 2 → no microdata; every page carries an itemprop-free span
+    decoy."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    typ = F.when(F.col("doc_id") % 3 == 0, F.lit("Product")).otherwise(
+        F.lit("Article")
+    )
+    block = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/'), typ,
+        F.lit('"><span itemprop="name">Item '), d, F.lit("</span></div>"),
+    )
+    page = F.concat(
+        F.lit("<body><span>decoy</span>"),
+        F.when(F.col("doc_id") % 3 != 2, block).otherwise(F.lit("")),
+        F.lit("</body>"),
+    )
+    return docs.select(_page_url("m").alias("url"), page.alias("page"))
+
+
+@register(
+    "microdata_extract",
+    oracle="""
+    SELECT 'https://' || source || '.example/m' || CAST(doc_id AS VARCHAR)
+             || '.html' AS url,
+           CASE doc_id % 3 WHEN 0 THEN 'Product' WHEN 1 THEN 'Article'
+                ELSE '' END AS item_type,
+           CASE WHEN doc_id % 3 = 2 THEN ''
+                ELSE 'Item ' || CAST(doc_id AS VARCHAR) END AS item_name
+    FROM documents
+    """,
+)
+def microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microdata itemscope/itemprop parse value-hash-checked
+    end-to-end (decoy span on every page, microdata-free pages yield
+    '' sentinels)."""
+    return microdata_fields(_microdata_pages(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# title consensus ladder
+# ---------------------------------------------------------------------------
+
+
+def title_consensus(pages: DataFrame) -> DataFrame:
+    """(url, best_title, title_source) — the publisher's most
+    authoritative title by fixed precedence: JSON-LD headline >
+    og:title > <title> tag (the structured encodings are
+    machine-written and survive templating; the title tag is the
+    noisiest — the same ladder shape as `ml/pubdate.py`). One codegen
+    projection, three regex probes per page."""
+    j = _nonempty(F.regexp_extract(F.col("page"), _LD_BLOCK, 1))
+    ld = F.get_json_object(j, "$.headline")
+    og = _nonempty(
+        F.regexp_extract(
+            F.col("page"), '<meta property="og:title" content="([^"]*)"', 1
+        )
+    )
+    tt = _nonempty(
+        F.regexp_extract(F.col("page"), r"<title>([^<]*)</title>", 1)
+    )
+    best = F.coalesce(ld, og, tt, F.lit(""))
+    src = (
+        F.when(ld.isNotNull(), F.lit("jsonld"))
+        .when(og.isNotNull(), F.lit("og"))
+        .when(tt.isNotNull(), F.lit("title_tag"))
+        .otherwise(F.lit(""))
+    )
+    return pages.select(
+        "url", best.alias("best_title"), src.alias("title_source")
+    )
+
+
+def _titled_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construction rule: doc_id%4==0 carries all three sources (J/O/T
+    values), 1 carries og + title tag, 2 carries the title tag only,
+    3 carries none."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    b = F.col("doc_id") % 4
+    ld = F.concat(
+        F.lit('<script type="application/ld+json">{"headline":"J'), d,
+        F.lit('"}</script>'),
+    )
+    og = F.concat(
+        F.lit('<meta property="og:title" content="O'), d, F.lit('">')
+    )
+    tt = F.concat(F.lit("<title>T"), d, F.lit("</title>"))
+    page = F.concat(
+        F.lit("<head>"),
+        F.when(b == 0, ld).otherwise(F.lit("")),
+        F.when(b <= 1, og).otherwise(F.lit("")),
+        F.when(b <= 2, tt).otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    return docs.select(_page_url("t").alias("url"), page.alias("page"))
+
+
+@register(
+    "title_consensus_ladder",
+    oracle="""
+    SELECT 'https://' || source || '.example/t' || CAST(doc_id AS VARCHAR)
+             || '.html' AS url,
+           CASE doc_id % 4
+             WHEN 0 THEN 'J' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'O' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN 'T' || CAST(doc_id AS VARCHAR)
+             ELSE '' END AS best_title,
+           CASE doc_id % 4
+             WHEN 0 THEN 'jsonld' WHEN 1 THEN 'og'
+             WHEN 2 THEN 'title_tag' ELSE '' END AS title_source
+    FROM documents
+    """,
+)
+def title_consensus_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The title precedence ladder value-hash-checked end-to-end: the
+    oracle re-derives the winning title AND its source tier from the
+    construction rule across all four presence combinations."""
+    return title_consensus(_titled_pages(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # rel=next/prev pagination-chain assembly
 # ---------------------------------------------------------------------------
 

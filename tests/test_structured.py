@@ -193,3 +193,38 @@ class TestPaginationChains:
             "https://x/a3": ("https://x/a1", 2),
             "https://x/solo": ("https://x/solo", 0),
         }
+
+
+class TestMicrodataAndTitle:
+    def test_microdata_absent_and_decoy(self, spark):
+        from readur_spark.ml.structured import microdata_fields
+
+        page = (
+            '<body><span>decoy</span>'
+            '<div itemscope itemtype="https://schema.org/Product">'
+            '<span itemprop="name">Widget</span></div></body>'
+        )
+        row = microdata_fields(_pages(spark, page)).collect()[0]
+        assert (row.item_type, row.item_name) == ("Product", "Widget")
+        row2 = microdata_fields(
+            _pages(spark, "<body><span>x</span></body>")
+        ).collect()[0]
+        assert (row2.item_type, row2.item_name) == ("", "")
+
+    def test_title_precedence_jsonld_beats_og_beats_tag(self, spark):
+        from readur_spark.ml.structured import title_consensus
+
+        page = (
+            '<script type="application/ld+json">{"headline":"J"}</script>'
+            '<meta property="og:title" content="O">'
+            "<title>T</title>"
+        )
+        row = title_consensus(_pages(spark, page)).collect()[0]
+        assert (row.best_title, row.title_source) == ("J", "jsonld")
+        page_og = '<meta property="og:title" content="O"><title>T</title>'
+        row = title_consensus(_pages(spark, page_og)).collect()[0]
+        assert (row.best_title, row.title_source) == ("O", "og")
+        row = title_consensus(_pages(spark, "<title>T</title>")).collect()[0]
+        assert (row.best_title, row.title_source) == ("T", "title_tag")
+        row = title_consensus(_pages(spark, "<head></head>")).collect()[0]
+        assert (row.best_title, row.title_source) == ("", "")
