@@ -269,3 +269,95 @@ def psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     exception, default, host-is-suffix included)."""
     hosts = _constructed_hosts(spark, sf_dir)
     return registered_domains(hosts, psl_rules_df(spark))
+
+
+# ---------------------------------------------------------------------------
+# PSL-keyed domain capping (the composition the module exists for)
+# ---------------------------------------------------------------------------
+
+
+def domain_cap_psl(
+    df: DataFrame,
+    max_per_domain: int,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+) -> DataFrame:
+    """`ml/urlfilters.domain_cap_sample` keyed on the REAL registered
+    domain: the PSL map is computed once on the distinct-host
+    dimension (tiny vs the corpus) and broadcast-joined back, then the
+    cap window runs per registered domain. Under last-two-labels every
+    `*.co.uk` site shares one pseudo-domain and the cap throttles the
+    whole TLD; under PSL each site gets its own budget."""
+    from pyspark.sql import Window
+
+    with_host = df.withColumn("host", url_host(F.col(url_col)))
+    dom = registered_domains(
+        with_host.select("host"), rules
+    ).select("host", "registered_domain")
+    order = F.md5(F.encode(F.col(url_col), "UTF-8"))
+    w = Window.partitionBy("registered_domain").orderBy(
+        order.alias("o"), url_col
+    )
+    return (
+        with_host.join(F.broadcast(dom), "host")
+        .withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("domain_rank") <= max_per_domain)
+    )
+
+
+@register(
+    "domain_cap_registered",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN 'https://u' || CAST(doc_id AS VARCHAR) || '.site'
+                    || CAST(doc_id % 5 AS VARCHAR) || '.co.uk/p'
+                    || CAST(doc_id AS VARCHAR)
+               ELSE 'https://u' || CAST(doc_id AS VARCHAR) || '.site'
+                    || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p'
+                    || CAST(doc_id AS VARCHAR) END AS url,
+             -- independent derivation: the registered domain follows
+             -- from the construction rule, not from a PSL replay
+             CASE WHEN doc_id % 2 = 0
+               THEN 'site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+               ELSE 'example.com' END AS registered_domain
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, registered_domain,
+             row_number() OVER (
+               PARTITION BY registered_domain ORDER BY md5(url), url
+             ) AS domain_rank
+      FROM u
+    )
+    SELECT doc_id, registered_domain,
+           CAST(domain_rank AS BIGINT) AS domain_rank
+    FROM r WHERE domain_rank <= 10
+    """,
+)
+def domain_cap_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap documents at 10 per PSL registered domain over a corpus
+    where last-two-labels would be WRONG: the co.uk half must key on
+    site<k>.co.uk (5 separate budgets), while the .com half keys on
+    example.com (subdomains u<d>.site<k>.example.com all share ONE
+    registrant budget — 'site<k>' is a subdomain label there, not a
+    registration). The oracle derives both keys straight from the
+    construction rule, independent of the PSL join machinery."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("https://u"), d, F.lit(".site"),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".co.uk/p"), d),
+    ).otherwise(
+        F.concat(F.lit("https://u"), d, F.lit(".site"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com/p"), d),
+    )
+    out = domain_cap_psl(
+        docs.select("doc_id", url.alias("url")), 10, psl_rules_df(spark)
+    )
+    return out.select("doc_id", "registered_domain", "domain_rank")
