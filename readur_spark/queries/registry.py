@@ -38,7 +38,10 @@ _ORACLES: dict[str, str] = {}
 _PRIORITY: list[str] = [
     # extraction backbone — byte-identical text per url (standing)
     "extract_text_passthrough",
-    "extract_wordcount_by_lang",
+    # (extract_wordcount_by_lang ceded to session 7's CDX index tier:
+    # it holds a green r4 driver row and the byte-identity backbone
+    # keeps the extraction family standing; pytest keeps its oracle)
+    "cdx_urlkey_surt",
     # new round-5 oracles (constructed-corpus upgrades of rows-only
     # keys, VERDICT r4 item 4, + the self-documenting window manifest)
     "window_manifest",
@@ -214,7 +217,11 @@ _PRIORITY: list[str] = [
     # derives from hreflang_alternates, and the third's pointer-
     # doubling core is pinned by the windowed redirect_chain_resolve.)
     "jsonld_extract",
-    "og_card_extract",
+    # (og_card_extract ceded to session 7's CDX index tier: the
+    # structured-metadata family keeps four window slots — jsonld,
+    # hreflang, feed_items, pii_iban — and the og card parse shares
+    # jsonld_extract's head-scan kernel; pytest keeps its oracle)
+    "cdx_fetch_spans",
     "hreflang_alternates",
     "feed_items_parse",
     "pii_iban_mod97",
@@ -309,6 +316,7 @@ def _load_all() -> None:
     from readur_spark.ml import repetition as ml_repetition  # noqa: F401
     from readur_spark.ml import structured as ml_structured  # noqa: F401
     from readur_spark.ml import psl as ml_psl  # noqa: F401
+    from readur_spark.sources import cdx as src_cdx  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()

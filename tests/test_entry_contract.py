@@ -72,11 +72,13 @@ class TestPriorityWindow:
         # repeated_ngram_spans / dedup_substring_clean; session 3 ceded
         # curation_pipeline / training_yield_report (green r4 driver
         # rows, code untouched); session 4 added its seven new families
-        # — the pinned backbone is the byte-identity pair plus one
-        # representative per round-5 session.
+        # — the pinned backbone is the byte-identity key plus one
+        # representative per round-5 session (session 7: the CDX index
+        # tier took wordcount's slot — it holds a green r4 driver row).
         backbone = {
             "extract_text_passthrough",
-            "extract_wordcount_by_lang",
+            "cdx_urlkey_surt",
+            "cdx_fetch_spans",
             "dedup_soft_weights",
             "ngram_novelty_rate",
             "search_rank_bm25",
