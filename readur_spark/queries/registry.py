@@ -317,6 +317,7 @@ def _load_all() -> None:
     from readur_spark.ml import structured as ml_structured  # noqa: F401
     from readur_spark.ml import psl as ml_psl  # noqa: F401
     from readur_spark.sources import cdx as src_cdx  # noqa: F401
+    from readur_spark.ml import license as ml_license  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
