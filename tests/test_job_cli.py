@@ -570,3 +570,59 @@ def test_curation_sentence_dedup_and_blocklist_compose(tmp_path, pages_parquet):
     s2 = run(["--blocklist", common], str(tmp_path / "sb_tight"))
     n_tight = sum(v["n_docs"] for v in s2["yields"].values())
     assert n_tight < n_loose
+
+
+def test_cdx_plan_job_end_to_end(tmp_path, spark):
+    """run_cdx_plan.py: CDXJ lines -> latest-capture + digest-dedup ->
+    coalesced span plan. Three captures of one url (two sharing a
+    digest), one malformed line, two files."""
+    import pyspark.sql.functions as F
+
+    from readur_spark.sources.cdx import cdxj_line, surt_urlkey
+
+    base = spark.createDataFrame(
+        [
+            ("http://e.com/a", "20230101000001", "d1", "f1.warc.gz", 0, 700),
+            ("http://e.com/a", "20230101000002", "d1", "f1.warc.gz", 1000, 700),
+            ("http://e.com/a", "20230101000003", "d2", "f1.warc.gz", 2000, 700),
+            ("http://e.com/b", "20230101000001", "d3", "f2.warc.gz", 0, 100),
+        ],
+        "url string, ts string, digest string, filename string, "
+        "off long, len long",
+    ).select(
+        cdxj_line(
+            surt_urlkey(F.col("url")), F.col("ts"), F.col("url"),
+            F.lit("text/html"), F.lit("200"), F.col("digest"),
+            F.col("len"), F.col("off"), F.col("filename"),
+        ).alias("line")
+    ).union(spark.createDataFrame([("garbage",)], "line string"))
+    base.write.parquet(str(tmp_path / "cdx"))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO_ROOT, "jobs", "run_cdx_plan.py"),
+            "--input", str(tmp_path / "cdx"),
+            "--output", str(tmp_path / "spans"),
+            "--collapse", "latest", "--dedup-digest",
+            "--gap", "300", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    s = json.loads(line)
+    assert s["n_lines"] == 5 and s["n_malformed"] == 1
+    assert s["n_records"] == 4
+    # latest collapse keeps ts3 for /a (digest d2) + /b; digest dedup
+    # then keeps both (d2, d3 distinct)
+    assert s["n_planned"] == 2
+    assert s["n_spans"] == 2 and s["n_files"] == 2
+    assert s["payload_bytes"] == 800
+    assert s["dead_bytes"] == 0
+
+    spans = {r["filename"]: r for r in spark.read.parquet(
+        str(tmp_path / "spans")).collect()}
+    assert spans["f1.warc.gz"]["span_start"] == 2000
+    assert spans["f1.warc.gz"]["span_end"] == 2700
