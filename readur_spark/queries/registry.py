@@ -57,7 +57,10 @@ _PRIORITY: list[str] = [
     "dsir_importance_weights",
     # BPE / mixture planning tier
     "bpe_doc_token_counts",
-    "bpe_fertility_by_lang",
+    # (bpe_fertility_by_lang ceded to session 7's unigram-LM tokenizer
+    # twins: bpe_doc_token_counts keeps the BPE encode path windowed
+    # and the fertility rollup composes it; pytest keeps its oracle)
+    "unigram_learn_vocab",
     "mixture_token_plan",
     # (mixture_bpe_token_plan ceded to the session-4 families: its two
     # halves stay windowed — mixture_token_plan pins the token-budget
@@ -223,7 +226,11 @@ _PRIORITY: list[str] = [
     # jsonld_extract's head-scan kernel; pytest keeps its oracle)
     "cdx_fetch_spans",
     "hreflang_alternates",
-    "feed_items_parse",
+    # (feed_items_parse ceded to session 7's unigram-LM tokenizer: the
+    # structured-metadata family keeps jsonld/hreflang/pii_iban/psl
+    # windowed and the feed parse shares their head-scan kernels;
+    # pytest keeps its oracle)
+    "unigram_word_segmentation",
     "pii_iban_mod97",
     # session 6: real public-suffix-list registered domains (wildcard
     # + exception longest-match, broadcast rule join) — closes the
@@ -318,6 +325,7 @@ def _load_all() -> None:
     from readur_spark.ml import psl as ml_psl  # noqa: F401
     from readur_spark.sources import cdx as src_cdx  # noqa: F401
     from readur_spark.ml import license as ml_license  # noqa: F401
+    from readur_spark.ml import unigram as ml_unigram  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
