@@ -225,7 +225,10 @@ _PRIORITY: list[str] = [
     # hreflang, feed_items, pii_iban — and the og card parse shares
     # jsonld_extract's head-scan kernel; pytest keeps its oracle)
     "cdx_fetch_spans",
-    "hreflang_alternates",
+    # (hreflang_alternates ceded to session 7's HTTP opt-out gate:
+    # jsonld_extract keeps the session-6 head-scan family windowed;
+    # pytest keeps the hreflang oracle)
+    "http_optout_gate",
     # (feed_items_parse ceded to session 7's unigram-LM tokenizer: the
     # structured-metadata family keeps jsonld/hreflang/pii_iban/psl
     # windowed and the feed parse shares their head-scan kernels;
@@ -326,6 +329,7 @@ def _load_all() -> None:
     from readur_spark.sources import cdx as src_cdx  # noqa: F401
     from readur_spark.ml import license as ml_license  # noqa: F401
     from readur_spark.ml import unigram as ml_unigram  # noqa: F401
+    from readur_spark.ml import httpmeta as ml_httpmeta  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
