@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="drop docs the gate-distilled NB quality "
                         "classifier scores negative "
                         "(ml/quality_classifier, corpus-trained)")
+    p.add_argument("--license-gate", choices=["permissive", "tagged"],
+                   default=None,
+                   help="gate on the license columns run_extraction "
+                        "--license-signals attached: 'permissive' "
+                        "keeps redistribution-safe grants only, "
+                        "'tagged' keeps any page with a license link")
     p.add_argument("--fmt", choices=["parquet", "json"], default="parquet")
     p.add_argument("--max-records-per-file", type=int, default=100_000)
     p.add_argument("--append", action="store_true",
@@ -137,6 +143,24 @@ def main(argv: list[str] | None = None) -> int:
 
     # 0. round-3 hygiene tier (all opt-in; each stage is a projection
     # or a slim broadcast/semi-join — see the ml modules' scale notes)
+    if args.license_gate:
+        # columns come from run_extraction --license-signals; a
+        # pushed-down filter, first so nothing downstream pays for
+        # pages the license posture already excludes
+        missing = [
+            c for c in ("license_id", "permissive") if c not in docs.columns
+        ]
+        if missing:
+            print(json.dumps({
+                "status": "error",
+                "error": "--license-gate needs columns %s; re-run "
+                         "extraction with --license-signals" % missing,
+            }))
+            return 2
+        if args.license_gate == "permissive":
+            docs = docs.filter(F.col("permissive"))
+        else:
+            docs = docs.filter(F.col("license_id").isNotNull())
     if args.url_gates:
         from readur_spark.ml.urlfilters import with_url_gates
 

@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="process everything even if already committed")
     p.add_argument("--no-type-filter", action="store_true",
                    help="skip the allowed-file-types ingest gate (A7)")
+    p.add_argument("--license-signals", action="store_true",
+                   help="attach rel=license detection (license_id, "
+                        "permissive) from the raw html; columns are "
+                        "echoed into the store for curation gating")
     p.add_argument("--charset-normalize", action="store_true",
                    help="WHATWG-ladder-decode text payloads and rewrite "
                         "them as clean UTF-8 before extraction (non-UTF-8 "
@@ -95,6 +99,18 @@ def main(argv: list[str] | None = None) -> int:
         from readur_spark.ml.charset import normalize_page_encoding
 
         pages = normalize_page_encoding(pages)
+
+    if args.license_signals:
+        from pyspark.sql import functions as F
+
+        from readur_spark.ml.license import with_license
+
+        # html is binary; the license tag scan wants text (lenient
+        # cast — the rel=license markup is ASCII on any real page)
+        pages = with_license(
+            pages.withColumn("_html_str", F.col("html").cast("string")),
+            html_col="_html_str",
+        ).drop("_html_str", "license_href")
 
     store = SnapshotStore(args.store)
     if not args.no_resume:

@@ -291,3 +291,49 @@ def host_optout_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host opt-out posture (19 hosts x the reason ladder)."""
     parsed = parse_http_headers(_constructed_headers(spark, sf_dir))
     return host_optout_rollup(with_optout(parsed))
+
+
+# ---------------------------------------------------------------------------
+# Composed rights gate (license x HTTP opt-out)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rights_composed_gate",
+    oracle=f"""
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 1 THEN 'cc-by-sa-3.0'
+             WHEN 2 THEN 'cc0-1.0' END AS license_id,
+           {_SQL_MIME} AS mime
+    FROM documents
+    WHERE doc_id % 5 IN (1, 2)       -- permissive grant (license rule;
+                                     -- %5=0 carries CC BY but ALSO a
+                                     -- TDM reservation — see below)
+      AND doc_id % 4 NOT IN (0, 1)   -- no noindex / noai header
+      AND doc_id % 5 <> 0            -- no TDM-Reservation: 1 header
+    """,
+)
+def rights_composed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full "may I train on this page" decision: page-level grant
+    (ml/license.py, permissive CC) AND protocol-level opt-out
+    (X-Robots noindex/noai + TDM reservation) — the two signal planes
+    a real rights-clearance pass must AND together, here joined on the
+    shared doc_id of their constructed corpora. The deliberate overlap:
+    %5 = 0 pages carry a permissive CC BY grant in the html AND a
+    TDM-Reservation: 1 header — the header wins (protocol opt-out
+    overrides the page-level grant), and the oracle pins exactly that
+    precedence."""
+    from readur_spark.ml.license import _constructed_pages, with_license
+
+    lic = with_license(_constructed_pages(spark, sf_dir)).select(
+        "doc_id", "license_id", "permissive"
+    )
+    hdr = fetchable(
+        parse_http_headers(_constructed_headers(spark, sf_dir))
+    ).select("doc_id", "mime")
+    return (
+        lic.filter(F.col("permissive"))
+        .join(hdr, "doc_id")
+        .select("doc_id", "license_id", "mime")
+    )

@@ -52,6 +52,7 @@ _INPUT_COLS = ["url", "html"]
 # 2-char code — wasteful at 100 TB).
 _PASSTHROUGH_COLS = [
     "sha256", "priority", "warc_ts", "is_duplicate", "duplicate_of", "lang",
+    "license_id", "permissive",
 ]
 _PASSTHROUGH_TYPES = {
     "sha256": "string",
@@ -60,6 +61,10 @@ _PASSTHROUGH_TYPES = {
     "is_duplicate": "boolean",
     "duplicate_of": "string",
     "lang": "string",
+    # ml/license.py signals attached upstream by run_extraction
+    # --license-signals; echoed through so the curation tier can gate
+    "license_id": "string",
+    "permissive": "boolean",
 }
 
 

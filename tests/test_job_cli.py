@@ -626,3 +626,78 @@ def test_cdx_plan_job_end_to_end(tmp_path, spark):
         str(tmp_path / "spans")).collect()}
     assert spans["f1.warc.gz"]["span_start"] == 2000
     assert spans["f1.warc.gz"]["span_end"] == 2700
+
+
+def test_license_signals_and_gate_compose(tmp_path, spark):
+    """run_extraction --license-signals attaches (license_id,
+    permissive) through the Arrow extraction passthrough; run_curation
+    --license-gate permissive keeps only redistribution-safe grants."""
+    import pyspark.sql.functions as F
+
+    CC = {
+        0: "https://creativecommons.org/licenses/by/4.0/",       # perm
+        1: "https://creativecommons.org/licenses/by-nc-nd/2.5/", # not
+        2: None,                                                 # untagged
+    }
+    rows = []
+    for i in range(30):
+        href = CC[i % 3]
+        lic = f'<a rel="license" href="{href}">L</a>' if href else ""
+        body = " ".join(
+            f"the word{j} of page{i} is about topic{j} and value{j}."
+            for j in range(40)
+        )
+        html = f"<html><body>{lic}<p>{body}</p></body></html>"
+        rows.append((f"https://h{i % 4}.example/page{i}.html",
+                     html.encode("utf-8")))
+    spark.createDataFrame(rows, "url string, html binary").withColumn(
+        "warc_ts", F.lit("2023-01-01 00:00:00").cast("timestamp")
+    ).withColumn("text", F.lit(None).cast("string")).withColumn(
+        "lang", F.lit("en")
+    ).write.parquet(str(tmp_path / "pages"))
+
+    store = str(tmp_path / "store")
+    r = _run_job(["--input", str(tmp_path / "pages"), "--store", store,
+                  "--license-signals", "--run-id", "lic", "--cpus", "4"])
+    assert r["status"] == "committed" and r["n_docs"] == 30
+
+    from readur_spark.operators.checkpoint import SnapshotStore
+
+    docs = SnapshotStore(store).read(spark)
+    got = {r2["license_id"] for r2 in docs.select("license_id").collect()}
+    assert got == {"cc-by-4.0", "cc-by-nc-nd-2.5", None}
+    assert docs.filter("permissive").count() == 10
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+            "--input", store, "--output", str(tmp_path / "shards"),
+            "--license-gate", "permissive", "--min-words", "10",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    s = json.loads(line)
+    assert s["status"] == "written"
+    assert sum(v["n_docs"] for v in s["yields"].values()) == 10
+
+    # gate without the columns -> explicit error, not a silent no-op
+    spark.createDataFrame(
+        [("u1", "some text " * 30)], "url string, extracted_text string"
+    ).write.parquet(str(tmp_path / "plain"))
+    out2 = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+            "--input", str(tmp_path / "plain"),
+            "--output", str(tmp_path / "shards2"),
+            "--license-gate", "permissive", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out2.returncode == 2
+    line2 = [l for l in out2.stdout.strip().splitlines() if l.startswith("{")][-1]
+    assert json.loads(line2)["status"] == "error"
