@@ -477,3 +477,57 @@ def unigram_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = viterbi_segment(words, weights)
     docs = load(spark, sf_dir, "documents")
     return encode_doc_token_counts(docs, seg)
+
+
+@register(
+    "unigram_fertility_by_lang",
+    oracle=_oracle_prefix()
+    + f"""
+    , np AS (
+      SELECT w,
+             CAST(length(seg) - length(replace(seg, ' ', '')) + 1
+                  AS BIGINT) AS n_pieces
+      FROM {_FINAL_SEG}
+    ),
+    dw AS (
+      SELECT lang, t.w AS w
+      FROM documents,
+           UNNEST(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z]+'),
+             x -> x <> '')) AS t(w)
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(np.n_pieces) AS BIGINT) AS n_unigram_tokens,
+           CAST((100 * sum(np.n_pieces)) // count(*) AS BIGINT)
+             AS fertility_centi
+    FROM dw JOIN np USING (w)
+    GROUP BY lang
+    """,
+)
+def unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-tokenizer fertility per language (centi-tokens/word) —
+    ml/bpe.bpe_fertility_by_lang's twin under the EM-learned vocab, so
+    a token-budgeted mixture planner can price languages under either
+    tokenizer and compare."""
+    _, weights, words = _learned(spark, sf_dir)
+    per_word = viterbi_segment(words, weights).select("w", "n_pieces")
+    docs = load(spark, sf_dir, "documents")
+    from readur_spark.ml.quality_lm import tokenize_alpha
+
+    stream = docs.select(
+        "lang", F.explode(tokenize_alpha(F.col("text"))).alias("w")
+    )
+    return (
+        stream.join(F.broadcast(per_word), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_unigram_tokens"),
+        )
+        .select(
+            "lang", "n_words", "n_unigram_tokens",
+            F.expr("(100L * n_unigram_tokens) div n_words").alias(
+                "fertility_centi"
+            ),
+        )
+    )

@@ -503,3 +503,57 @@ def cdx_fetch_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce gap. The construction straddles the gap (hole is
     400 - doc_id%300), so both merge and split branches carry rows."""
     return fetch_spans(parse_cdxj(_constructed_records(spark, sf_dir)))
+
+
+@register(
+    "cdx_frontier_diff",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN {_SQL_URLKEY}
+                  ELSE 'org,site' || CAST(doc_id % 9 AS VARCHAR)
+                       || ',new)/fresh' || CAST(doc_id AS VARCHAR) END
+               AS urlkey,
+             doc_id % 3 <> 0 AS is_new
+      FROM documents
+    )
+    SELECT doc_id, urlkey, is_new,
+           CASE WHEN is_new THEN NULL
+                ELSE CAST(20230101000000 + (doc_id % 97) * 10000
+                          AS VARCHAR) END AS last_capture_ts
+    FROM f
+    """,
+)
+def cdx_frontier_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-aware frontier triage: candidate urls canonicalized to
+    urlkeys and left-joined against the index's newest-capture table —
+    never-captured urls come out `is_new` (the discovery set the
+    fetcher prioritizes), known urls carry their latest capture
+    timestamp (the revisit-scheduler's input, `crawl_revisit_schedule`
+    downstream). One broadcast-or-shuffle join on urlkey, the
+    pipeline's natural partition key; the index side is the slim
+    latest_capture collapse, never raw captures. Constructed frontier:
+    every doc_id % 3 == 0 url is already in the constructed index
+    (where its capture count is 1, so its latest ts is the c = 0
+    row); the rest are novel urls the index has never seen."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    novel = F.concat(
+        F.lit("https://NEW.Site"), (F.col("doc_id") % 9).cast("string"),
+        F.lit(".ORG/Fresh"), d,
+    )
+    url = F.when(F.col("doc_id") % 3 == 0, _messy_url()).otherwise(novel)
+    frontier = docs.select(
+        "doc_id", surt_urlkey(url).alias("urlkey")
+    )
+    index = latest_capture(
+        parse_cdxj(_constructed_records(spark, sf_dir))
+    ).select("urlkey", F.col("capture_ts").alias("last_capture_ts"))
+    return (
+        frontier.join(index, "urlkey", "left")
+        .select(
+            "doc_id", "urlkey",
+            F.col("last_capture_ts").isNull().alias("is_new"),
+            "last_capture_ts",
+        )
+    )
