@@ -200,7 +200,10 @@ _PRIORITY: list[str] = [
     "embedding_outlier_flags",
     "sample_recency_decay",
     "template_fingerprint_rollup",
-    "qc_blocklist_gate",
+    # (qc_blocklist_gate ceded to session 7's skeleton-evasion twin:
+    # the evasion query exercises the same broadcast term join PLUS
+    # the TR39 fold; pytest keeps the plain-gate oracle)
+    "blocklist_skeleton_evasion",
     "crawl_revisit_schedule",
     # new round-5 session-5 family: WHATWG charset detection + decode
     # (BOM / meta-prescan / strict-UTF-8 / total windows-1252 ladder)
@@ -330,6 +333,7 @@ def _load_all() -> None:
     from readur_spark.ml import license as ml_license  # noqa: F401
     from readur_spark.ml import unigram as ml_unigram  # noqa: F401
     from readur_spark.ml import httpmeta as ml_httpmeta  # noqa: F401
+    from readur_spark.ml import confusables as ml_confusables  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
