@@ -724,3 +724,141 @@ def url_pattern_census_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host_urls",
         F.col("top_pattern_n").cast("long").alias("top_pattern_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# retry backoff
+# ---------------------------------------------------------------------------
+
+RETRY_BASE_S = 60
+RETRY_CAP_S = 86_400
+RETRY_MAX_ATTEMPTS = 5
+
+
+def retry_backoff_plan(
+    attempts: DataFrame,
+    *,
+    base_s: int = RETRY_BASE_S,
+    cap_s: int = RETRY_CAP_S,
+    max_attempts: int = RETRY_MAX_ATTEMPTS,
+) -> DataFrame:
+    """Exponential-backoff retry schedule over a fetch-attempt ledger
+    (url, attempt_ts long epoch-sec, outcome; 'ok' = success, anything
+    else a failure class). The crawl-side extension of the reference's
+    requeue surface (B22 requeue/B28 retry-preview, src/db/queue.rs):
+    those decide WHICH failures re-enter the queue, this decides WHEN.
+
+    Per url: consecutive failures since the last success; urls whose
+    LATEST attempt failed get next_attempt_ts = last_ts +
+    min(base_s << (n_fail - 1), cap_s) — integer shift, engine-exact —
+    or give_up once n_fail > max_attempts. Urls currently succeeding
+    drop out (nothing to schedule).
+
+    Shape: one window max over the ledger (per-url last success ts)
+    + one grouped aggregate — the ledger is slim (url, ts, outcome)
+    and partitions on url, the pipeline's natural key; no payload,
+    no Python."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url")
+    ok_ts = F.max(
+        F.when(F.col("outcome") == "ok", F.col("attempt_ts"))
+    ).over(w)
+    marked = attempts.withColumn("_ok_ts", ok_ts)
+    failed_after = (F.col("outcome") != "ok") & (
+        F.col("_ok_ts").isNull() | (F.col("attempt_ts") > F.col("_ok_ts"))
+    )
+    agg = marked.groupBy("url").agg(
+        F.sum(failed_after.cast("long")).alias("n_fail"),
+        F.max("attempt_ts").alias("last_ts"),
+        F.max_by("outcome", F.col("attempt_ts")).alias("last_outcome"),
+    )
+    eligible = agg.filter(
+        (F.col("last_outcome") != "ok") & (F.col("n_fail") > 0)
+    )
+    # SQL shiftleft (the PySpark wrapper wants a literal bit count)
+    delay = F.expr(
+        f"least(shiftleft(CAST({base_s} AS BIGINT), "
+        f"CAST(n_fail - 1 AS INT)), CAST({cap_s} AS BIGINT))"
+    )
+    return eligible.select(
+        "url",
+        "n_fail",
+        "last_ts",
+        F.when(F.col("n_fail") > max_attempts, F.lit(None).cast("long"))
+        .otherwise(F.col("last_ts") + delay)
+        .alias("next_attempt_ts"),
+        (F.col("n_fail") > max_attempts).alias("give_up"),
+    )
+
+
+@register(
+    "crawl_retry_backoff",
+    oracle=f"""
+    WITH a AS (
+      SELECT 'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.x/p'
+               || CAST(doc_id AS VARCHAR) AS url,
+             CAST(1700000000 + doc_id * 100 + t.c * 10 AS BIGINT)
+               AS attempt_ts,
+             CASE WHEN doc_id % 5 = 1 AND t.c = 0 THEN 'ok'
+                  WHEN doc_id % 6 = 0 AND t.c = CAST(doc_id % 4 AS BIGINT)
+                    THEN 'ok'
+                  WHEN t.c % 3 = 0 THEN 'timeout'
+                  WHEN t.c % 3 = 1 THEN 'http_5xx'
+                  ELSE 'dns' END AS outcome
+      FROM documents,
+           UNNEST(generate_series(0, CAST(doc_id % 4 AS BIGINT))) AS t(c)
+    ),
+    m AS (
+      SELECT url, attempt_ts, outcome,
+             max(CASE WHEN outcome = 'ok' THEN attempt_ts END)
+               OVER (PARTITION BY url) AS ok_ts
+      FROM a
+    ),
+    g AS (
+      SELECT url,
+             CAST(sum(CASE WHEN outcome <> 'ok'
+                           AND (ok_ts IS NULL OR attempt_ts > ok_ts)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+             max(attempt_ts) AS last_ts,
+             arg_max(outcome, attempt_ts) AS last_outcome
+      FROM m GROUP BY url
+    )
+    SELECT url, n_fail, last_ts,
+           CASE WHEN n_fail > {RETRY_MAX_ATTEMPTS} THEN NULL
+                ELSE last_ts + least(
+                  CAST({RETRY_BASE_S} AS BIGINT) * (1 << (n_fail - 1)),
+                  CAST({RETRY_CAP_S} AS BIGINT)) END AS next_attempt_ts,
+           n_fail > {RETRY_MAX_ATTEMPTS} AS give_up
+    FROM g
+    WHERE last_outcome <> 'ok' AND n_fail > 0
+    """,
+)
+def crawl_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backoff schedule over a constructed ledger: 1 + doc_id%4
+    attempts per url; doc_id%5==1 urls succeed FIRST then fail (their
+    failure count restarts after the success), doc_id%6==0 urls
+    succeed on their LAST attempt (not scheduled), the rest cycle
+    through failure classes. The oracle replays the window, the
+    consecutive-failure census, the shifted delay, and the give-up
+    cut."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ledger = docs.withColumn(
+        "c", F.explode(F.sequence(F.lit(0).cast("long"), d % 4))
+    ).select(
+        F.concat(
+            F.lit("https://h"), (d % 13).cast("string"),
+            F.lit(".x/p"), d.cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) + d * 100 + F.col("c") * 10)
+        .cast("long")
+        .alias("attempt_ts"),
+        F.when((d % 5 == 1) & (F.col("c") == 0), F.lit("ok"))
+        .when((d % 6 == 0) & (F.col("c") == (d % 4)), F.lit("ok"))
+        .when(F.col("c") % 3 == 0, F.lit("timeout"))
+        .when(F.col("c") % 3 == 1, F.lit("http_5xx"))
+        .otherwise(F.lit("dns"))
+        .alias("outcome"),
+    )
+    return retry_backoff_plan(ledger)
