@@ -281,3 +281,90 @@ def canonical_collapse_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_collapse(meta).select(
         "canonical_target", "n_variants", "kept_url"
     )
+
+
+# ---------------------------------------------------------------------------
+# soft-404 detection
+# ---------------------------------------------------------------------------
+
+# phrase lists from the soft-404 literature (Bar-Yossef et al., "Sic
+# Transit Gloria Telae", WWW'04: error pages served with HTTP 200)
+SOFT404_TITLE_RE = r"(404|not found|page cannot be found|error)"
+SOFT404_BODY_RE = (
+    r"(page not found|does not exist|no longer available"
+    r"|cannot be found|has been removed)"
+)
+
+
+def soft404_flags(
+    df, *, html_col: str = "html", id_col: str = "doc_id"
+):
+    """(id, title_hit, body_hit, is_soft404): error pages served with
+    status 200 — the crawl-QC gate that keeps 'Page Not Found'
+    boilerplate out of the training corpus even though the HTTP layer
+    said OK. Title from a bounded head scan; body phrases over the
+    lowered page. Pure Catalyst (staged projections, each regexp
+    once); a pushed-down filter at scale."""
+    title = F.lower(
+        F.regexp_extract(
+            F.col(html_col), r"(?is)<title[^>]*>(.*?)</title>", 1
+        )
+    )
+    return (
+        df.withColumn("_t", title)
+        .withColumn("title_hit", F.col("_t").rlike(SOFT404_TITLE_RE))
+        .withColumn(
+            "body_hit",
+            F.lower(F.col(html_col)).rlike(SOFT404_BODY_RE),
+        )
+        .withColumn(
+            "is_soft404", F.col("title_hit") | F.col("body_hit")
+        )
+        .select(id_col, "title_hit", "body_hit", "is_soft404")
+    )
+
+
+@register(
+    "soft404_detect",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 6 = 0 AS title_hit,
+           doc_id % 6 IN (0, 1) AS body_hit,
+           doc_id % 6 IN (0, 1) AS is_soft404
+    FROM documents
+    """,
+)
+def soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructed corpus: %6==0 pages carry a '404 - Page Not Found'
+    title AND a 'does not exist' body; %6==1 pages look normal but say
+    'no longer available' in the body (the sneaky soft-404); the rest
+    are clean. The oracle restates all three flags from the rule."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 6
+    # digit-free normal titles: doc_id 404's "Article 404" would
+    # (correctly!) trip the title pattern and diverge from the rule
+    title = (
+        F.when(m == 0, F.lit("404 - Page Not Found"))
+        .otherwise(
+            F.concat(
+                F.lit("Article "),
+                F.translate(d, "0123456789", "abcdefghij"),
+            )
+        )
+    )
+    body = (
+        F.when(m == 0, F.lit("The page you requested does not exist."))
+        .when(
+            m == 1,
+            F.lit("Sorry, this content is no longer available here."),
+        )
+        .otherwise(F.concat(F.lit("Regular readable content for "), d))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>"), title,
+        F.lit("</title></head><body><p>"), body,
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return soft404_flags(pages)

@@ -319,3 +319,94 @@ def length_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(90).alias("p90"),
         q(99).alias("p99"),
     )
+
+
+def quantiles_hash_sampled(
+    docs: DataFrame,
+    *,
+    value_col: str,
+    key_col: str,
+    group_col: str = "lang",
+    rate_permille: int = 125,
+) -> DataFrame:
+    """Per-group quantiles over a DETERMINISTIC hash sample: keep rows
+    whose md5(key) bucket (first 8 hex chars mod 1000) falls under
+    `rate_permille`, then run the same exact histogram-cum-window
+    quantile readout as `length_histogram_quantiles` on the sample.
+
+    This is the UNBOUNDED-cardinality / streaming complement of the
+    exact-histogram twin: when the metric's distinct-value set is too
+    large for the histogram shuffle (real-valued scores, byte sizes at
+    10^12 rows), a 1/8 deterministic sample caps the histogram at
+    sample size while staying reproducible (same keys -> same sample
+    on any engine, any run) and MERGEABLE (the union of two shards'
+    samples IS the sample of the union — same per-key predicate,
+    unlike reservoir sampling which needs coordinated state)."""
+    from pyspark.sql.window import Window
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 1000
+    )
+    sample = docs.filter(bucket < rate_permille)
+    hist = sample.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(group_col)
+    c = hist.withColumn("cum", F.sum("k").over(wcum)).withColumn(
+        "n", F.sum("k").over(wall)
+    )
+    v = F.col(value_col)
+    return c.groupBy(group_col).agg(
+        F.any_value(F.col("n")).alias("n_sampled"),
+        F.min(F.when(100 * F.col("cum") >= 50 * F.col("n"), v)).alias("p50"),
+        F.min(F.when(100 * F.col("cum") >= 90 * F.col("n"), v)).alias("p90"),
+        F.min(F.when(100 * F.col("cum") >= 99 * F.col("n"), v)).alias("p99"),
+    )
+
+
+@register(
+    "length_quantiles_sampled",
+    oracle="""
+    WITH s AS (
+      SELECT lang, n_chars
+      FROM documents
+      WHERE CAST(concat('0x',
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 1000 < 125
+    ),
+    h AS (
+      SELECT lang, n_chars, count(*) AS k FROM s GROUP BY lang, n_chars
+    ),
+    c AS (
+      SELECT lang, n_chars, k,
+             CAST(sum(k) OVER (PARTITION BY lang ORDER BY n_chars)
+               AS BIGINT) AS cum,
+             CAST(sum(k) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM h
+    )
+    SELECT lang, any_value(n) AS n_sampled,
+           min(CASE WHEN 100 * cum >= 50 * n THEN n_chars END) AS p50,
+           min(CASE WHEN 100 * cum >= 90 * n THEN n_chars END) AS p90,
+           min(CASE WHEN 100 * cum >= 99 * n THEN n_chars END) AS p99
+    FROM c GROUP BY lang
+    """,
+)
+def length_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`length_histogram_quantiles`'s hash-sampled twin at 125 permille
+    — the sample membership (md5 bucket), the histogram, and the
+    cumulative readout all value-hashed."""
+    docs = load(spark, sf_dir, "documents")
+    return quantiles_hash_sampled(
+        docs, value_col="n_chars", key_col="doc_id"
+    )
