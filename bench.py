@@ -86,6 +86,14 @@ HEADLINE_QUERIES = [
     "pubdate_extract",
     "qc_dup_ngram_chars",
     "host_hits",
+    # round 5, session 6
+    "jsonld_extract",
+    "psl_registered_domain",
+    # round 5, session 7
+    "cdx_fetch_spans",
+    "license_rel_extract",
+    "unigram_doc_token_counts",
+    "blocklist_skeleton_evasion",
 ]
 
 
