@@ -334,6 +334,7 @@ def _load_all() -> None:
     from readur_spark.ml import unigram as ml_unigram  # noqa: F401
     from readur_spark.ml import httpmeta as ml_httpmeta  # noqa: F401
     from readur_spark.ml import confusables as ml_confusables  # noqa: F401
+    from readur_spark.ml import traps as ml_traps  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
