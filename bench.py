@@ -94,6 +94,11 @@ HEADLINE_QUERIES = [
     "license_rel_extract",
     "unigram_doc_token_counts",
     "blocklist_skeleton_evasion",
+    # round 5, session 8
+    "crawl_trap_hosts",
+    "corpus_drift_tv",
+    "vocab_coverage_curve",
+    "pagination_stitch",
 ]
 
 

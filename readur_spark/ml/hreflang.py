@@ -32,6 +32,14 @@ Reference tie-in: the reference stores one language per document
 happily collapse translations by visual/structural similarity; this
 operator is the guard its multilingual successor needs.
 
+Relation to ml/structured.py: its `hreflang_alternates` pins the
+zip-parse kernel and `hreflang_cluster_rollup` groups by a shared
+alternate DIRECTORY (all variants under one path — the single-host
+layout). THIS module is the general case that layout cannot express:
+variants on DIFFERENT hosts (example.de / example.fr), any attribute
+order, min-url cluster identity, and the declared-vs-crawled
+asymmetry a truncated crawl produces.
+
 Construction rule for the driver queries (SQL-replayable): documents
 form translation groups g = doc_id div 3 with variant v = doc_id % 3
 → language (de, en, fr); each page's url embeds its OWN source host

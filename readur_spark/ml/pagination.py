@@ -29,6 +29,12 @@ Reference tie-in: the reference re-assembles multi-page PDFs from
 per-page OCR results inside one file (src/ocr/enhanced.rs page loop);
 this is the cross-URL twin of that reassembly for web corpora.
 
+Relation to ml/structured.py: its `pagination_chain_assembly` stops
+at POSITION ASSIGNMENT ((url, chain_head, page_seq) on fixed-length
+chains). THIS module finishes the job the curation pipeline needs:
+the stitched document text itself, variable chain lengths, standalone
+passthrough, and the circular-chain keep-text policy.
+
 Construction rule for the driver query (SQL-replayable): documents
 form article blocks g = doc_id div 5 with part p = doc_id % 5; the
 block's declared part count is n = g % 4 + 1, pages with p < n chain

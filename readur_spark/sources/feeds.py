@@ -33,6 +33,13 @@ src/scheduling/source_scheduler.rs); the feed poll is the open-web
 twin of that loop, with the same "discover, diff against seen,
 enqueue" shape.
 
+Relation to ml/structured.py: that module's `feed_items_parse` is the
+head-scan field pull (RSS only, dates as raw strings) that belongs to
+the structured-metadata family; THIS module is the discovery tier's
+full parse — both wire formats, href vs text link shapes, and typed
+timestamps through two parse ladders — the form the frontier diff and
+revisit scheduler consume.
+
 Construction rule for the driver query (SQL-replayable): each
 document becomes ONE feed file on its source host carrying TWO items
 (the post and its comments page); doc_id parity picks the wire format
