@@ -133,7 +133,10 @@ _PRIORITY: list[str] = [
     # (image_neardup_dhash ceded to session 3's table extraction: its
     # constructed sibling value-hashes the dHash kernel itself and the
     # pair self-join stays oracle-checked in pytest)
-    "image_dhash_constructed",
+    # (image_dhash_constructed ceded to session 8's crawler-trap
+    # census: the image family keeps image_meta_constructed windowed
+    # and the dHash kernel stays oracle-checked in pytest)
+    "crawl_trap_hosts",
     # new round-5 operator family: winnowing (MOSS) local text reuse
     # (winnow_fingerprint_rollup ceded: winnow_reuse_pairs exercises
     # the same fingerprint kernel plus the reuse join; pytest keeps it)
@@ -145,9 +148,15 @@ _PRIORITY: list[str] = [
     # Luhn card PII, unigram entropy (paragraph_dup_stats and the
     # 1-row token_zipf_fit stay on the pytest oracle tier — their
     # content is implied by / weaker than the windowed siblings)
-    "paragraph_dedup_keep_first",
+    # (paragraph_dedup_keep_first ceded to session 8's snapshot-drift
+    # census: the unit-dedup tier keeps sentence_dedup_clean windowed
+    # below and the paragraph variant stays oracle-checked in pytest)
+    "corpus_drift_tv",
     "mojibake_repair_constructed",
-    "pii_luhn_cards",
+    # (pii_luhn_cards ceded to session 8's vocabulary coverage curve:
+    # the checksum-PII family keeps pii_iban_mod97 windowed below;
+    # the Luhn twin stays oracle-checked in pytest)
+    "vocab_coverage_curve",
     # (qc_unigram_entropy ceded to session 5's publication-date
     # ladder: the infostats family keeps ngram_novelty_rate windowed;
     # entropy stays oracle-checked in pytest)
@@ -211,7 +220,13 @@ _PRIORITY: list[str] = [
     # new round-5 session-5 family: htmldate-style publication-date
     # ladder (meta/time/url-path precedence, calendar validation)
     "pubdate_extract",
-    "redirect_chain_resolve",
+    # (redirect_chain_resolve ceded to session 8's pagination stitch:
+    # pagination_stitch COMPOSES the same resolve_redirects pointer
+    # doubling — ml/pagination.py imports it — so its driver row
+    # exercises the doubling rounds end-to-end, and its oracle is
+    # INDEPENDENTLY restated from the construction rule rather than a
+    # replay; the redirect query stays oracle-checked in pytest)
+    "pagination_stitch",
     # new round-5 session-6 family: structured page metadata — JSON-LD
     # (@type/headline/datePublished via get_json_object), Open Graph /
     # Twitter cards, hreflang language alternates, RSS item parse, and
@@ -236,7 +251,11 @@ _PRIORITY: list[str] = [
     # structured-metadata family keeps jsonld/hreflang/pii_iban/psl
     # windowed and the feed parse shares their head-scan kernels;
     # pytest keeps its oracle)
-    "unigram_word_segmentation",
+    # (unigram_word_segmentation ceded to session 8's two-format feed
+    # parse: unigram_learn_vocab above keeps the EM chain windowed —
+    # segmentation is its E-step — and the standalone segmentation
+    # oracle stays in pytest)
+    "feed_discover_items",
     "pii_iban_mod97",
     # session 6: real public-suffix-list registered domains (wildcard
     # + exception longest-match, broadcast rule join) — closes the

@@ -85,7 +85,9 @@ class TestPriorityWindow:
             "langid_chartrigram_nb",
             "extract_markdown",
             "sentence_dedup_clean",
-            "redirect_chain_resolve",
+            # session 8: pagination_stitch composes resolve_redirects'
+            # pointer doubling, so it carries the redirect-chain pin
+            "pagination_stitch",
         }
         assert backbone <= first50, backbone - first50
 
