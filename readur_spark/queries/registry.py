@@ -359,6 +359,7 @@ def _load_all() -> None:
     from readur_spark.sources import feeds as src_feeds  # noqa: F401
     from readur_spark.ml import hreflang as ml_hreflang  # noqa: F401
     from readur_spark.ml import pagination as ml_pagination  # noqa: F401
+    from readur_spark.ml import codemath as ml_codemath  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
