@@ -1,0 +1,207 @@
+"""Image–text pair mining from page markup (the LAION recipe's
+web-side half).
+
+Image-text datasets (LAION-400M/5B, DataComp) are built by walking
+Common-Crawl HTML for ``<img>`` tags, pairing each image URL with its
+``alt`` text (plus any ``<figcaption>``), and keeping pairs whose alt
+is long enough and not a generic placeholder — only THEN does the
+expensive CLIP-side filtering run. This module is that web-side half:
+
+  1. ``extract_image_alts`` — every ``<img>`` tag in document order,
+     attribute-order free (src/alt pulled independently, the same
+     any-order convention as ml/hreflang.py's link parse);
+  2. ``figure_captions`` — ``<figure><img…><figcaption>`` captions
+     bound to their image src;
+  3. ``alt_pair_gate`` — the LAION-style pre-filter: alt length ≥ 5
+     chars and not in the generic-placeholder stoplist.
+
+Scale design (10^12 pages): the tag pulls are one
+``regexp_extract_all`` projection per page — the payload crosses no
+shuffle and never enters Python; what shuffles is the slim
+(url, src, alt) pair frame, whose size is the corpus's image-tag
+count, not its byte count. The caption join runs pairs-side only and
+broadcasts at any realistic captions/pairs ratio. Downstream, the
+(src, alt) pairs are exactly what feeds the binary-column multimodal
+tier (ml/multimodal.py fetch/decode stubs).
+
+Reference tie-in: the reference extracts per-image OCR text and
+stores it alongside the image row (src/ocr/enhanced.rs image branch);
+this is the markup-declared twin of that image→text binding.
+
+Construction rule (SQL-restatable, over ``documents``): pages with
+doc_id % 2 == 0 carry k = doc_id % 3 + 1 images; image j has
+src 'https://img.example/<doc_id>_<j>.jpg'; alt is the placeholder
+'logo' when j == 0 and doc_id % 5 == 0, else
+'picture of <source> <doc_id>_<j>'; odd j writes alt before src (the
+attribute-order probe); image 0 is wrapped in
+<figure>…<figcaption>caption for <doc_id></figcaption></figure> when
+doc_id % 6 == 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load, synthetic_url
+
+_IMG_TAG_RE = "<img\\b[^>]*>"
+_SRC_RE = 'src="([^"]*)"'
+_ALT_RE = 'alt="([^"]*)"'
+_FIGURE_RE = "<figure>(<img\\b[^>]*>)<figcaption>([^<]*)</figcaption></figure>"
+
+# Generic placeholders LAION-style filtering drops regardless of length.
+ALT_STOPLIST = ["logo", "image", "photo", "icon"]
+MIN_ALT_CHARS = 5
+
+
+def extract_image_alts(
+    pages: DataFrame, *, url_col: str = "url", html_col: str = "html_str"
+) -> DataFrame:
+    """(url, img_idx, src, alt, n_alt_chars) — every img tag in
+    document order; src/alt pulled independently so attribute order
+    never matters. Missing attributes surface as '' (kept visible for
+    the gate, which drops them on length)."""
+    tags = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_IMG_TAG_RE), 0)
+        ).alias("img_idx", "tag"),
+    )
+    return tags.select(
+        "url",
+        F.col("img_idx").cast("long").alias("img_idx"),
+        F.regexp_extract("tag", _SRC_RE, 1).alias("src"),
+        F.regexp_extract("tag", _ALT_RE, 1).alias("alt"),
+        F.length(F.regexp_extract("tag", _ALT_RE, 1))
+        .cast("long")
+        .alias("n_alt_chars"),
+    )
+
+
+def figure_captions(
+    pages: DataFrame, *, url_col: str = "url", html_col: str = "html_str"
+) -> DataFrame:
+    """(url, src, caption) for every figure-wrapped image."""
+    figs = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_FIGURE_RE), 0)
+        ).alias("fig"),
+    )
+    img_tag = F.regexp_extract("fig", _FIGURE_RE, 1)
+    return figs.select(
+        "url",
+        F.regexp_extract(img_tag, _SRC_RE, 1).alias("src"),
+        F.regexp_extract("fig", _FIGURE_RE, 2).alias("caption"),
+    )
+
+
+def alt_pair_gate(alt: Column, n_alt_chars: Column) -> Column:
+    """LAION-style pre-filter: long enough and not a placeholder."""
+    return (n_alt_chars >= MIN_ALT_CHARS) & ~alt.isin(ALT_STOPLIST)
+
+
+def image_text_pairs(
+    pages: DataFrame, *, url_col: str = "url", html_col: str = "html_str"
+) -> DataFrame:
+    """(url, img_idx, src, alt, caption, keep) — the mined pair table.
+    Captions join the slim pair frame by (url, src); the gate is a
+    projection."""
+    pairs = extract_image_alts(pages, url_col=url_col, html_col=html_col)
+    caps = figure_captions(pages, url_col=url_col, html_col=html_col)
+    return pairs.join(F.broadcast(caps), ["url", "src"], "left").select(
+        "url", "img_idx", "src", "alt",
+        # empty-string sentinel for caption-less images (the registry
+        # compare is NULL-averse; same convention as unresolved
+        # redirects in ml/redirects.py)
+        F.coalesce(F.col("caption"), F.lit("")).alias("caption"),
+        alt_pair_gate(F.col("alt"), F.col("n_alt_chars")).alias("keep"),
+    )
+
+
+# ---- constructed corpus (module-docstring rule) ------------------------------
+
+
+def constructed_image_pages(docs: DataFrame) -> DataFrame:
+    """(url, html_str) under the construction rule."""
+    def src(j: int) -> Column:
+        return F.concat(
+            F.lit("https://img.example/"), F.col("doc_id"),
+            F.lit(f"_{j}.jpg"),
+        )
+
+    def alt(j: int) -> Column:
+        placeholder = (F.lit(j == 0)) & (F.col("doc_id") % 5 == 0)
+        return F.when(placeholder, F.lit("logo")).otherwise(
+            F.concat(
+                F.lit("picture of "), F.col("source"), F.lit(" "),
+                F.col("doc_id"), F.lit(f"_{j}"),
+            )
+        )
+
+    def img(j: int) -> Column:
+        if j % 2 == 1:  # attribute-order probe: alt first on odd j
+            return F.concat(
+                F.lit('<img alt="'), alt(j), F.lit('" src="'), src(j),
+                F.lit('">'),
+            )
+        return F.concat(
+            F.lit('<img src="'), src(j), F.lit('" alt="'), alt(j),
+            F.lit('">'),
+        )
+
+    fig0 = F.concat(
+        F.lit("<figure>"), img(0), F.lit("<figcaption>caption for "),
+        F.col("doc_id"), F.lit("</figcaption></figure>"),
+    )
+    b0 = F.when(F.col("doc_id") % 6 == 0, fig0).otherwise(img(0))
+    k = F.col("doc_id") % 3 + 1
+    blocks = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            b0,
+            F.when(k >= 2, img(1)).otherwise(F.lit("")),
+            F.when(k >= 3, img(2)).otherwise(F.lit("")),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body>"), blocks, F.lit("<p>"), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(synthetic_url().alias("url"), html.alias("html_str"))
+
+
+@register(
+    "image_alt_pairs",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT doc_id, source, j AS img_idx,
+             'https://img.example/' || doc_id || '_' || j || '.jpg'
+               AS src,
+             CASE WHEN j = 0 AND doc_id % 5 = 0 THEN 'logo'
+                  ELSE 'picture of ' || source || ' ' || doc_id
+                       || '_' || j END AS alt,
+             CASE WHEN j = 0 AND doc_id % 6 = 0
+                  THEN 'caption for ' || doc_id ELSE '' END AS caption
+      FROM documents, unnest(range(doc_id % 3 + 1)) AS t(j)
+      WHERE doc_id % 2 = 0
+    )
+    SELECT 'https://' || source || '.example/doc' || doc_id || '.txt'
+             AS url,
+           CAST(img_idx AS BIGINT) AS img_idx,
+           src, alt, caption,
+           length(alt) >= {MIN_ALT_CHARS}
+             AND alt NOT IN ({", ".join("'" + s + "'" for s in ALT_STOPLIST)})
+             AS keep
+    FROM imgs
+    """,
+)
+def image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine image-text pairs from the constructed corpus — the oracle
+    restates every (src, alt, caption, keep) row straight from the
+    rule, independent of the tag parse, attribute-order handling, and
+    caption join under test."""
+    pages = constructed_image_pages(load(spark, sf_dir, "documents"))
+    return image_text_pairs(pages)

@@ -1,0 +1,94 @@
+"""Image-text pair mining (ml/altpairs.py).
+
+Full DuckDB value-hash runs in test_entry_contract.py (the oracle
+restates every pair from the construction rule); here: tag-parse edge
+cases the constructed corpus can't reach (missing attributes,
+self-closing tags, caption binding across multiple figures), the gate
+boundary, and the single-Arrow-free plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from readur_spark.ml.altpairs import (
+    MIN_ALT_CHARS,
+    alt_pair_gate,
+    extract_image_alts,
+    figure_captions,
+    image_text_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pages(spark, *htmls):
+    return spark.createDataFrame(
+        [(f"u{i}", h) for i, h in enumerate(htmls)], ["url", "html_str"]
+    )
+
+
+class TestExtract:
+    def test_attribute_order_free(self, spark):
+        html = (
+            '<img src="a.jpg" alt="first one">'
+            '<img alt="second one" src="b.jpg">'
+        )
+        rows = extract_image_alts(_pages(spark, html)).orderBy("img_idx").collect()
+        assert [(r["src"], r["alt"]) for r in rows] == [
+            ("a.jpg", "first one"),
+            ("b.jpg", "second one"),
+        ]
+
+    def test_missing_alt_is_empty(self, spark):
+        r = extract_image_alts(_pages(spark, '<img src="x.jpg">')).first()
+        assert r["alt"] == "" and r["n_alt_chars"] == 0
+
+    def test_self_closing_and_noise_attrs(self, spark):
+        html = '<img width="3" src="y.jpg" class="c" alt="tiny cat"/>'
+        r = extract_image_alts(_pages(spark, html)).first()
+        assert r["src"] == "y.jpg" and r["alt"] == "tiny cat"
+
+
+class TestCaptions:
+    def test_two_figures_bind_to_own_src(self, spark):
+        html = (
+            '<figure><img src="a.jpg"><figcaption>A cap</figcaption></figure>'
+            '<figure><img src="b.jpg"><figcaption>B cap</figcaption></figure>'
+        )
+        rows = {r["src"]: r["caption"] for r in
+                figure_captions(_pages(spark, html)).collect()}
+        assert rows == {"a.jpg": "A cap", "b.jpg": "B cap"}
+
+    def test_unwrapped_img_gets_empty_caption(self, spark):
+        out = image_text_pairs(
+            _pages(spark, '<img src="solo.jpg" alt="a lone image here">')
+        ).first()
+        assert out["caption"] == "" and out["keep"]
+
+
+class TestGate:
+    def test_boundary_and_stoplist(self, spark):
+        df = spark.createDataFrame(
+            [("tiny",), ("tinys",), ("logo",), ("a real alt",)], ["alt"]
+        ).select(
+            "alt",
+            alt_pair_gate(F.col("alt"), F.length("alt").cast("long")).alias("keep"),
+        )
+        got = {r["alt"]: r["keep"] for r in df.collect()}
+        assert got == {
+            "tiny": False,       # 4 < MIN_ALT_CHARS
+            "tinys": True,       # exactly at the boundary
+            "logo": False,       # stoplisted
+            "a real alt": True,
+        }
+        assert MIN_ALT_CHARS == 5
+
+
+class TestPlan:
+    def test_no_python_ops(self, spark):
+        from readur_spark.queries.registry import queries
+
+        df = queries()["image_alt_pairs"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "ArrowEval" not in plan
+        assert "BroadcastHashJoin" in plan  # captions broadcast, never shuffled
