@@ -66,7 +66,13 @@ _PRIORITY: list[str] = [
     # halves stay windowed — mixture_token_plan pins the token-budget
     # planner and bpe_doc_token_counts/bpe_fertility_by_lang pin the
     # BPE accounting it composes; pytest keeps the composition)
-    "training_order_shuffle",
+    # (training_order_shuffle ceded to session 9's curriculum
+    # interleave: both produce a training order from a content
+    # -addressed md5 hash — the curriculum variant supersedes the
+    # uniform shuffle with difficulty-stratified per-shard ranks and
+    # exercises the same hash idiom inside its window; the uniform
+    # shuffle stays oracle-checked in pytest)
+    "curriculum_interleave",
     # (qc_token_count_bpe ceded to session 6: bpe_doc_token_counts
     # above pins the identical encode path; pytest keeps the QC twin)
     # crawl tier (robots/politeness/Bloom/frontier/sync)
@@ -75,14 +81,23 @@ _PRIORITY: list[str] = [
     # crawl_frontier_plan COMPOSES robots gate + the politeness waves
     # — queries/crawl.py:492-498 — so its driver row exercises the
     # scheduler value-for-value; pytest keeps the standalone oracle)
-    "crawl_frontier_bloom",
+    # (crawl_frontier_bloom ceded to session 9's fenced-block
+    # extraction: the windowed crawl_frontier_plan composes the same
+    # seen-set gating, and the Bloom false-positive / union-merge
+    # contracts stay pinned by pytest; the bloom query keeps its
+    # oracle on the pytest tier)
+    "code_block_extract",
     # (crawl_snapshot_diff ceded: the session-4 crawl_revisit_schedule
     # below replays the identical two-capture construction AND the
     # full diff inside its oracle, so its driver row covers the diff
     # end-to-end; etag_normalize ceded: a bounded string kernel whose
     # url_canonicalize sibling keeps the normalization family in the
     # window. Both stay oracle-checked in pytest.)
-    "url_canonicalize",
+    # (url_canonicalize ceded to session 9's image-text pair mining:
+    # the backbone cdx_urlkey_surt keeps URL normalization windowed —
+    # SURT urlkeys lowercase/strip/reorder the same components — and
+    # the query-param canonicalizer stays oracle-checked in pytest)
+    "image_alt_pairs",
     "canonical_collapse_plan",
     # web-graph parsing (constructed-corpus oracles)
     "outlink_edges_parse",
@@ -96,11 +111,22 @@ _PRIORITY: list[str] = [
     # keeps the host-quality family windowed and the top-k window
     # function is pinned by the salted twin's pytest oracle)
     # text QC
-    "qc_script_detect",
+    # (qc_script_detect ceded to session 9's bitext margin mining:
+    # the windowed langid_chartrigram_nb keeps language detection in
+    # the window and bitext mining is the cross-lingual tier's
+    # stronger rep — from detecting languages to aligning documents
+    # across them; script detection stays oracle-checked in pytest)
+    "bitext_margin_mine",
     # (qc_dup_line_fraction ceded: a pure projection whose line-family
     # siblings line_dedup_clean + sentence_dedup_clean hold two window
     # slots; pytest keeps it)
-    "heavy_hitter_tokens",
+    # (heavy_hitter_tokens ceded to session 9's Kneser-Ney surprisal:
+    # the token-statistics tier already holds two window slots —
+    # vocab_coverage_curve's count-of-counts and
+    # length_histogram_quantiles — and the CMS sketch twin pins the
+    # heavy-hitter semantics in pytest; KN is the LM-quality tier's
+    # real estimator, continuation counts and all)
+    "qc_kn_bigram_surprisal",
     "length_histogram_quantiles",
     # search ('english' FTS config + postings + single-term rank)
     # (search_simple_and_english ceded: the postings variant is the
@@ -113,7 +139,12 @@ _PRIORITY: list[str] = [
     # rows — search_rank_tsrank and search_rank_tsrank_english — and
     # the single-term variant stays oracle-checked in pytest)
     # packing / labels
-    "chunk_for_embedding",
+    # (chunk_for_embedding ceded to session 9's heading-path chunker:
+    # the structure-aware splitter supersedes the fixed-window one for
+    # the RAG/packing tier — breadcrumbs plus in-order bodies vs bare
+    # character windows; the window chunker stays oracle-checked in
+    # pytest)
+    "heading_path_chunks",
     # (document_label_names ceded: the M:N label-join family holds a
     # green r4 driver row via label_join_counts; pytest keeps both
     # name-projection variants)
@@ -152,7 +183,13 @@ _PRIORITY: list[str] = [
     # census: the unit-dedup tier keeps sentence_dedup_clean windowed
     # below and the paragraph variant stays oracle-checked in pytest)
     "corpus_drift_tv",
-    "mojibake_repair_constructed",
+    # (mojibake_repair_constructed ceded to session 9's code-likeness
+    # gate: the encoding-repair tier keeps charset_detect_decode
+    # windowed below — the detection ladder that decides when repair
+    # applies — and the repair twin stays oracle-checked in pytest;
+    # code-likeness guards the C4/Gopher prose gates from deleting
+    # code, a routing decision no other windowed key exercises)
+    "code_likeness_score",
     # (pii_luhn_cards ceded to session 8's vocabulary coverage curve:
     # the checksum-PII family keeps pii_iban_mod97 windowed below;
     # the Luhn twin stays oracle-checked in pytest)
@@ -237,7 +274,12 @@ _PRIORITY: list[str] = [
     # first shares og_card_extract's page construction, the second
     # derives from hreflang_alternates, and the third's pointer-
     # doubling core is pinned by the windowed redirect_chain_resolve.)
-    "jsonld_extract",
+    # (jsonld_extract ceded to session 9's math-content detection:
+    # the structured-metadata family keeps five window slots (pubdate
+    # ladder, pagination, feed, PSL, opt-out headers) and the JSON-LD
+    # query's OG/microdata/hreflang head-scan siblings are
+    # pytest-green; math routing has no other windowed rep)
+    "math_content_detect",
     # (og_card_extract ceded to session 7's CDX index tier: the
     # structured-metadata family keeps four window slots — jsonld,
     # hreflang, feed_items, pii_iban — and the og card parse shares
