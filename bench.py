@@ -99,6 +99,13 @@ HEADLINE_QUERIES = [
     "corpus_drift_tv",
     "vocab_coverage_curve",
     "pagination_stitch",
+    # round 5, session 9
+    "code_likeness_score",
+    "image_alt_pairs",
+    "bitext_margin_mine",
+    "heading_path_chunks",
+    "qc_kn_bigram_surprisal",
+    "curriculum_interleave",
 ]
 
 
