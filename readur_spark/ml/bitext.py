@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from readur_spark.ml.similarity import cosine
+from readur_spark.ml.similarity import dot, norm
 from readur_spark.queries.registry import register
 from readur_spark.queries.tables import load
 
@@ -88,17 +88,25 @@ def margin_pairs(
         F.row_number().over(w_src).alias("r_src"),
         F.row_number().over(w_dst).alias("r_dst"),
     )
+    # every consumer below needs only rows inside some top-k: slice
+    # them out ONCE and materialize (eager localCheckpoint, the
+    # components.py convention) so the candidate scoring + both window
+    # sorts run a single time instead of once per consumer — the frame
+    # that survives is O((|A| + |B|)·k), not O(|A|·|B|).
+    topk = ranked.filter(
+        (F.col("r_src") <= k) | (F.col("r_dst") <= k)
+    ).localCheckpoint(eager=True)
     knn_src = (
-        ranked.filter(F.col("r_src") <= k)
+        topk.filter(F.col("r_src") <= k)
         .groupBy("src_id")
         .agg(F.avg("sim").alias("knn_src"))
     )
     knn_dst = (
-        ranked.filter(F.col("r_dst") <= k)
+        topk.filter(F.col("r_dst") <= k)
         .groupBy("dst_id")
         .agg(F.avg("sim").alias("knn_dst"))
     )
-    top1 = ranked.filter(F.col("r_src") == 1).drop("r_src", "r_dst")
+    top1 = topk.filter(F.col("r_src") == 1).drop("r_src", "r_dst")
     scored = (
         top1.join(knn_src, "src_id")
         .join(knn_dst, "dst_id")
@@ -161,14 +169,29 @@ def bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier generates candidates instead); forward-top-1 selection, both
     k-NN denominators, and the keep gate all replayed by DuckDB."""
     tagged = lang_embeddings(spark, sf_dir, [LANG_SRC, LANG_DST])
+    # pre-partition the probe side on the first window's key with an
+    # EXPLICIT count: the small parquet source arrives as one
+    # partition, and AQE — seeing only the slim probe bytes, not the
+    # |dst|-fold compute expansion behind the cross join — would
+    # coalesce a bare repartition right back to it, pinning the cosine
+    # projection to one core. The explicit count is honored, the
+    # scoring fans out, and w_src's exchange reuses the key.
+    # per-vector norms are computed ONCE per side before the join (not
+    # three HOF aggregates per PAIR, which is what cosine(a, b) inside
+    # the product would cost); dot/(|a|·|b|) evaluates the identical
+    # double expression, so the 3-decimal scores are unchanged.
+    n_parts = spark.sparkContext.defaultParallelism
     src = tagged.filter(F.col("lang") == LANG_SRC).select(
-        F.col("id").alias("src_id"), F.col("v").alias("sv")
-    )
+        F.col("id").alias("src_id"), F.col("v").alias("sv"),
+        norm(F.col("v")).alias("svn"),
+    ).repartition(n_parts, "src_id")
     dst = tagged.filter(F.col("lang") == LANG_DST).select(
-        F.col("id").alias("dst_id"), F.col("v").alias("dv")
+        F.col("id").alias("dst_id"), F.col("v").alias("dv"),
+        norm(F.col("v")).alias("dvn"),
     )
     cand = src.crossJoin(F.broadcast(dst)).select(
         "src_id", "dst_id",
-        cosine(F.col("sv"), F.col("dv")).alias("sim"),
+        (dot(F.col("sv"), F.col("dv"))
+         / (F.col("svn") * F.col("dvn"))).alias("sim"),
     )
     return margin_pairs(cand)

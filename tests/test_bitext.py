@@ -62,11 +62,14 @@ class TestMargin:
 
 
 class TestPlan:
-    def test_no_python_ops_and_broadcast(self, spark):
+    def test_no_python_ops_and_checkpoint_cut(self, spark):
         from readur_spark.queries.registry import queries
 
         df = queries()["bitext_margin_mine"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "ArrowEval" not in plan
-        # the dst side of candidate generation broadcasts
-        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        # the O(|A|·|B|) candidate scoring ran ONCE behind the eager
+        # localCheckpoint — the final plan reads the slim materialized
+        # top-k frame, not the cross join
+        assert "ExistingRDD" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
