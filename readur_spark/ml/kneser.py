@@ -118,9 +118,7 @@ def kn_bigram_surprisal(
     )
 
 
-@register(
-    "qc_kn_bigram_surprisal",
-    oracle=f"""
+_KN_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
@@ -158,11 +156,71 @@ def kn_bigram_surprisal(
            CAST(sum(b) AS BIGINT) AS kn_sum_bits,
            CAST((100 * sum(b)) // count(*) AS BIGINT) AS kn_mean_cbits
     FROM bits GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("qc_kn_bigram_surprisal", oracle=_KN_ORACLE)
 def qc_kn_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KN bigram surprisal over the documents corpus — discounted
     counts, both continuation statistics, the interpolation weight,
     and the integer log2 all replayed exactly by the oracle (training
     corpus = scoring corpus, so every bigram is seen and num > 0)."""
     return kn_bigram_surprisal(load(spark, sf_dir, "documents"))
+
+
+# ---- composed chain: KN surprisal -> FineWeb per-language calibration ------
+
+KN_KEEP_UFP = 500_000  # each language keeps its most-fluent half
+
+
+@register(
+    "kn_percentile_by_lang",
+    oracle=f"""
+    WITH q AS ({_KN_ORACLE}),
+    ranked AS (
+      SELECT q.doc_id, d.lang, q.kn_mean_cbits,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY q.kn_mean_cbits DESC, q.doc_id) AS rn,
+             count(*) OVER (PARTITION BY d.lang) AS nl
+      FROM q JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, kn_mean_cbits,
+           CAST(((rn - 1) * 1000000) // greatest(nl - 1, 1) AS BIGINT)
+             AS pctile_ufp,
+           ((rn - 1) * 1000000) // greatest(nl - 1, 1) >= {KN_KEEP_UFP}
+             AS keep_top_half
+    FROM ranked
+    """,
+)
+def kn_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed chain: the KN surprisal scorer feeding the FineWeb
+    per-language percentile calibration (the quality_classifier.py
+    pattern with the LM score in place of the NB score) — absolute
+    perplexities aren't comparable across languages, so each language
+    keeps its own most-fluent half. Ranks ascend with fluency
+    (surprisal DESC, deterministic doc_id tie-break); the whole chain
+    — model, scores, ranks, percentiles, gate — is one DuckDB replay.
+
+    Scale: the calibration window runs over the slim
+    (lang, cbits, doc_id) frame; same mega-partition note as
+    quality_percentile_by_lang."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    kn = kn_bigram_surprisal(docs)
+    ranked = kn.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "kn_mean_cbits",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.col("kn_mean_cbits").desc(), "doc_id"
+            )
+        ).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("nl"),
+    )
+    pct = F.expr("((rn - 1) * 1000000L) div greatest(nl - 1, 1L)")
+    return ranked.select(
+        "doc_id", "lang", "kn_mean_cbits",
+        pct.alias("pctile_ufp"),
+        (pct >= KN_KEEP_UFP).alias("keep_top_half"),
+    )

@@ -59,10 +59,32 @@ class TestBigrams:
         ]
 
 
+class TestPercentileChain:
+    def test_each_language_keeps_its_own_half(self, spark):
+        from readur_spark.queries.registry import queries
+
+        rows = queries()["kn_percentile_by_lang"](spark, SF).collect()
+        by_lang: dict[str, list] = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r)
+        assert len(by_lang) > 1
+        for lang, rs in by_lang.items():
+            kept = [r for r in rs if r["keep_top_half"]]
+            # ~half per language (integer-percentile boundary slack)
+            assert abs(len(kept) - len(rs) / 2) <= 1, lang
+            # every kept doc is at least as fluent as every dropped one
+            worst_kept = max(r["kn_mean_cbits"] for r in kept)
+            dropped = [r for r in rs if not r["keep_top_half"]]
+            if dropped:
+                best_dropped = min(r["kn_mean_cbits"] for r in dropped)
+                assert worst_kept <= best_dropped, lang
+
+
 class TestPlan:
     def test_no_python_ops(self, spark):
         from readur_spark.queries.registry import queries
 
-        df = queries()["qc_kn_bigram_surprisal"](spark, SF)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Python" not in plan and "ArrowEval" not in plan
+        for key in ("qc_kn_bigram_surprisal", "kn_percentile_by_lang"):
+            df = queries()[key](spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Python" not in plan and "ArrowEval" not in plan, key
