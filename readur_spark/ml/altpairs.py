@@ -205,3 +205,114 @@ def image_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     caption join under test."""
     pages = constructed_image_pages(load(spark, sf_dir, "documents"))
     return image_text_pairs(pages)
+
+
+# ---- composed chain: mined pairs -> deduped image fetch plan ----------------
+
+# Construction rule (SQL-restatable): pages doc_id % 2 == 0 carry ONE
+# image of group g = doc_id div 4 — src
+# 'https://img<g % 7>.example/i<g>.jpg' (seven image hosts), alt 'logo'
+# (placeholder, dropped by the gate) when g % 5 == 0 else
+# 'picture of item <g>' — so every surviving image is referenced by
+# exactly two pages and must be fetched ONCE.
+
+FETCH_DELAY_BASE_MS = 400
+FETCH_DELAY_STEP_MS = 200
+FETCH_DELAY_MOD = 5
+
+
+def constructed_multihost_image_pages(docs: DataFrame) -> DataFrame:
+    """(url, html_str) under the fetch-plan construction rule."""
+    g = F.expr("doc_id div 4")
+    src = F.concat(
+        F.lit("https://img"), g % 7, F.lit(".example/i"), g, F.lit(".jpg")
+    )
+    alt = F.when(g % 5 == 0, F.lit("logo")).otherwise(
+        F.concat(F.lit("picture of item "), g)
+    )
+    img = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<img src="'), src, F.lit('" alt="'), alt,
+                 F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body>"), img, F.lit("<p>"), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(synthetic_url().alias("url"), html.alias("html_str"))
+
+
+@register(
+    "image_fetch_plan",
+    oracle=f"""
+    WITH refs AS (
+      SELECT doc_id // 4 AS g, count(*) AS n_refs
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    imgs AS (
+      SELECT 'https://img' || (g % 7) || '.example/i' || g || '.jpg'
+               AS src,
+             'img' || (g % 7) || '.example' AS host,
+             CAST(n_refs AS BIGINT) AS n_refs
+      FROM refs WHERE g % 5 <> 0
+    ),
+    d AS (
+      SELECT imgs.*,
+             {FETCH_DELAY_BASE_MS}
+               + (CAST(concat('0x', substr(md5(host), 1, 8)) AS BIGINT)
+                  % {FETCH_DELAY_MOD}) * {FETCH_DELAY_STEP_MS} AS delay_ms
+      FROM imgs
+    ),
+    r AS (
+      SELECT src, host, n_refs, delay_ms,
+             CAST(row_number() OVER (PARTITION BY host ORDER BY md5(src))
+                  - 1 AS BIGINT) AS wave
+      FROM d
+    )
+    SELECT src, host, n_refs, wave,
+           CAST(wave * delay_ms AS BIGINT) AS offset_ms
+    FROM r
+    """,
+)
+def image_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed chain: image-text pair mining → per-src dedup (the
+    same image referenced from many pages downloads once, with its
+    reference count kept for prioritization) → host extraction → the
+    crawl tier's politeness schedule (queries/crawl.py
+    politeness_schedule — per-host fetch waves at host-specific
+    delays). The oracle restates the surviving srcs, reference
+    counts, hosts, delays, and every wave straight from the
+    construction rule.
+
+    Scale: the pair frame is already slim; dedup is one hash agg on
+    src; the politeness window is per-host — the image-side twin of
+    the page frontier's plan, sized by distinct images, not pages."""
+    from readur_spark.queries.crawl import politeness_schedule
+
+    pages = constructed_multihost_image_pages(
+        load(spark, sf_dir, "documents")
+    )
+    pairs = image_text_pairs(pages).filter(F.col("keep"))
+    imgs = pairs.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs")
+    )
+    hosted = imgs.select(
+        "src", "n_refs",
+        F.regexp_extract("src", "https://([^/]+)/", 1).alias("host"),
+    )
+    delayed = hosted.withColumn(
+        "delay_ms",
+        F.lit(FETCH_DELAY_BASE_MS)
+        + (
+            F.conv(F.substring(F.md5(F.encode(F.col("host"), "UTF-8")), 1, 8),
+                   16, 10).cast("long")
+            % FETCH_DELAY_MOD
+        )
+        * FETCH_DELAY_STEP_MS,
+    )
+    return politeness_schedule(
+        delayed, id_col="src", host_col="host", key_col="src",
+        delay_col="delay_ms",
+    ).join(hosted.select("src", "n_refs"), "src").select(
+        "src", "host", "n_refs", "wave", "offset_ms"
+    )

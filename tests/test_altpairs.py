@@ -84,6 +84,31 @@ class TestGate:
         assert MIN_ALT_CHARS == 5
 
 
+class TestFetchPlan:
+    def test_dedup_and_politeness_shape(self, spark):
+        from readur_spark.queries.registry import queries
+
+        rows = queries()["image_fetch_plan"](spark, SF).collect()
+        # every surviving image fetched once, with its reference count
+        srcs = [r["src"] for r in rows]
+        assert len(srcs) == len(set(srcs))
+        assert all(r["n_refs"] == 2 for r in rows)
+        # placeholder-alt groups (g % 5 == 0) never reach the plan
+        assert all("/i0.jpg" not in r["src"] for r in rows)
+        # per-host waves are dense from 0 and offsets follow the delay
+        by_host: dict[str, list] = {}
+        for r in rows:
+            by_host.setdefault(r["host"], []).append(r)
+        assert len(by_host) == 7
+        for host, rs in by_host.items():
+            waves = sorted(r["wave"] for r in rs)
+            assert waves == list(range(len(rs))), host
+            per_wave = {r["wave"]: r["offset_ms"] for r in rs}
+            if len(per_wave) > 1:
+                delay = per_wave[1] - per_wave[0]
+                assert all(per_wave[w] == w * delay for w in per_wave), host
+
+
 class TestPlan:
     def test_no_python_ops(self, spark):
         from readur_spark.queries.registry import queries
@@ -92,3 +117,10 @@ class TestPlan:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "ArrowEval" not in plan
         assert "BroadcastHashJoin" in plan  # captions broadcast, never shuffled
+
+    def test_fetch_plan_pure_catalyst(self, spark):
+        from readur_spark.queries.registry import queries
+
+        df = queries()["image_fetch_plan"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "ArrowEval" not in plan
