@@ -198,3 +198,100 @@ def heading_path_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, and grouping under test."""
     pages = constructed_sectioned_pages(load(spark, sf_dir, "documents"))
     return heading_chunks(pages)
+
+
+# ---- composed chain: heading chunks -> concat-and-chunk packing ------------
+
+PACK_SHARDS = 8
+PACK_CHUNK_TOKENS = 16
+_PACK_SALT_LEN = 8
+
+
+@register(
+    "chunk_packing_plan",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             doc_id % 3 + 1 AS n, doc_id % 2 + 1 AS m,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS has_pre
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, source, 0 AS chunk_idx, 2 AS n_tokens
+      FROM base WHERE has_pre = 1
+      UNION ALL
+      SELECT doc_id, source, has_pre + s, 2 * m
+      FROM base, unnest(range(n)) AS t(s)
+    ),
+    u AS (
+      SELECT 'https://' || source || '.example/doc' || doc_id || '.txt'
+               AS url, chunk_idx, n_tokens
+      FROM chunks
+    ),
+    keyed AS (
+      SELECT url || '#' || lpad(CAST(chunk_idx AS VARCHAR), 3, '0')
+               AS chunk_uid,
+             CAST(concat('0x', substr(md5(url), 1, {_PACK_SALT_LEN}))
+                  AS BIGINT) % {PACK_SHARDS} AS shard,
+             n_tokens
+      FROM u
+    ),
+    o AS (
+      SELECT shard, chunk_uid, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER
+               (PARTITION BY shard ORDER BY chunk_uid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+      FROM keyed
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, chunk_uid, start_offset,
+           CAST(start_offset // {PACK_CHUNK_TOKENS} AS BIGINT)
+             AS chunk_first,
+           CAST((start_offset + n_tokens - 1) // {PACK_CHUNK_TOKENS}
+                AS BIGINT) AS chunk_last,
+           CAST((start_offset + n_tokens - 1) // {PACK_CHUNK_TOKENS}
+                > start_offset // {PACK_CHUNK_TOKENS} AS INT)
+             AS spans_boundary
+    FROM o
+    """,
+)
+def chunk_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed chain: the heading-path chunker feeding
+    ml/packing.py's concat-and-chunk assignment — structure-aware
+    passages, not raw documents, are what actually enters a context
+    window, and the packer's shard-local prefix sums don't care which
+    unit they pack. Chunk ids are (url # zero-padded idx) so in-page
+    breadcrumb order is preserved inside each shard; shards are
+    content-addressed off the page url (all of a page's chunks pack
+    contiguously). The oracle restates chunk token counts from the
+    construction rule (pre = 2 tokens, section = 2·m) and replays the
+    prefix-sum window — parse, chunking, sharding, and packing checked
+    in one value hash.
+
+    Scale: same plan family as pack_sequences — one per-shard window
+    over the slim (shard, uid, n_tokens) frame."""
+    from readur_spark.ml.packing import pack_concat_chunks
+
+    pages = constructed_sectioned_pages(load(spark, sf_dir, "documents"))
+    chunks = heading_chunks(pages)
+    keyed = chunks.select(
+        F.concat(
+            F.col("url"), F.lit("#"),
+            F.lpad(F.col("chunk_idx").cast("string"), 3, "0"),
+        ).alias("chunk_uid"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.encode(F.col("url"), "UTF-8")), 1, _PACK_SALT_LEN
+                ),
+                16, 10,
+            ).cast("long")
+            % PACK_SHARDS
+        ).alias("shard"),
+        F.size(F.split(F.col("chunk_text"), r"\s+")).alias("n_tokens"),
+    )
+    packed = pack_concat_chunks(
+        keyed, id_col="chunk_uid", tokens_col="n_tokens",
+        shard_col="shard", chunk_tokens=PACK_CHUNK_TOKENS,
+    )
+    return packed.withColumnRenamed("doc_id", "chunk_uid")

@@ -58,6 +58,35 @@ class TestStateMachine:
         assert _chunks(spark, "<h1>T</h1><h2>Empty</h2>") == {}
 
 
+class TestPackingChain:
+    def test_offsets_contiguous_per_shard(self, spark):
+        from readur_spark.queries.registry import queries
+
+        rows = queries()["chunk_packing_plan"](spark, SF).collect()
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        assert len(by_shard) > 1
+        for shard, rs in by_shard.items():
+            rs.sort(key=lambda r: r["chunk_uid"])
+            # prefix sums: each chunk starts where the previous ended
+            assert rs[0]["start_offset"] == 0, shard
+            for a, b in zip(rs, rs[1:]):
+                assert b["start_offset"] > a["start_offset"], shard
+        # a page's chunks stay adjacent in uid order inside the shard
+        pages = {r["chunk_uid"].rsplit("#", 1)[0] for r in rows}
+        assert len(pages) < len(rows)  # multi-chunk pages exist
+
+    def test_boundary_spans_flagged(self, spark):
+        from readur_spark.queries.registry import queries
+
+        rows = queries()["chunk_packing_plan"](spark, SF).collect()
+        spanning = [r for r in rows if r["spans_boundary"]]
+        assert spanning  # the 16-token bins force crossings
+        for r in spanning:
+            assert r["chunk_last"] > r["chunk_first"]
+
+
 class TestPlan:
     def test_no_python_and_bounded_shuffles(self, spark):
         from readur_spark.plans.audit import shuffle_count
