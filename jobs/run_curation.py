@@ -98,6 +98,16 @@ def main(argv: list[str] | None = None) -> int:
                         "--license-signals attached: 'permissive' "
                         "keeps redistribution-safe grants only, "
                         "'tagged' keeps any page with a license link")
+    p.add_argument("--code-route", choices=["exclude", "only"],
+                   default=None,
+                   help="route by the integer code-likeness score "
+                        "(ml/codemath.py): 'exclude' drops code-bearing "
+                        "docs (prose corpus), 'only' keeps nothing else "
+                        "(code corpus). Runs BEFORE the prose gates, "
+                        "which would otherwise delete code")
+    p.add_argument("--math-route", choices=["exclude", "only"],
+                   default=None,
+                   help="same routing on the LaTeX/MathML math signals")
     p.add_argument("--fmt", choices=["parquet", "json"], default="parquet")
     p.add_argument("--max-records-per-file", type=int, default=100_000)
     p.add_argument("--append", action="store_true",
@@ -188,6 +198,32 @@ def main(argv: list[str] | None = None) -> int:
             docs, args.domain_cap,
             url_col=args.url_col, key_col=args.url_col,
         ).drop("domain", "domain_rank")
+    if args.code_route or args.math_route:
+        # content routing runs BEFORE any text-mutating or prose-gate
+        # stage: the C4/line/LM tiers systematically delete code and
+        # math (symbol ratios, terminal punctuation), so a code/math
+        # corpus must fork off here; both signals are pure projections
+        from readur_spark.ml.codemath import code_likeness, math_signals
+
+        if args.code_route:
+            flagged = code_likeness(docs, text_col=args.text_col)
+            docs = flagged.filter(
+                F.col("is_code") if args.code_route == "only"
+                else ~F.col("is_code")
+            ).drop("n_code_kw", "n_code_sym", "code_score_milli", "is_code")
+        if args.math_route:
+            from readur_spark.ml.codemath import MATH_SCORE_THRESHOLD_MILLI
+
+            scored = math_signals(docs, text_col=args.text_col)
+            is_math = (
+                F.col("math_score_milli") >= MATH_SCORE_THRESHOLD_MILLI
+            ) | F.col("has_mathml")
+            docs = scored.filter(
+                is_math if args.math_route == "only" else ~is_math
+            ).drop(
+                "n_display_eq", "n_inline_eq", "n_latex_envs",
+                "has_mathml", "math_score_milli",
+            )
     if args.mojibake:
         from readur_spark.ml.mojibake import repair_mojibake
 

@@ -701,3 +701,43 @@ def test_license_signals_and_gate_compose(tmp_path, spark):
     assert out2.returncode == 2
     line2 = [l for l in out2.stdout.strip().splitlines() if l.startswith("{")][-1]
     assert json.loads(line2)["status"] == "error"
+
+
+def test_curation_code_route(tmp_path, pages_parquet):
+    """--code-route forks the corpus by the integer code-likeness
+    gate: the synthetic pages are prose, so 'exclude' keeps the
+    baseline yield while 'only' reduces it to the (near-empty) set of
+    docs whose extracted text trips the keyword/symbol score —
+    proving the routing stage is wired ahead of the prose gates."""
+    store = str(tmp_path / "crstore")
+    r1 = _run_job(["--input", pages_parquet, "--store", store,
+                   "--run-id", "cr1", "--cpus", "8"])
+    assert r1["status"] == "committed"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+
+    def run(extra, out_dir):
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+             "--input", store, "--output", out_dir,
+             "--min-words", "5", "--cpus", "8", *extra],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        return json.loads(line)
+
+    base = run([], str(tmp_path / "cr_base"))
+    n_base = sum(v["n_docs"] for v in base["yields"].values())
+    assert n_base > 0
+
+    prose = run(["--code-route", "exclude"], str(tmp_path / "cr_prose"))
+    n_prose = sum(v["n_docs"] for v in prose["yields"].values())
+    assert n_prose == n_base  # prose corpus untouched by the fork
+
+    only = run(["--code-route", "only"], str(tmp_path / "cr_code"))
+    n_only = sum(v["n_docs"] for v in only.get("yields", {}).values())
+    assert n_only < n_base  # the code fork is the complement
