@@ -106,6 +106,9 @@ HEADLINE_QUERIES = [
     "heading_path_chunks",
     "qc_kn_bigram_surprisal",
     "curriculum_interleave",
+    "kn_percentile_by_lang",
+    "image_fetch_plan",
+    "chunk_packing_plan",
 ]
 
 

@@ -126,7 +126,13 @@ _PRIORITY: list[str] = [
     # length_histogram_quantiles — and the CMS sketch twin pins the
     # heavy-hitter semantics in pytest; KN is the LM-quality tier's
     # real estimator, continuation counts and all)
-    "qc_kn_bigram_surprisal",
+    # (qc_kn_bigram_surprisal ceded to its own composition: the
+    # windowed kn_percentile_by_lang embeds the FULL KN oracle as a
+    # CTE — model, discounts, continuation counts, per-doc scores all
+    # replay inside its driver row — then adds the FineWeb
+    # per-language calibration on top; the standalone scorer stays
+    # oracle-checked in pytest)
+    "kn_percentile_by_lang",
     "length_histogram_quantiles",
     # search ('english' FTS config + postings + single-term rank)
     # (search_simple_and_english ceded: the postings variant is the
