@@ -1,0 +1,227 @@
+"""OPIC — On-line Page Importance Computation, exact-integer batch form.
+
+Crawl frontiers need an importance signal CHEAPER than converged
+PageRank: OPIC (Abiteboul, Preda & Cobena, "Adaptive On-Line Page
+Importance Computation", WWW 2003) gives every page a unit of CASH;
+a visited page distributes its cash equally over its outlinks and
+logs the amount in its HISTORY, and a page's importance estimate is
+history + cash — no damping, no convergence wait, and the estimate
+improves monotonically as the crawl proceeds. Heritrix and Nutch
+descendants use exactly this shape for frontier prioritization.
+
+Batch re-expression (one synchronous sweep per step, the module's
+checkable form) in EXACT integers, cash conserved to the unit:
+
+    share    = cash div outdeg            (per out-edge)
+    retained = cash mod outdeg            (the indivisible remainder
+                                           stays on the page — no
+                                           cash is ever minted or
+                                           destroyed, so sum(cash)
+                                           is invariant and the
+                                           oracle can assert it)
+    sinks (no outlinks) retain everything (OPIC's virtual-page edge
+    case, resolved toward conservation);
+    hist    += cash - retained
+    cash'    = retained + sum(incoming shares)
+    importance = hist + cash   (the paper's estimator, unnormalized)
+
+Scale design (10^12 pages): identical plan family to
+ml/linkgraph.py's PageRank — the per-step state is a slim
+(node, cash, hist) frame, the adjacency (with out-degree riding on
+the edge rows) is partitioned once and reused every step, iterations
+chain lazily with periodic materialization, and each step is one
+co-partitioned join + one map-side-combinable sum. OPIC's practical
+edge over PageRank at crawl time: a NEW page enters with its cash
+only — no global re-normalization — so the frontier can re-rank
+incrementally between sweeps.
+
+Reference tie-in: the reference's work queue orders by a static
+priority prefix (SURVEY §2 B21); this is the adaptive importance
+signal a web-scale frontier replaces it with, alongside
+ml/linkgraph.py's converged ranks.
+
+The driver query runs K sweeps over the same deterministic
+md5-derived citation graph as host_pagerank (ml/linkgraph.py
+_synthetic_edges — the derivation is part of the checked contract);
+the DuckDB twin replays every sweep, remainder for remainder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.queries.registry import register
+from readur_spark.queries.tables import load, table_row_count
+
+OPIC_ITERS = 6
+OPIC_TOTAL = 10_000_000  # total cash in circulation (integer units)
+
+
+def opic_sweeps(
+    edges: DataFrame,
+    num_iters: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    total: int = OPIC_TOTAL,
+    materialize_every: int = 8,
+) -> DataFrame:
+    """K synchronous OPIC sweeps over an edge list. Returns
+    (node, cash, hist, importance) in exact integer cash units;
+    sum(cash) == the initial allocation, invariantly."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("hist"),
+            F.lit(0).cast("long").alias("importance"),
+        )
+    deg = edges.groupBy(src.alias("node")).agg(
+        F.count("*").cast("long").alias("outdeg")
+    )
+    adj = (
+        edges.select(src.alias("node"), dst.alias("dst"))
+        .join(deg, "node")
+        .repartition("node")
+        .persist()
+    )
+    nodes = nodes.persist()
+    state = nodes.select(
+        "node",
+        F.lit(total // n).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    materialized: DataFrame | None = None
+    try:
+        for step in range(1, num_iters + 1):
+            inflow = (
+                adj.join(state.select("node", "cash"), "node")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("cash div outdeg").alias("share"),
+                )
+                .groupBy("node")
+                .agg(F.sum("share").alias("inflow"))
+            )
+            state = (
+                state.join(deg, "node", "left")
+                .join(inflow, "node", "left")
+                .select(
+                    "node",
+                    F.expr(
+                        "CASE WHEN outdeg IS NULL THEN cash"
+                        " ELSE cash % outdeg END"
+                        " + coalesce(inflow, 0L)"
+                    ).cast("long").alias("cash"),
+                    F.expr(
+                        "hist + CASE WHEN outdeg IS NULL THEN 0L"
+                        " ELSE cash - cash % outdeg END"
+                    ).cast("long").alias("hist"),
+                )
+            )
+            if step % materialize_every == 0 and step < num_iters:
+                nxt = state.persist()
+                nxt.count()
+                if materialized is not None:
+                    materialized.unpersist()
+                materialized = nxt
+                state = nxt
+        out = state.select(
+            "node", "cash", "hist",
+            (F.col("cash") + F.col("hist")).cast("long").alias("importance"),
+        ).persist()
+        out.count()
+        return out
+    finally:
+        adj.unpersist()
+        nodes.unpersist()
+        if materialized is not None:
+            materialized.unpersist()
+
+
+# ---- oracle twin -----------------------------------------------------------
+
+
+def _opic_oracle(num_iters: int, n_docs: int) -> str:
+    """DuckDB replay of the md5 graph + every sweep. MATERIALIZED CTEs
+    for the same inlining reason as the PageRank oracle."""
+    from readur_spark.ml.linkgraph import PR_OUT_EDGES
+
+    total = OPIC_TOTAL
+    sql = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT doc_id AS src,
+             CAST(concat('0x', substr(md5(doc_id::VARCHAR || '#' || j.j),
+                                      1, 15)) AS BIGINT)
+               % {n_docs} AS dst
+      FROM documents, UNNEST(range(1, {PR_OUT_EDGES + 1})) AS j(j)
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nstat AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    deg AS MATERIALIZED (
+      SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
+    ),
+    st0 AS MATERIALIZED (
+      SELECT node, {total} // (SELECT n FROM nstat) AS cash, 0 AS hist
+      FROM nodes
+    )"""
+    for k in range(1, num_iters + 1):
+        p = k - 1
+        sql += f""",
+    in{k} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(s.cash // d.outdeg) AS inflow
+      FROM edges e JOIN deg d ON e.src = d.node
+      JOIN st{p} s ON e.src = s.node
+      GROUP BY e.dst
+    ),
+    st{k} AS MATERIALIZED (
+      SELECT s.node,
+             CASE WHEN d.outdeg IS NULL THEN s.cash
+                  ELSE s.cash % d.outdeg END
+               + coalesce(i.inflow, 0) AS cash,
+             s.hist + CASE WHEN d.outdeg IS NULL THEN 0
+                           ELSE s.cash - s.cash % d.outdeg END AS hist
+      FROM st{p} s LEFT JOIN deg d USING (node)
+      LEFT JOIN in{k} i USING (node)
+    )"""
+    sql += f"""
+    SELECT node, CAST(cash AS BIGINT) AS cash, CAST(hist AS BIGINT) AS hist,
+           CAST(cash + hist AS BIGINT) AS importance
+    FROM st{num_iters}
+    """
+    return sql
+
+
+def _register_opic() -> None:
+    # same fixture guard as linkgraph._register_pagerank: no local
+    # fixture tree -> register rows-only instead of failing the import.
+    try:
+        n_docs = table_row_count("/root/testdata/sf0.01", "documents")
+    except Exception:
+        n_docs = None
+    oracle = _opic_oracle(OPIC_ITERS, n_docs) if n_docs else None
+
+    @register("opic_importance", oracle=oracle)
+    def opic_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """K OPIC sweeps over the md5-derived citation graph — cash
+        shares, retained remainders, sink policy, histories, and the
+        importance estimator all replayed sweep-for-sweep by DuckDB."""
+        from readur_spark.ml.linkgraph import _synthetic_edges
+
+        docs = load(spark, sf_dir, "documents")
+        n = table_row_count(sf_dir, "documents")
+        edges = _synthetic_edges(docs, n)
+        return opic_sweeps(edges, OPIC_ITERS)
+
+
+_register_opic()
