@@ -266,3 +266,49 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", synthetic_url()
     )
     return ngram_novelty(docs)
+
+
+# ---- corpus-level domain diversity (r5s9) ----------------------------------
+
+
+@register(
+    "domain_diversity_by_lang",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, count(*) AS c FROM documents
+      GROUP BY lang, source
+    )
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           count(*) AS n_domains,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 3)
+             AS entropy_bits,
+           round(pow(2, log2(sum(c)) - sum(c * log2(c)) / sum(c)), 3)
+             AS effective_domains
+    FROM c GROUP BY lang
+    """,
+)
+def domain_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language domain-diversity accounting — the data-mixing
+    diagnostic: Shannon entropy of the source/domain distribution and
+    its exponential, the EFFECTIVE number of domains (a language whose
+    tokens all come from three hosts is three-deep no matter how many
+    rows it has — domain caps and mixture weights should see that).
+    Same log2 decomposition (and 3-decimal publication) as the
+    unigram-entropy tier; two map-side-combinable aggregates over a
+    slim (lang, source) frame, no payload.
+
+    Scale: the grouped frame is |langs|·|domains| — corpus-statistics
+    sized; both aggregations are partial-agg friendly."""
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    h = F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+    return c.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_domains"),
+        F.round(h, 3).alias("entropy_bits"),
+        F.round(F.pow(F.lit(2.0), h), 3).alias("effective_domains"),
+    )

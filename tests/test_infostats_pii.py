@@ -102,3 +102,33 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestDomainDiversity:
+    def test_bounds_at_fixture_scale(self, spark):
+        from readur_spark.queries.registry import queries
+
+        rows = queries()["domain_diversity_by_lang"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows and all(
+            1.0 <= r["effective_domains"] <= r["n_domains"] for r in rows
+        )
+
+    def test_extremes(self, spark):
+        import pyspark.sql.functions as F
+
+        # 4 docs from one domain -> effective 1; 4 domains evenly -> 4
+        df = spark.createDataFrame(
+            [("en", "a")] * 4 + [("fr", s) for s in "abcd"],
+            ["lang", "source"],
+        )
+        c = df.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+        h = F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        out = {
+            r["lang"]: r["effective_domains"]
+            for r in c.groupBy("lang")
+            .agg(F.round(F.pow(F.lit(2.0), h), 3).alias("effective_domains"))
+            .collect()
+        }
+        assert out == {"en": 1.0, "fr": 4.0}
