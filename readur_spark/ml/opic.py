@@ -65,25 +65,42 @@ def opic_sweeps(
     src_col: str = "src",
     dst_col: str = "dst",
     total: int = OPIC_TOTAL,
+    init_state: DataFrame | None = None,
     materialize_every: int = 8,
 ) -> DataFrame:
     """K synchronous OPIC sweeps over an edge list. Returns
     (node, cash, hist, importance) in exact integer cash units;
-    sum(cash) == the initial allocation, invariantly."""
+    sum(cash) == the initial allocation, invariantly.
+
+    `init_state` (node, cash, hist) resumes from carried state — the
+    incremental-crawl entry point: new pages arrive with their fresh
+    cash rows unioned in, old pages keep theirs, nothing
+    renormalizes. The caller's state must cover every edge endpoint
+    (the node set IS the state's)."""
     src, dst = F.col(src_col), F.col(dst_col)
-    nodes = (
-        edges.select(src.alias("node"))
-        .union(edges.select(dst.alias("node")))
-        .distinct()
-    )
-    n = nodes.count()
-    if n == 0:
-        return nodes.select(
-            "node",
-            F.lit(0).cast("long").alias("cash"),
-            F.lit(0).cast("long").alias("hist"),
-            F.lit(0).cast("long").alias("importance"),
+    if init_state is None:
+        nodes = (
+            edges.select(src.alias("node"))
+            .union(edges.select(dst.alias("node")))
+            .distinct()
         )
+        n = nodes.count()
+        if n == 0:
+            return nodes.select(
+                "node",
+                F.lit(0).cast("long").alias("cash"),
+                F.lit(0).cast("long").alias("hist"),
+                F.lit(0).cast("long").alias("importance"),
+            )
+        nodes = nodes.persist()
+        state = nodes.select(
+            "node",
+            F.lit(total // n).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("hist"),
+        )
+    else:
+        nodes = init_state.select("node").persist()
+        state = init_state.select("node", "cash", "hist")
     deg = edges.groupBy(src.alias("node")).agg(
         F.count("*").cast("long").alias("outdeg")
     )
@@ -92,12 +109,6 @@ def opic_sweeps(
         .join(deg, "node")
         .repartition("node")
         .persist()
-    )
-    nodes = nodes.persist()
-    state = nodes.select(
-        "node",
-        F.lit(total // n).cast("long").alias("cash"),
-        F.lit(0).cast("long").alias("hist"),
     )
     materialized: DataFrame | None = None
     try:
@@ -225,3 +236,147 @@ def _register_opic() -> None:
 
 
 _register_opic()
+
+
+# ---- incremental crawl segment (module-docstring claim, checked) -----------
+
+OPIC_BASE_ITERS = 4
+OPIC_DELTA_ITERS = 2
+
+
+def _opic_incremental_oracle(n_docs: int) -> str:
+    """DuckDB replay: K1 sweeps on the base graph, the delta segment
+    unioned in with fresh per-page cash, K2 more sweeps on the full
+    graph — remainder for remainder."""
+    from readur_spark.ml.linkgraph import PR_OUT_EDGES
+
+    total = OPIC_TOTAL
+    sql = f"""
+    WITH eb AS MATERIALIZED (
+      SELECT doc_id AS src,
+             CAST(concat('0x', substr(md5(doc_id::VARCHAR || '#' || j.j),
+                                      1, 15)) AS BIGINT)
+               % {n_docs} AS dst
+      FROM documents, UNNEST(range(1, {PR_OUT_EDGES + 1})) AS j(j)
+    ),
+    nb AS MATERIALIZED (
+      SELECT src AS node FROM eb UNION SELECT dst FROM eb
+    ),
+    nbs AS MATERIALIZED (SELECT count(*) AS n FROM nb),
+    degb AS MATERIALIZED (
+      SELECT src AS node, count(*) AS outdeg FROM eb GROUP BY src
+    ),
+    st0 AS MATERIALIZED (
+      SELECT node, {total} // (SELECT n FROM nbs) AS cash, 0 AS hist
+      FROM nb
+    )"""
+    for k in range(1, OPIC_BASE_ITERS + 1):
+        p = k - 1
+        sql += f""",
+    in{k} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(s.cash // d.outdeg) AS inflow
+      FROM eb e JOIN degb d ON e.src = d.node
+      JOIN st{p} s ON e.src = s.node
+      GROUP BY e.dst
+    ),
+    st{k} AS MATERIALIZED (
+      SELECT s.node,
+             CASE WHEN d.outdeg IS NULL THEN s.cash
+                  ELSE s.cash % d.outdeg END
+               + coalesce(i.inflow, 0) AS cash,
+             s.hist + CASE WHEN d.outdeg IS NULL THEN 0
+                           ELSE s.cash - s.cash % d.outdeg END AS hist
+      FROM st{p} s LEFT JOIN degb d USING (node)
+      LEFT JOIN in{k} i USING (node)
+    )"""
+    sql += f""",
+    ed AS MATERIALIZED (
+      SELECT doc_id + {n_docs} AS src,
+             CAST(concat('0x', substr(md5((doc_id + {n_docs})::VARCHAR
+                                          || '#' || j.j), 1, 15)) AS BIGINT)
+               % {n_docs} AS dst
+      FROM documents, UNNEST(range(1, {PR_OUT_EDGES + 1})) AS j(j)
+      WHERE doc_id % 5 = 0
+    ),
+    ef AS MATERIALIZED (SELECT * FROM eb UNION ALL SELECT * FROM ed),
+    degf AS MATERIALIZED (
+      SELECT src AS node, count(*) AS outdeg FROM ef GROUP BY src
+    ),
+    sx0 AS MATERIALIZED (
+      SELECT node, cash, hist FROM st{OPIC_BASE_ITERS}
+      UNION ALL
+      SELECT DISTINCT src AS node, {total} // (SELECT n FROM nbs) AS cash,
+             0 AS hist
+      FROM ed
+    )"""
+    for k in range(1, OPIC_DELTA_ITERS + 1):
+        p = k - 1
+        sql += f""",
+    inx{k} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(s.cash // d.outdeg) AS inflow
+      FROM ef e JOIN degf d ON e.src = d.node
+      JOIN sx{p} s ON e.src = s.node
+      GROUP BY e.dst
+    ),
+    sx{k} AS MATERIALIZED (
+      SELECT s.node,
+             CASE WHEN d.outdeg IS NULL THEN s.cash
+                  ELSE s.cash % d.outdeg END
+               + coalesce(i.inflow, 0) AS cash,
+             s.hist + CASE WHEN d.outdeg IS NULL THEN 0
+                           ELSE s.cash - s.cash % d.outdeg END AS hist
+      FROM sx{p} s LEFT JOIN degf d USING (node)
+      LEFT JOIN inx{k} i USING (node)
+    )"""
+    sql += f"""
+    SELECT node, CAST(cash AS BIGINT) AS cash, CAST(hist AS BIGINT) AS hist,
+           CAST(cash + hist AS BIGINT) AS importance,
+           node >= {n_docs} AS is_new
+    FROM sx{OPIC_DELTA_ITERS}
+    """
+    return sql
+
+
+def _register_opic_incremental() -> None:
+    try:
+        n_docs = table_row_count("/root/testdata/sf0.01", "documents")
+    except Exception:
+        n_docs = None
+    oracle = _opic_incremental_oracle(n_docs) if n_docs else None
+
+    @register("opic_incremental", oracle=oracle)
+    def opic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The incremental-crawl shape OPIC exists for: K1 sweeps over
+        the base citation graph, then a new crawl segment (shifted-id
+        twins of every doc_id % 5 == 0 page, linking back into the
+        base space) enters with its fresh per-page cash rows UNIONED
+        into the carried state — no renormalization of anything
+        already ranked — and K2 further sweeps fold it in. Both
+        phases, the segment endowment, and the final estimator are
+        replayed sweep-for-sweep by DuckDB."""
+        from readur_spark.ml.linkgraph import _synthetic_edges
+
+        docs = load(spark, sf_dir, "documents")
+        n = table_row_count(sf_dir, "documents")
+        base_edges = _synthetic_edges(docs, n)
+        st = opic_sweeps(base_edges, OPIC_BASE_ITERS)
+
+        delta_docs = docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + n).alias("doc_id")
+        )
+        delta_edges = _synthetic_edges(delta_docs, n)
+        endowment = delta_edges.select("src").distinct().select(
+            F.col("src").alias("node"),
+            F.lit(OPIC_TOTAL // n).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("hist"),
+        )
+        carried = st.select("node", "cash", "hist").unionByName(endowment)
+        out = opic_sweeps(
+            base_edges.unionByName(delta_edges),
+            OPIC_DELTA_ITERS,
+            init_state=carried,
+        )
+        return out.withColumn("is_new", F.col("node") >= n)
+
+
+_register_opic_incremental()

@@ -64,3 +64,22 @@ class TestQuery:
         df = queries()["opic_importance"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestIncremental:
+    def test_segment_joins_without_renormalization(self, spark):
+        from readur_spark.queries.registry import queries
+
+        rows = queries()["opic_incremental"](spark, SF).collect()
+        new = [r for r in rows if r["is_new"]]
+        old = [r for r in rows if not r["is_new"]]
+        assert new and old
+        # 100 delta docs (doc_id % 5 == 0 of 500) joined the base 500
+        assert len(new) == 100 and len(old) == 500
+        # total cash = base allocation + the delta endowment, exactly
+        from readur_spark.ml.opic import OPIC_TOTAL
+
+        per_page = OPIC_TOTAL // 500
+        assert sum(r["cash"] for r in rows) == per_page * 600
+        # the new pages have started distributing: history flows
+        assert any(r["hist"] > 0 for r in new)
