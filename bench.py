@@ -109,6 +109,8 @@ HEADLINE_QUERIES = [
     "kn_percentile_by_lang",
     "image_fetch_plan",
     "chunk_packing_plan",
+    "opic_importance",
+    "domain_diversity_by_lang",
 ]
 
 
