@@ -127,6 +127,49 @@ def hostile_html_pages() -> list[tuple[str, bytes]]:
         ("https://hostile.example/ws/crlf-mixed.html",
          b"<html><body><p>Carriage\r\nreturn lines\rmixed\nwith"
          b" bare newlines.</p></body></html>"),
+        # --- numeric entity edges (r5 session 9) ---
+        ("https://hostile.example/entity/astral-surrogate.html",
+         b"<html><body><p>Astral &#x1F600; emoji, an invalid"
+         b" surrogate &#xD800; reference, and &#0; the nul"
+         b" entity.</p></body></html>"),
+        # --- attribute syntax soup (r5 session 9) ---
+        ("https://hostile.example/attr/unquoted-duplicate.html",
+         b"<html><body><p class=lead class=dup title=plain>Unquoted"
+         b" and duplicated attributes.</p><img src=x.jpg alt=fallback>"
+         b"<p data-broken=\"unterminated>Trailing sentence after a"
+         b" runaway attribute value.</p></body></html>"),
+        ("https://hostile.example/attr/data-uri-flood.html",
+         ("<html><body><img src=\"data:image/png;base64,"
+          + "QUJDRA==" * 400 + "\" alt=\"tiny\"><p>Sentence after a"
+          " megabyte-shaped attribute payload.</p></body>"
+          "</html>").encode()),
+        # --- void / self-closing oddities (r5 session 9) ---
+        ("https://hostile.example/shape/void-selfclose.html",
+         b"<html><body>First fragment<br/>second line<hr>"
+         b"<p/>Self-closed paragraph marker then text."
+         b"<wbr>End.</body></html>"),
+        # --- prolog / processing instructions (r5 session 9) ---
+        ("https://hostile.example/prolog/xml-pi.html",
+         b"<?xml version=\"1.0\" encoding=\"utf-8\"?>"
+         b"<!DOCTYPE html PUBLIC \"-//W3C//DTD XHTML 1.0//EN\">"
+         b"<?php echo 'server side'; ?>"
+         b"<html><body><p>Body after prolog noise.</p></body></html>"),
+        # --- deep list nesting (r5 session 9) ---
+        ("https://hostile.example/nest/lists-40.html",
+         ("<html><body>" + "<ul><li>" * 40 + "Needle item at depth"
+          " forty." + "</li></ul>" * 40 + "</body></html>").encode()),
+        # --- bidi control characters (r5 session 9) ---
+        ("https://hostile.example/ws/bidi-controls.html",
+         "<html><body><p>Visual ‮REVERSED‬ span and"
+         " ‏ rtl mark ‎ ltr mark kept.</p></body>"
+         "</html>".encode("utf-8")),
+        # --- form controls (r5 session 9) ---
+        ("https://hostile.example/shape/form-select.html",
+         b"<html><body><form><select><option>alpha</option>"
+         b"<option selected>beta</option></select>"
+         b"<input type=\"text\" value=\"typed value\">"
+         b"<textarea>area text body</textarea></form>"
+         b"<p>Prose after the form.</p></body></html>"),
     ]
     return pages
 

@@ -35,7 +35,7 @@ def test_hostile_html_matches_frozen_golden():
     contract is only as strong as its worst fixture family."""
     frozen = pq.read_table(HOSTILE_GOLDEN_PATH).to_pylist()
     current = {r["url"]: r for r in compute_hostile_golden().to_pylist()}
-    assert len(frozen) == len(current) >= 18
+    assert len(frozen) == len(current) >= 32
     mismatch = [
         (f["url"], f, current[f["url"]])
         for f in frozen
