@@ -111,6 +111,8 @@ HEADLINE_QUERIES = [
     "chunk_packing_plan",
     "opic_importance",
     "domain_diversity_by_lang",
+    "postings_compression",
+    "search_eval_ndcg",
 ]
 
 
