@@ -161,3 +161,78 @@ def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ndcg_at_k(judged)
+
+
+# ---- MRR sibling ------------------------------------------------------------
+
+MRR_REL_THRESHOLD = 3  # "fully relevant": max-grade judgments only
+
+
+@register(
+    "search_eval_mrr",
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.doc_id, d.lang, t.token
+      FROM documents d,
+           UNNEST(list_filter(string_split(d.text, ' '), x -> x <> ''))
+             AS t(token)
+    ),
+    tf AS (
+      SELECT token AS query, doc_id, any_value(lang) AS lang,
+             count(*) AS tf
+      FROM toks WHERE token IN ({", ".join("'" + t + "'" for t in EVAL_TERMS)})
+      GROUP BY token, doc_id
+    ),
+    judged AS (
+      SELECT query, doc_id, tf,
+             least(tf, 2) + CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+      FROM tf
+    ),
+    pos AS (
+      SELECT query, rel,
+             row_number() OVER (PARTITION BY query
+                                ORDER BY tf DESC, doc_id) AS r
+      FROM judged
+    )
+    SELECT query,
+           CAST(min(r) AS BIGINT) AS first_rel_rank,
+           CAST(1000000 // min(r) AS BIGINT) AS rr_micro
+    FROM pos WHERE rel >= {MRR_REL_THRESHOLD}
+    GROUP BY query
+    """,
+)
+def search_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the first FULLY-relevant document (grade-3
+    judgments only — binary MRR needs a sharper bar than 'contains
+    the term') under the same blind tf ranker; 10^6 div rank is exact
+    integer, replayed by DuckDB. Same pruned-slice plan as nDCG."""
+    from readur_spark.operators.posting import build_postings
+
+    docs = load(spark, sf_dir, "documents")
+    postings = build_postings(docs, "doc_id", "text")
+    judged = (
+        postings.filter(F.col("token").isin(EVAL_TERMS))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            F.col("token").alias("query"), "doc_id", "tf",
+            (
+                F.least(F.col("tf"), F.lit(2))
+                + (F.col("lang") == "en").cast("long")
+            ).alias("rel"),
+        )
+    )
+    w_rank = Window.partitionBy("query").orderBy(
+        F.col("tf").desc(), F.col("doc_id")
+    )
+    pos = judged.select(
+        "query", "rel", F.row_number().over(w_rank).alias("r")
+    )
+    return (
+        pos.filter(F.col("rel") >= MRR_REL_THRESHOLD)
+        .groupBy("query")
+        .agg(F.min("r").cast("long").alias("first_rel_rank"))
+        .select(
+            "query", "first_rel_rank",
+            F.expr("1000000L div first_rel_rank").alias("rr_micro"),
+        )
+    )

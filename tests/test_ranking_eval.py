@@ -55,3 +55,14 @@ class TestPlan:
         df = queries()["search_eval_ndcg"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestMrr:
+    def test_first_full_grade_rank(self, spark):
+        from readur_spark.queries.registry import queries
+
+        rows = queries()["search_eval_mrr"](spark, SF).collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert r["rr_micro"] == 1_000_000 // r["first_rel_rank"]
+            assert r["first_rel_rank"] >= 1
