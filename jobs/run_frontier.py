@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
                         "(host string, prefix string, allow boolean)")
     p.add_argument("--delay-ms", type=int, default=1000,
                    help="per-host fetch delay (Crawl-delay analogue)")
+    p.add_argument("--edges", default=None,
+                   help="parquet of link edges (src string, dst string "
+                        "matching --url-col values); enables OPIC "
+                        "importance ordering within each host's waves")
+    p.add_argument("--opic-iters", type=int, default=6,
+                   help="OPIC sweeps over --edges")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -74,9 +80,28 @@ def main(argv: list[str] | None = None) -> int:
         n_allowed = urls.count()
         n_blocked = n_in - n_allowed
 
+    priority_col = None
+    if args.edges:
+        # OPIC cash sweeps over the link graph; importance joins the
+        # frontier by url and orders each host's waves important-first
+        # (ml/opic.py — hash order remains the tie-break)
+        from readur_spark.ml.opic import opic_sweeps
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        imp = opic_sweeps(edges, args.opic_iters).select(
+            F.col("node").alias("url"),
+            F.col("importance").alias("opic_importance"),
+        )
+        urls = urls.join(imp, "url", "left").withColumn(
+            "opic_importance",
+            F.coalesce(F.col("opic_importance"), F.lit(0).cast("long")),
+        )
+        priority_col = "opic_importance"
+
     plan = politeness_schedule(
         urls.withColumn("delay_ms", F.lit(args.delay_ms).cast("long")),
         id_col="url",
+        priority_col=priority_col,
     )
     plan.write.mode("overwrite").parquet(args.output)
 

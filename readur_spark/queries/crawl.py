@@ -360,6 +360,7 @@ def politeness_schedule(
     host_col: str = "host",
     key_col: str = "url",
     delay_col: str = "delay_ms",
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Per-host serialized fetch schedule: wave k of a host fetches at
     offset k * crawl_delay. Urls order within a host by md5(key) — a
@@ -376,9 +377,14 @@ def politeness_schedule(
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(host_col).orderBy(
-        F.md5(F.encode(F.col(key_col), "UTF-8"))
-    )
+    # default order: content-addressed permutation (reproducible on
+    # any engine/partitioning). With `priority_col` (e.g. an OPIC
+    # importance), high-priority urls take the EARLY waves and the
+    # hash stays as the deterministic tie-break.
+    order = [F.md5(F.encode(F.col(key_col), "UTF-8"))]
+    if priority_col is not None:
+        order = [F.col(priority_col).desc()] + order
+    w = Window.partitionBy(host_col).orderBy(*order)
     wave = (F.row_number().over(w) - 1).cast("long")
     return urls.select(
         id_col,

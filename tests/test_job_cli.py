@@ -741,3 +741,41 @@ def test_curation_code_route(tmp_path, pages_parquet):
     only = run(["--code-route", "only"], str(tmp_path / "cr_code"))
     n_only = sum(v["n_docs"] for v in only.get("yields", {}).values())
     assert n_only < n_base  # the code fork is the complement
+
+
+def test_frontier_job_opic_ordering(tmp_path, spark):
+    """--edges turns on OPIC importance ordering: within one host, the
+    most-linked-to url takes wave 0 regardless of its hash order."""
+    urls = [(f"https://h.example/p{i}",) for i in range(4)]
+    spark.createDataFrame(urls, "url string").write.parquet(
+        str(tmp_path / "urls")
+    )
+    # p3 is the link magnet: every other page points at it
+    edges = [
+        (f"https://h.example/p{i}", "https://h.example/p3")
+        for i in range(3)
+    ] + [("https://h.example/p3", "https://h.example/p0")]
+    spark.createDataFrame(edges, "src string, dst string").write.parquet(
+        str(tmp_path / "edges")
+    )
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO_ROOT, "jobs", "run_frontier.py"),
+            "--input", str(tmp_path / "urls"),
+            "--output", str(tmp_path / "plan"),
+            "--edges", str(tmp_path / "edges"),
+            "--opic-iters", "4",
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    plan = {r["url"]: r for r in spark.read.parquet(
+        str(tmp_path / "plan")).collect()}
+    assert len(plan) == 4
+    # the magnet fetches first; waves are dense 0..3 on the one host
+    assert plan["https://h.example/p3"]["wave"] == 0
+    assert sorted(r["wave"] for r in plan.values()) == [0, 1, 2, 3]
