@@ -316,3 +316,156 @@ def image_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(hosted.select("src", "n_refs"), "src").select(
         "src", "host", "n_refs", "wave", "offset_ms"
     )
+
+
+# ---- responsive / lazy-loaded images (srcset + data-src) --------------------
+
+# Real Common-Crawl markup rarely carries a plain src: responsive
+# images declare a srcset of width-annotated candidates and
+# lazy-loading themes park the URL in data-src behind a 1px
+# placeholder. A miner that reads only src collects placeholder GIFs.
+
+_SRCSET_RE = 'srcset="([^"]*)"'
+_DATA_SRC_RE = 'data-src="([^"]*)"'
+
+
+def best_srcset_candidate(srcset: Column) -> Column:
+    """Highest-width candidate URL from a srcset value
+    ('url1 640w, url2 1280w, …'): parse each comma entry into
+    (url, width), take max by (width, url). Width-less entries (e.g.
+    '2x' density descriptors or bare urls) count as width 0 — any
+    explicit width beats them, matching browser fallback order.
+    Pure Catalyst: transform + array_max over a struct array."""
+    entries = F.transform(
+        F.split(srcset, ","),
+        lambda e: F.struct(
+            F.coalesce(
+                F.regexp_extract(F.trim(e), "\\s(\\d+)w$", 1).cast("long"),
+                F.lit(0),
+            ).alias("width"),
+            F.regexp_extract(F.trim(e), "^(\\S+)", 1).alias("url"),
+        ),
+    )
+    best = F.array_max(entries)
+    return F.when(F.trim(srcset) != "", best.getField("url"))
+
+
+def extract_image_sources(
+    pages: DataFrame, *, url_col: str = "url", html_col: str = "html_str"
+) -> DataFrame:
+    """(url, img_idx, src, effective_src, src_kind) — effective_src
+    resolves the fetch-worthy URL per the browser's own precedence:
+    largest srcset candidate > data-src (lazy themes) > src."""
+    tags = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_IMG_TAG_RE), 0)
+        ).alias("img_idx", "tag"),
+    )
+    src = F.regexp_extract("tag", _SRC_RE, 1)
+    data_src = F.regexp_extract("tag", _DATA_SRC_RE, 1)
+    srcset = F.regexp_extract("tag", _SRCSET_RE, 1)
+    best = best_srcset_candidate(srcset)
+    eff = F.coalesce(
+        best,
+        F.when(data_src != "", data_src),
+        F.when(src != "", src),
+        F.lit(""),
+    )
+    kind = (
+        F.when(best.isNotNull(), F.lit("srcset"))
+        .when(data_src != "", F.lit("data-src"))
+        .when(src != "", F.lit("src"))
+        .otherwise(F.lit("none"))
+    )
+    return tags.select(
+        "url",
+        F.col("img_idx").cast("long").alias("img_idx"),
+        src.alias("src"),
+        eff.alias("effective_src"),
+        kind.alias("src_kind"),
+    )
+
+
+def constructed_responsive_pages(docs: DataFrame) -> DataFrame:
+    """(url, html_str): doc_id % 3 == 0 pages carry a srcset image
+    (k = doc_id % 2 + 2 width-annotated candidates, widths (j+1)*320,
+    declared SMALLEST-FIRST so max-selection is exercised, plus a
+    placeholder src); doc_id % 3 == 1 pages carry a lazy image
+    (data-src real, src placeholder); doc_id % 3 == 2 pages carry a
+    plain src image."""
+    g = F.col("doc_id")
+
+    def cand(j: int) -> Column:
+        return F.concat(
+            F.lit("https://cdn.example/i"), g, F.lit(f"_{(j + 1) * 320}.jpg "),
+            F.lit(f"{(j + 1) * 320}w"),
+        )
+
+    k = g % 2 + 2  # 2 or 3 candidates
+    srcset_val = F.concat(
+        cand(0), F.lit(", "), cand(1),
+        F.when(k == 3, F.concat(F.lit(", "), cand(2))).otherwise(F.lit("")),
+    )
+    img = (
+        F.when(
+            g % 3 == 0,
+            F.concat(
+                F.lit('<img src="placeholder.gif" srcset="'), srcset_val,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            g % 3 == 1,
+            F.concat(
+                F.lit('<img src="1px.gif" data-src="https://cdn.example/lazy'),
+                g, F.lit('.jpg">'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<img src="https://cdn.example/plain'), g,
+                F.lit('.jpg">'),
+            )
+        )
+    )
+    html = F.concat(
+        F.lit("<html><body>"), img, F.lit("<p>"), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(synthetic_url().alias("url"), html.alias("html_str"))
+
+
+@register(
+    "image_srcset_resolve",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, doc_id % 3 AS m, doc_id % 2 + 2 AS k
+      FROM documents
+    )
+    SELECT 'https://' || source || '.example/doc' || doc_id || '.txt'
+             AS url,
+           CAST(0 AS BIGINT) AS img_idx,
+           CASE WHEN m = 0 THEN 'placeholder.gif'
+                WHEN m = 1 THEN '1px.gif'
+                ELSE 'https://cdn.example/plain' || doc_id || '.jpg'
+           END AS src,
+           CASE WHEN m = 0 THEN 'https://cdn.example/i' || doc_id || '_'
+                                || (k * 320) || '.jpg'
+                WHEN m = 1 THEN 'https://cdn.example/lazy' || doc_id
+                                || '.jpg'
+                ELSE 'https://cdn.example/plain' || doc_id || '.jpg'
+           END AS effective_src,
+           CASE WHEN m = 0 THEN 'srcset'
+                WHEN m = 1 THEN 'data-src'
+                ELSE 'src' END AS src_kind
+    FROM d
+    """,
+)
+def image_srcset_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve every constructed image to its fetch-worthy URL — the
+    oracle restates the max-width srcset pick (candidates declared
+    smallest-first), the data-src fallback, and the plain-src case
+    straight from the rule."""
+    pages = constructed_responsive_pages(load(spark, sf_dir, "documents"))
+    return extract_image_sources(pages)

@@ -124,3 +124,40 @@ class TestPlan:
         df = queries()["image_fetch_plan"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestSrcsetResolve:
+    def test_max_width_wins_any_declaration_order(self, spark):
+        from readur_spark.ml.altpairs import extract_image_sources
+
+        html = (
+            '<img src="ph.gif" srcset="a.jpg 1280w, b.jpg 320w, c.jpg 640w">'
+        )
+        r = extract_image_sources(_pages(spark, html)).first()
+        assert r["effective_src"] == "a.jpg"
+        assert r["src_kind"] == "srcset"
+
+    def test_density_descriptors_lose_to_widths(self, spark):
+        from readur_spark.ml.altpairs import extract_image_sources
+
+        html = '<img srcset="hi.jpg 2x, wide.jpg 800w">'
+        r = extract_image_sources(_pages(spark, html)).first()
+        assert r["effective_src"] == "wide.jpg"
+
+    def test_data_src_beats_placeholder_src(self, spark):
+        from readur_spark.ml.altpairs import extract_image_sources
+
+        html = '<img src="1px.gif" data-src="real.jpg">'
+        r = extract_image_sources(_pages(spark, html)).first()
+        assert r["effective_src"] == "real.jpg"
+        assert r["src_kind"] == "data-src"
+
+    def test_plain_src_and_none(self, spark):
+        from readur_spark.ml.altpairs import extract_image_sources
+
+        rows = extract_image_sources(
+            _pages(spark, '<img src="x.jpg"><img class="deco">')
+        ).orderBy("img_idx").collect()
+        assert (rows[0]["effective_src"], rows[0]["src_kind"]) == (
+            "x.jpg", "src")
+        assert (rows[1]["effective_src"], rows[1]["src_kind"]) == ("", "none")
