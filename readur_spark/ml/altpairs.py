@@ -340,7 +340,10 @@ def best_srcset_candidate(srcset: Column) -> Column:
         F.split(srcset, ","),
         lambda e: F.struct(
             F.coalesce(
-                F.regexp_extract(F.trim(e), "\\s(\\d+)w$", 1).cast("long"),
+                # try_cast: width-less entries ('2x' densities, bare
+                # urls) extract '' which ANSI cast would throw on
+                F.regexp_extract(F.trim(e), "\\s(\\d+)w$", 1)
+                .try_cast("long"),
                 F.lit(0),
             ).alias("width"),
             F.regexp_extract(F.trim(e), "^(\\S+)", 1).alias("url"),
