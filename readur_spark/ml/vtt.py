@@ -146,3 +146,52 @@ def vtt_cue_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipping under test."""
     tracks = constructed_vtt_tracks(load(spark, sf_dir, "documents"))
     return parse_vtt_cues(tracks)
+
+
+# ---- cue -> sampled-frame alignment ----------------------------------------
+
+FRAME_PERIOD_MS = 500  # the sampler's fixed clock: frame k at k*500 ms
+
+
+@register(
+    "cue_frame_align",
+    oracle=f"""
+    WITH cues AS (
+      SELECT doc_id, source, c AS cue_idx,
+             (c * 7 + doc_id % 5) * 1000 AS start_ms,
+             (c * 7 + doc_id % 5) * 1000 + 1500 + c * 250 AS end_ms
+      FROM documents, unnest(range(doc_id % 3 + 1)) AS t(c)
+    )
+    SELECT 'https://' || source || '.example/doc' || doc_id || '.txt'
+             AS url,
+           CAST(cue_idx AS BIGINT) AS cue_idx,
+           CAST((start_ms + {FRAME_PERIOD_MS - 1}) // {FRAME_PERIOD_MS}
+                AS BIGINT) AS first_frame,
+           CAST((end_ms - 1) // {FRAME_PERIOD_MS} AS BIGINT) AS last_frame,
+           CAST(greatest((end_ms - 1) // {FRAME_PERIOD_MS}
+                - (start_ms + {FRAME_PERIOD_MS - 1}) // {FRAME_PERIOD_MS}
+                + 1, 0) AS BIGINT) AS n_frames
+    FROM cues
+    """,
+)
+def cue_frame_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed chain: the parsed cue table aligned to a fixed-clock
+    frame sampler (frame k at k·500 ms — the time-domain face of
+    ml/multimodal.py's sampler stub). Coverage is CLOSED FORM in
+    integer arithmetic — first covered frame = ceil(start/period),
+    last = floor((end-1)/period) — so a trillion cues align with no
+    join and no explode; the oracle replays the parse-side timings
+    from the rule plus the same arithmetic."""
+    cues = parse_vtt_cues(
+        constructed_vtt_tracks(load(spark, sf_dir, "documents"))
+    )
+    p = FRAME_PERIOD_MS
+    return cues.select(
+        "url", "cue_idx",
+        F.expr(f"(start_ms + {p - 1}L) div {p}L").alias("first_frame"),
+        F.expr(f"(end_ms - 1L) div {p}L").alias("last_frame"),
+        F.expr(
+            f"greatest((end_ms - 1L) div {p}L"
+            f" - (start_ms + {p - 1}L) div {p}L + 1L, 0L)"
+        ).alias("n_frames"),
+    )

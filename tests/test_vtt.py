@@ -62,3 +62,17 @@ class TestPlan:
         df = queries()["vtt_cue_parse"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestFrameAlign:
+    def test_coverage_arithmetic(self, spark):
+        from readur_spark.queries.registry import queries
+
+        rows = queries()["cue_frame_align"](spark, SF).collect()
+        assert rows
+        for r in rows:
+            # a 1500-2000ms cue at 500ms clock covers 3-4 frames
+            assert 2 <= r["n_frames"] <= 5
+            assert r["n_frames"] == r["last_frame"] - r["first_frame"] + 1
+            # frame instants lie inside [start, end): boundary sanity
+            assert r["first_frame"] * 500 >= 0
