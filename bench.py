@@ -113,6 +113,8 @@ HEADLINE_QUERIES = [
     "domain_diversity_by_lang",
     "postings_compression",
     "search_eval_ndcg",
+    "qc_gate_agreement",
+    "vtt_cue_parse",
 ]
 
 
