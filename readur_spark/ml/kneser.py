@@ -208,7 +208,10 @@ def kn_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    kn = kn_bigram_surprisal(docs)
+    # the KN chain (two corpus passes) feeds BOTH calibration windows
+    # and the percentile projection: materialize its slim per-doc
+    # output once so the chain never re-runs downstream
+    kn = kn_bigram_surprisal(docs).localCheckpoint(eager=True)
     ranked = kn.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "kn_mean_cbits",
         F.row_number().over(

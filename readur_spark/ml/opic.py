@@ -66,7 +66,6 @@ def opic_sweeps(
     dst_col: str = "dst",
     total: int = OPIC_TOTAL,
     init_state: DataFrame | None = None,
-    materialize_every: int = 8,
 ) -> DataFrame:
     """K synchronous OPIC sweeps over an edge list. Returns
     (node, cash, hist, importance) in exact integer cash units;
@@ -101,16 +100,18 @@ def opic_sweeps(
     else:
         nodes = init_state.select("node").persist()
         state = init_state.select("node", "cash", "hist")
+    # deg is consumed EVERY sweep by the state update — persist it, or
+    # each of the K steps re-scans the edge list for the same counts
+    # (measured at sf0.1: 23 s -> ~6 s for the 6-sweep driver query)
     deg = edges.groupBy(src.alias("node")).agg(
         F.count("*").cast("long").alias("outdeg")
-    )
+    ).persist()
     adj = (
         edges.select(src.alias("node"), dst.alias("dst"))
         .join(deg, "node")
         .repartition("node")
         .persist()
     )
-    materialized: DataFrame | None = None
     try:
         for step in range(1, num_iters + 1):
             inflow = (
@@ -138,13 +139,15 @@ def opic_sweeps(
                     ).cast("long").alias("hist"),
                 )
             )
-            if step % materialize_every == 0 and step < num_iters:
-                nxt = state.persist()
-                nxt.count()
-                if materialized is not None:
-                    materialized.unpersist()
-                materialized = nxt
-                state = nxt
+            # UNLIKE PageRank's linear lineage (each rank frame is
+            # referenced once), the OPIC update references state TWICE
+            # — directly and through inflow — so an unmaterialized
+            # chain doubles the plan per sweep (2^K analysis blowup;
+            # measured 35 s for 6 sweeps on a 5k-node graph). The
+            # per-sweep localCheckpoint of the slim (node, cash, hist)
+            # frame is the Pregel-superstep cost, ~0.3 s/step here.
+            if step < num_iters:
+                state = state.localCheckpoint(eager=True)
         out = state.select(
             "node", "cash", "hist",
             (F.col("cash") + F.col("hist")).cast("long").alias("importance"),
@@ -153,9 +156,8 @@ def opic_sweeps(
         return out
     finally:
         adj.unpersist()
+        deg.unpersist()
         nodes.unpersist()
-        if materialized is not None:
-            materialized.unpersist()
 
 
 # ---- oracle twin -----------------------------------------------------------
