@@ -418,6 +418,7 @@ def _load_all() -> None:
     from readur_spark.ml import ranking_eval as ml_ranking_eval  # noqa: F401
     from readur_spark.ml import ensemble as ml_ensemble  # noqa: F401
     from readur_spark.ml import vtt as ml_vtt  # noqa: F401
+    from readur_spark.ml import abtt as ml_abtt  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
