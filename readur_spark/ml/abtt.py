@@ -332,7 +332,9 @@ def _pc1_oracle(iters: int) -> str:
     """
 
 
-def _project_oracle(iters: int) -> str:
+def _resid_cte_sql(iters: int) -> str:
+    """The ABTT chain extended through the per-component residuals —
+    shared by the projection and denoised-retrieval oracles."""
     return _abtt_cte_sql(iters) + f""",
     vv AS MATERIALIZED (
       SELECT greatest(CAST(sum(v * v) AS BIGINT), 1) AS vv FROM v{iters}
@@ -349,7 +351,11 @@ def _project_oracle(iters: int) -> str:
              cent.c AS c
       FROM cent JOIN v{iters} v USING (pos)
       JOIN loads l USING (vid)
-    )
+    )"""
+
+
+def _project_oracle(iters: int) -> str:
+    return _resid_cte_sql(iters) + """
     SELECT r.vid AS vec_id, l.pc1_load,
            CAST(sum(r.c * r.c) AS BIGINT) AS norm2_before,
            CAST(sum(r.r * r.r) AS BIGINT) AS norm2_after
@@ -378,3 +384,79 @@ def embedding_abtt_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = load(spark, sf_dir, "embeddings")
     mu, v, _ = top_direction(vectors)
     return abtt_project(vectors, mu, v)
+
+
+# ---- composed chain: denoised maximum-inner-product retrieval --------------
+
+
+def residual_vectors(
+    vectors: DataFrame, mu: list[int], v: list[int], *,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """(vid, r: array<long>) — the full denoised vectors (grid snap,
+    mean removal, PC1 projection removal) as one HOF projection."""
+    vv = sum(x * x for x in v) or 1
+    mu_sql = "array(" + ",".join(f"{m}L" for m in mu) + ")"
+    v_sql = "array(" + ",".join(f"{x}L" for x in v) + ")"
+    c_sql = (
+        f"zip_with({vec_col}, {mu_sql},"
+        f" (e, m) -> CAST(floor(CAST(e AS DOUBLE) * {GRID}) AS BIGINT) - m)"
+    )
+    load_sql = (
+        f"aggregate(zip_with(_c, {v_sql}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    r_sql = (
+        f"zip_with(_c, {v_sql}, (x, y) -> x - "
+        + _sdiv_sql("_load * y", str(vv))
+        + ")"
+    )
+    return (
+        vectors.select(F.col(id_col).alias("vid"), F.expr(c_sql).alias("_c"))
+        .select("vid", "_c", F.expr(load_sql).alias("_load"))
+        .select("vid", F.expr(r_sql).alias("r"))
+    )
+
+
+ANN_DENOISED_K = 10
+
+
+def _mips_oracle(iters: int, k: int) -> str:
+    return _resid_cte_sql(iters) + f""",
+    qv AS MATERIALIZED (SELECT pos, r FROM resid WHERE vid = 0)
+    SELECT resid.vid AS vec_id,
+           CAST(sum(resid.r * qv.r) AS BIGINT) AS dot
+    FROM resid JOIN qv USING (pos)
+    WHERE resid.vid <> 0
+    GROUP BY resid.vid
+    ORDER BY dot DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "ann_denoised_mips_topk", oracle=_mips_oracle(ABTT_ITERS, ANN_DENOISED_K)
+)
+def ann_denoised_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoised maximum-inner-product top-{k}: the ABTT residual of
+    query vec_id 0 against every other residual, ranked by EXACT
+    integer dot product (deterministic vec_id tie-break) — the
+    hygiene pass composed into the retrieval tier, every stage
+    replayed by DuckDB. Spark plan: one HOF projection for residuals,
+    the query row collected (1-row bounded), dot as an aggregate HOF,
+    TakeOrderedAndProject for the top-k — no window, no Python."""
+    vectors = load(spark, sf_dir, "embeddings")
+    mu, v, _ = top_direction(vectors)
+    resid = residual_vectors(vectors, mu, v)
+    q = resid.filter(F.col("vid") == 0).collect()[0]["r"]
+    q_sql = "array(" + ",".join(f"{int(x)}L" for x in q) + ")"
+    dot = F.expr(
+        f"aggregate(zip_with(r, {q_sql}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return (
+        resid.filter(F.col("vid") != 0)
+        .select(F.col("vid").alias("vec_id"), dot.alias("dot"))
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(ANN_DENOISED_K)
+    )

@@ -179,6 +179,56 @@ class TestProjection:
         assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
+class TestDenoisedMips:
+    def test_residual_vectors_match_python_recompute(self, planted):
+        vectors, _ = planted
+        mu, v, _ = top_direction(vectors)
+        from readur_spark.ml.abtt import residual_vectors
+
+        vv = sum(x * x for x in v) or 1
+
+        def sdiv(a, b):
+            return a // b if a >= 0 else -((-a) // b)
+
+        got = {r["vid"]: list(r["r"])
+               for r in residual_vectors(vectors, mu, v).collect()}
+        import math
+
+        for row in vectors.collect():
+            c = [
+                math.floor(float(e) * GRID) - m
+                for e, m in zip(row["embedding"], mu)
+            ]
+            load = sum(x * y for x, y in zip(c, v))
+            exp = [x - sdiv(load * y, vv) for x, y in zip(c, v)]
+            assert got[row["vec_id"]] == exp
+
+    def test_denoising_changes_the_ranking(self, planted):
+        """On the planted corpus the raw dot ranking is dominated by
+        the common direction; after removal the ranking must differ —
+        the reason the hygiene pass exists."""
+        vectors, _ = planted
+        mu, v, _ = top_direction(vectors)
+        from readur_spark.ml.abtt import residual_vectors
+
+        cent = centered_vectors(vectors, mu)
+        resid = residual_vectors(vectors, mu, v)
+
+        def topk(df, col):
+            rows = df.collect()
+            q = next(list(r[col]) for r in rows if r["vid"] == 0)
+            scored = [
+                (sum(a * b for a, b in zip(r[col], q)), r["vid"])
+                for r in rows
+                if r["vid"] != 0
+            ]
+            return [vid for _, vid in sorted(scored, key=lambda t: (-t[0], t[1]))[:10]]
+
+        raw = topk(cent.select("vid", F.col("c").alias("x")), "x")
+        den = topk(resid.select("vid", F.col("r").alias("x")), "x")
+        assert raw != den
+
+
 class TestSdivCrossEngine:
     def test_sdiv_matches_duckdb_on_negatives(self):
         """The whole module leans on sign-abs division; pin the idiom
