@@ -132,7 +132,13 @@ _PRIORITY: list[str] = [
     # replay inside its driver row — then adds the FineWeb
     # per-language calibration on top; the standalone scorer stays
     # oracle-checked in pytest)
-    "kn_percentile_by_lang",
+    # (kn_percentile_by_lang ceded to session 10's DoReMi chain: the
+    # doremi oracle replays the FULL KN model as a CTE plus the
+    # per-domain pooling, so the KN family keeps a window rep that
+    # exercises the scorer value-for-value; the FineWeb percentile
+    # window idiom stays windowed via host_quality_rollup and the
+    # standalone calibration stays oracle-checked in pytest)
+    "doremi_domain_weights",
     "length_histogram_quantiles",
     # search ('english' FTS config + postings + single-term rank)
     # (search_simple_and_english ceded: the postings variant is the
@@ -217,7 +223,13 @@ _PRIORITY: list[str] = [
     # (langid_margin_gate ceded to session 5's charset ladder: the
     # margin gate extends the langid chain whose trainer/scorer stays
     # windowed above; pytest keeps the gate oracle-checked)
-    "dedup_containment_pairs",
+    # (dedup_containment_pairs ceded to session 10's split-leakage
+    # rollup: the posting-join shingle machinery keeps windowed reps
+    # via neardup_keep_longest and winnow_reuse_pairs, and the new key
+    # adds what no windowed query covered — the content-addressed
+    # split hash composed with cross-split shingle overlap; the
+    # containment oracle stays green in pytest)
+    "split_leakage_rollup",
     "neardup_keep_longest",
     # session 3: structure-preserving HTML table / full-page markdown
     # (extract_tables_markdown ceded to session 6's PSL family: the
@@ -235,7 +247,12 @@ _PRIORITY: list[str] = [
     # is green. All stay oracle-checked in pytest.)
     "dedup_soft_weights",
     "ngram_novelty_rate",
-    "search_rank_bm25",
+    # (search_rank_bm25 ceded to session 10's RRF fusion: the fusion
+    # oracle embeds the ENTIRE bm25 oracle verbatim as a CTE, so its
+    # driver row checks BM25's mantissa-squaring idf and tf saturation
+    # value-for-value AND the rank merge on top; bm25 stays
+    # oracle-checked standalone in pytest)
+    "search_rrf_fusion",
     # (web_curation_report and sessionize_events ceded: green r4
     # driver rows, code untouched in r5; both stay oracle-checked
     # in pytest)
@@ -249,7 +266,13 @@ _PRIORITY: list[str] = [
     # blocks with source char ranges, value-hashed per block
     "extract_spans_constructed",
     "sentence_dedup_clean",
-    "embedding_outlier_flags",
+    # (embedding_outlier_flags ceded to session 10's ABTT pair below:
+    # the embedding family keeps semantic_dedup_keep windowed — the
+    # same integer-distance argmin kernel the outlier chain composes —
+    # and gains the denoising tier; the kmeans trajectory + outlier
+    # gate stay oracle-checked in pytest)
+    "embedding_abtt_project",
+    "ann_denoised_mips_topk",
     "sample_recency_decay",
     "template_fingerprint_rollup",
     # (qc_blocklist_gate ceded to session 7's skeleton-evasion twin:
@@ -285,7 +308,11 @@ _PRIORITY: list[str] = [
     # ladder, pagination, feed, PSL, opt-out headers) and the JSON-LD
     # query's OG/microdata/hreflang head-scan siblings are
     # pytest-green; math routing has no other windowed rep)
-    "math_content_detect",
+    # (math_content_detect ceded to session 10's window additions: the
+    # codemath family keeps two windowed reps — code_block_extract's
+    # fenced-block parse and code_likeness_score's routing gate — and
+    # the math-signal projection shares their replay idiom; its oracle
+    # stays green in pytest)
     # (og_card_extract ceded to session 7's CDX index tier: the
     # structured-metadata family keeps four window slots — jsonld,
     # hreflang, feed_items, pii_iban — and the og card parse shares

@@ -81,7 +81,10 @@ class TestPriorityWindow:
             "cdx_fetch_spans",
             "dedup_soft_weights",
             "ngram_novelty_rate",
-            "search_rank_bm25",
+            # session 10: search_rrf_fusion replaces search_rank_bm25
+            # — its oracle embeds the full bm25 oracle verbatim as a
+            # CTE, so the ranking-family pin rides the fusion row
+            "search_rrf_fusion",
             "langid_chartrigram_nb",
             "extract_markdown",
             "sentence_dedup_clean",
