@@ -115,6 +115,12 @@ HEADLINE_QUERIES = [
     "search_eval_ndcg",
     "qc_gate_agreement",
     "vtt_cue_parse",
+    # round 5, session 10
+    "embedding_abtt_project",
+    "ann_denoised_mips_topk",
+    "doremi_domain_weights",
+    "search_rrf_fusion",
+    "split_leakage_rollup",
 ]
 
 
