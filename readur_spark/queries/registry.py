@@ -449,6 +449,7 @@ def _load_all() -> None:
     from readur_spark.ml import doremi as ml_doremi  # noqa: F401
     from readur_spark.queries import fusion as q_fusion  # noqa: F401
     from readur_spark.ml import leakage as ml_leakage  # noqa: F401
+    from readur_spark.ml import evalset as ml_evalset  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
