@@ -22,6 +22,10 @@ end-to-end:
     → exact dedup winners (first url per sha256)
     → optional PII redaction (ml/webfilters.redact_pii)
     → deterministic train/valid/test hash split
+    → [--leakage-audit] train→eval 4-gram leakage report in the
+      summary JSON (ml/leakage)
+    → [--doremi-report DIR] DoReMi domain-quota table over the curated
+      corpus (ml/doremi)
     → partitioned, size-bounded shard write (operators/sinks)
 
 and prints one JSON summary line (per-split yields) — the same report
@@ -108,6 +112,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--math-route", choices=["exclude", "only"],
                    default=None,
                    help="same routing on the LaTeX/MathML math signals")
+    p.add_argument("--doremi-report", default=None, metavar="DIR",
+                   help="also write a DoReMi-style domain-reweighting "
+                        "table (per-host pooled KN surprisal, excess "
+                        "over the corpus, EG tilt, exact Hamilton "
+                        "token quotas; ml/doremi.py) computed over the "
+                        "CURATED corpus to DIR (parquet)")
+    p.add_argument("--doremi-budget", type=int, default=1_000_000,
+                   help="token budget the --doremi-report quotas sum "
+                        "to exactly")
+    p.add_argument("--leakage-audit", action="store_true",
+                   help="append a per-split train→eval 4-gram leakage "
+                        "report (ml/leakage.py) to the summary JSON — "
+                        "certifies the held-out splits before their "
+                        "loss is trusted")
     p.add_argument("--fmt", choices=["parquet", "json"], default="parquet")
     p.add_argument("--max-records-per-file", type=int, default=100_000)
     p.add_argument("--append", action="store_true",
@@ -421,6 +439,39 @@ def main(argv: list[str] | None = None) -> int:
         # Zero-row plans produce an EMPTY metrics row (the aggregation
         # short-circuits), so only read it when rows actually flowed.
         rows_observed = int(obs.get["n_rows"]) if yields else 0
+        leakage = None
+        if args.leakage_audit:
+            from readur_spark.ml.leakage import split_leakage_report
+
+            # runs on the persisted split frame (labels from
+            # with_hash_split: train/valid/test — the report audits
+            # every non-train split against train)
+            leakage = {
+                r["split"]: {
+                    "n_docs": r["n_docs"],
+                    "n_leaked_docs": r["n_leaked_docs"],
+                    "leaked_permille": r["leaked_permille"],
+                }
+                for r in split_leakage_report(
+                    split, id_col="url", split_col="split"
+                ).collect()
+            }
+        doremi_domains = None
+        if args.doremi_report:
+            from readur_spark.ml.doremi import doremi_plan
+            from readur_spark.ml.urlfilters import url_host
+
+            # domain = url host of the curated docs; the plan runs on
+            # the post-gate corpus so quotas reflect what a training
+            # run would actually sample from
+            shaped = split.select(
+                F.col("url").alias("doc_id"),
+                F.col("text"),
+                url_host(F.col("url")).alias("source"),
+            )
+            plan = doremi_plan(shaped, budget=args.doremi_budget)
+            plan.write.mode("overwrite").parquet(args.doremi_report)
+            doremi_domains = plan.count()
         write_training_shards(
             split, args.output,
             partition_cols=["split"], id_col="url",
@@ -434,12 +485,18 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.output, partition_cols=["split"], id_col="url",
                 max_records_per_file=args.max_records_per_file, fmt=args.fmt,
             )
-        print(json.dumps({
+        summary = {
             "status": "written",
             "output": args.output,
             "yields": yields,
             "rows_observed": rows_observed,
-        }))
+        }
+        if leakage is not None:
+            summary["leakage"] = leakage
+        if doremi_domains is not None:
+            summary["doremi_report"] = args.doremi_report
+            summary["doremi_domains"] = doremi_domains
+        print(json.dumps(summary))
         return 0
     finally:
         split.unpersist()

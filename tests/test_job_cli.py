@@ -779,3 +779,48 @@ def test_frontier_job_opic_ordering(tmp_path, spark):
     # the magnet fetches first; waves are dense 0..3 on the one host
     assert plan["https://h.example/p3"]["wave"] == 0
     assert sorted(r["wave"] for r in plan.values()) == [0, 1, 2, 3]
+
+
+def test_curation_doremi_and_leakage_flags(tmp_path, pages_parquet):
+    """--doremi-report writes a domain-quota table whose quotas sum
+    exactly to --doremi-budget over the CURATED corpus, and
+    --leakage-audit appends the per-split 4-gram leakage report to
+    the summary JSON."""
+    store = str(tmp_path / "dlstore")
+    r1 = _run_job(["--input", pages_parquet, "--store", store,
+                   "--run-id", "dl1", "--cpus", "8"])
+    assert r1["status"] == "committed"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    report = str(tmp_path / "doremi")
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO_ROOT, "jobs", "run_curation.py"),
+         "--input", store, "--output", str(tmp_path / "dl_shards"),
+         "--min-words", "5", "--cpus", "8",
+         "--doremi-report", report, "--doremi-budget", "10000",
+         "--leakage-audit"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines()
+            if l.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["status"] == "written"
+    # leakage report covers every non-train split with exact fields
+    assert set(summary["leakage"]) <= {"valid", "test"}
+    for rep in summary["leakage"].values():
+        assert rep["n_docs"] > 0
+        assert 0 <= rep["n_leaked_docs"] <= rep["n_docs"]
+        assert rep["leaked_permille"] == (
+            1000 * rep["n_leaked_docs"]) // rep["n_docs"]
+    # quota table: exact-sum Hamilton over curated-domain weights
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(report)
+    assert summary["doremi_domains"] == tbl.num_rows > 0
+    assert sum(tbl["quota"].to_pylist()) == 10000
+    cols = set(tbl.column_names)
+    assert {"domain", "loss_cbits", "excess_cbits", "score",
+            "quota"} <= cols
