@@ -176,3 +176,55 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli purity over the same trajectory."""
     assign, labels = _assignments(spark, sf_dir)
     return cluster_purity(contingency(assign, labels))
+
+
+# ---- composed chain: label-noise candidates by cluster disagreement --------
+
+
+def label_disagreement(
+    assign: DataFrame, labels: DataFrame, *,
+    id_col: str = "vid", pred_col: str = "cid", label_col: str = "label",
+) -> DataFrame:
+    """(vid, label, cid, majority_label, disagrees) — documents whose
+    own label differs from their cluster's majority label: the
+    cheapest large-scale label-noise candidate list (the geometric
+    neighborhood outvotes the tag — the 'confident learning' intuition
+    with the cluster majority as the confident predictor). The
+    majority frame is one row per cluster; the flag is a broadcast
+    join back onto the slim assignment."""
+    ct = contingency(assign, labels, id_col=id_col,
+                     pred_col=pred_col, label_col=label_col)
+    maj = cluster_purity(ct).select(pred_col, "majority_label")
+    return (
+        assign.join(labels, id_col)
+        .join(F.broadcast(maj), pred_col)
+        .select(
+            id_col, label_col, pred_col, "majority_label",
+            (F.col(label_col) != F.col("majority_label")).alias("disagrees"),
+        )
+    )
+
+
+_DISAGREE_ORACLE = _CT_CTE + f""",
+    maj AS (
+      SELECT cid,
+             CAST((min(struct_pack(a := -nij, l := label))).l AS BIGINT)
+               AS majority_label
+      FROM ct GROUP BY cid
+    )
+    SELECT a.vid, CAST(e.label AS BIGINT) AS label, a.cid,
+           m.majority_label,
+           CAST(e.label AS BIGINT) <> m.majority_label AS disagrees
+    FROM a{KM_ITERS} a
+    JOIN embeddings e ON a.vid = e.vec_id
+    JOIN maj m USING (cid)
+    """
+
+
+@register("label_noise_candidates", oracle=_DISAGREE_ORACLE)
+def label_noise_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-disagreement label-noise candidates over the Lloyd
+    trajectory — assignment, contingency, majority election, and every
+    per-vector flag replayed by DuckDB."""
+    assign, labels = _assignments(spark, sf_dir)
+    return label_disagreement(assign, labels)

@@ -81,6 +81,26 @@ def test_degenerate_single_cluster_single_label_is_zero(spark):
     assert ari_milli(_ct(spark, triples)).collect()[0]["ari_milli"] == 0
 
 
+def test_label_noise_planted_mislabel_is_flagged(spark):
+    """Clean clusters with one planted wrong label -> exactly that
+    vector disagrees with its cluster majority."""
+    from readur_spark.ml.clustereval import label_disagreement
+
+    triples = [(i, i % 3, i % 3) for i in range(30)]
+    triples[7] = (7, 7 % 3, (7 % 3 + 1) % 3)  # vid 7 mislabeled
+    a = spark.createDataFrame(
+        [(v, c) for v, c, _ in triples], "vid BIGINT, cid BIGINT"
+    )
+    l = spark.createDataFrame(
+        [(v, y) for v, _, y in triples], "vid BIGINT, label BIGINT"
+    )
+    out = {r["vid"]: r for r in label_disagreement(a, l).collect()}
+    assert len(out) == 30
+    flagged = [v for v, r in out.items() if r["disagrees"]]
+    assert flagged == [7]
+    assert out[7]["majority_label"] == 7 % 3
+
+
 def test_purity_majority_and_tiebreak(spark):
     triples = (
         [(i, 0, 0) for i in range(6)] + [(10 + i, 0, 1) for i in range(2)]
