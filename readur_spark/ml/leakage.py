@@ -191,3 +191,73 @@ def _register() -> None:
 
 
 _register()
+
+
+# ---- composed chain: certify the stratified eval slice ---------------------
+
+
+def _register_eval_slice() -> None:
+    from readur_spark.ml.evalset import _EVAL_ORACLE
+
+    gram = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]"
+    oracle = f"""
+    WITH ev AS ({_EVAL_ORACLE}),
+    sp AS (
+      SELECT d.doc_id, d.text,
+             CASE WHEN ev.in_eval THEN 'eval' ELSE 'train' END AS split
+      FROM documents d JOIN ev USING (doc_id)
+    ),
+    t0 AS (
+      SELECT doc_id, split, string_split(text, ' ') AS t FROM sp
+    ),
+    sh AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 2), i -> {gram}))) AS g
+      FROM t0
+    ),
+    tr AS (SELECT DISTINCT g FROM sh WHERE split = 'train'),
+    hits AS (
+      SELECT sh.doc_id, sh.split, count(*) AS n_hit_shingles
+      FROM sh JOIN tr USING (g)
+      WHERE sh.split <> 'train'
+      GROUP BY sh.doc_id, sh.split
+    ),
+    sizes AS (
+      SELECT split, count(*) AS n_docs FROM sp WHERE split <> 'train'
+      GROUP BY split
+    )
+    SELECT s.split, CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(l.n_leaked, 0) AS BIGINT) AS n_leaked_docs,
+           CAST((1000 * coalesce(l.n_leaked, 0)) // s.n_docs AS BIGINT)
+             AS leaked_permille,
+           CAST(coalesce(l.sum_hit, 0) AS BIGINT) AS sum_hit_shingles
+    FROM sizes s LEFT JOIN (
+      SELECT split, count(*) AS n_leaked, sum(n_hit_shingles) AS sum_hit
+      FROM hits GROUP BY split
+    ) l USING (split)
+    """
+
+    @register("eval_slice_leakage", oracle=oracle)
+    def eval_slice_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The composed certification the evalset docstring promises:
+        ml/evalset.py's stratified membership becomes the split, and
+        the 4-gram leakage report runs over it — quota election,
+        seeded ranks, shingling, and the rollup all in ONE DuckDB
+        replay. A training run gates on this row before trusting the
+        slice's held-out loss."""
+        from readur_spark.ml.evalset import stratified_eval_plan
+
+        docs = load(spark, sf_dir, "documents").withColumn(
+            "url", synthetic_url()
+        )
+        plan = stratified_eval_plan(docs)
+        tagged = docs.join(plan.select("doc_id", "in_eval"), "doc_id").select(
+            "doc_id", "text",
+            F.when(F.col("in_eval"), F.lit("eval"))
+            .otherwise(F.lit("train")).alias("split"),
+        )
+        return split_leakage_report(tagged)
+
+
+_register_eval_slice()

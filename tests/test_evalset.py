@@ -58,6 +58,23 @@ def test_membership_is_partitioning_independent(corpus):
     assert a == b
 
 
+def test_eval_slice_leakage_covers_the_whole_slice(spark):
+    """The composed certification query audits exactly the eval slice:
+    its n_docs equals the number of in_eval members."""
+    from readur_spark.ml.evalset import EVAL_BUDGET, eval_set_stratified
+    from readur_spark.ml.leakage import _register_eval_slice  # noqa: F401
+    from readur_spark.queries.registry import queries
+
+    sf = "/root/testdata/sf0.001"
+    n_eval = (
+        eval_set_stratified(spark, sf).filter("in_eval").count()
+    )
+    rows = queries()["eval_slice_leakage"](spark, sf).collect()
+    assert len(rows) == 1 and rows[0]["split"] == "eval"
+    assert rows[0]["n_docs"] == n_eval == EVAL_BUDGET
+    assert 0 <= rows[0]["n_leaked_docs"] <= rows[0]["n_docs"]
+
+
 def test_budget_larger_than_stratum_is_capped_by_rank(spark):
     """A stratum smaller than its quota ceiling can only contribute
     all its rows — rank <= quota never over-selects."""
