@@ -119,3 +119,100 @@ def _register_rrf() -> None:
 
 
 _register_rrf()
+
+
+# ---- ranker agreement: exact-integer Kendall tau-a -------------------------
+
+
+def kendall_tau_a(
+    scores: DataFrame, *, id_col: str = "doc_id",
+    s1_col: str = "s1", s2_col: str = "s2",
+) -> DataFrame:
+    """One row (n_pairs, concordant, discordant, tied_either,
+    tau_a_milli) over all unordered id pairs of a two-score frame.
+    tau_a = (C - D) / n_pairs in milli-units through the sign-abs
+    division (C < D is legal). The pair join is quadratic in the
+    MATCH SET (query-bounded, not corpus-bounded) — the same stance
+    as the rankers it evaluates; at corpus scale it runs on a
+    sampled slice."""
+    a = scores.select(
+        F.col(id_col).alias("ia"),
+        F.col(s1_col).alias("s1a"), F.col(s2_col).alias("s2a"),
+    )
+    b = scores.select(
+        F.col(id_col).alias("ib"),
+        F.col(s1_col).alias("s1b"), F.col(s2_col).alias("s2b"),
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        (F.signum(F.col("s1a") - F.col("s1b"))
+         * F.signum(F.col("s2a") - F.col("s2b"))).cast("long").alias("sgn"),
+    )
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).cast("long")
+        .alias("concordant"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).cast("long")
+        .alias("discordant"),
+        F.sum(F.when(F.col("sgn") == 0, 1).otherwise(0)).cast("long")
+        .alias("tied_either"),
+    )
+    num = "1000 * (concordant - discordant)"
+    return agg.select(
+        "n_pairs", "concordant", "discordant", "tied_either",
+        F.expr(
+            "CASE WHEN n_pairs = 0 THEN 0 ELSE "
+            f"CASE WHEN ({num}) >= 0 THEN ({num}) div n_pairs"
+            f" ELSE -((-({num})) div n_pairs) END END"
+        ).cast("long").alias("tau_a_milli"),
+    )
+
+
+def _register_kendall() -> None:
+    oracle = f"""
+    WITH bm AS ({_ORACLES["search_rank_bm25"]}),
+    tfq AS ({_ORACLES["search_rank_tf"]}),
+    j AS (
+      SELECT bm.doc_id, bm.rank_bm25_fp AS s1, tfq.rank_tf AS s2
+      FROM bm JOIN tfq USING (doc_id)
+    ),
+    p AS (
+      SELECT sign(a.s1 - b.s1) * sign(a.s2 - b.s2) AS sgn
+      FROM j a JOIN j b ON a.doc_id < b.doc_id
+    ),
+    agg AS (
+      SELECT count(*) AS n_pairs,
+             sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS concordant,
+             sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS discordant,
+             sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS tied_either
+      FROM p
+    )
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
+           CAST(tied_either AS BIGINT) AS tied_either,
+           CAST(CASE WHEN n_pairs = 0 THEN 0 ELSE
+             CASE WHEN 1000 * (concordant - discordant) >= 0
+                  THEN (1000 * (concordant - discordant)) // n_pairs
+                  ELSE -((-(1000 * (concordant - discordant))) // n_pairs)
+             END END AS BIGINT) AS tau_a_milli
+    FROM agg
+    """
+
+    @register("search_rank_kendall", oracle=oracle)
+    def search_rank_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Kendall tau-a agreement between the BM25 and tf rankers on
+        their common match set — the 'do we need fusion?' diagnostic
+        next to search_rrf_fusion (low tau = the rankers disagree and
+        rank-merging carries real information). Pair signs, tie
+        counts, and the milli tau all replayed by DuckDB with the
+        member oracles embedded verbatim."""
+        bm = _search.search_rank_bm25(spark, sf_dir).select(
+            "doc_id", F.col("rank_bm25_fp").alias("s1")
+        )
+        tf = _search.search_rank_tf(spark, sf_dir).select(
+            "doc_id", F.col("rank_tf").cast("long").alias("s2")
+        )
+        return kendall_tau_a(bm.join(tf, "doc_id"))
+
+
+_register_kendall()
