@@ -121,6 +121,8 @@ HEADLINE_QUERIES = [
     "doremi_domain_weights",
     "search_rrf_fusion",
     "split_leakage_rollup",
+    "search_rank_kendall",
+    "kmeans_label_ari",
 ]
 
 
