@@ -123,6 +123,7 @@ HEADLINE_QUERIES = [
     "split_leakage_rollup",
     "search_rank_kendall",
     "kmeans_label_ari",
+    "cdc_chunk_stats",
 ]
 
 
