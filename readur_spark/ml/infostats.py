@@ -312,3 +312,98 @@ def domain_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 3).alias("entropy_bits"),
         F.round(F.pow(F.lit(2.0), h), 3).alias("effective_domains"),
     )
+
+
+# ---- lexical richness (r5s11): Yule's K / Simpson / TTR --------------------
+
+
+def lexical_richness(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document vocabulary-richness metrics in EXACT integer
+    arithmetic (no floats anywhere, so the DuckDB twin matches
+    bit-for-bit):
+
+      yule_k_milli  = (10^7 * (S2 - N)) div N^2        (Yule 1944)
+      simpson_ppm   = (10^6 * S11) div (N * (N - 1))    (Simpson 1949)
+      ttr_milli     = (10^3 * V) div N                  (type/token)
+
+    with N = token count, V = distinct tokens, S2 = Σ c², and
+    S11 = Σ c·(c−1) over the per-document whitespace-token counts.
+    Yule's K is the classic repeated-text / template-spam signal (K
+    explodes when a few tokens dominate); Simpson's index is the
+    collision probability of two random tokens; TTR is the cheap
+    length-confounded baseline the other two correct for. All three
+    are standard corpus-QC columns beside `unigram_entropy`.
+
+    Scale: identical shape to `unigram_entropy` — one slim explode,
+    one (doc, tok) count collapse, one map-side-combinable rollup;
+    all sums fit int64 (S2 ≤ N² and 10^7·S2 needs N ≤ ~3·10^5 tokens
+    per document, far above any post-length-gate page).
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = toks.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.sum(F.col("c") * (F.col("c") - F.lit(1))).cast("long").alias("s11"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.expr("(10000000L * (s2 - n_tokens)) div (n_tokens * n_tokens)")
+        .alias("yule_k_milli"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.expr("(1000000L * s11) div (n_tokens * (n_tokens - 1L))"),
+        ).alias("simpson_ppm"),
+        F.expr("(1000L * n_distinct) div n_tokens").alias("ttr_milli"),
+    )
+
+
+@register(
+    "qc_lexical_richness",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    ),
+    a AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             CAST(sum(c * c) AS BIGINT) AS s2,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS s11
+      FROM t GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST((10000000 * (s2 - n_tokens)) // (n_tokens * n_tokens)
+                AS BIGINT) AS yule_k_milli,
+           CASE WHEN n_tokens > 1 THEN
+             CAST((1000000 * s11) // (n_tokens * (n_tokens - 1))
+                  AS BIGINT) END AS simpson_ppm,
+           CAST((1000 * n_distinct) // n_tokens AS BIGINT) AS ttr_milli
+    FROM a
+    """,
+)
+def qc_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Yule's K / Simpson collision / TTR per document,
+    value-hashed: DuckDB replays the token counts and the identical
+    truncating integer arithmetic (HUGEINT intermediates cast back to
+    BIGINT).  Reference analogue: the extraction-quality word
+    -composition heuristics (src/ocr/enhanced.rs:923-976) generalized
+    to corpus-statistical spam signals."""
+    return lexical_richness(load(spark, sf_dir, "documents"))

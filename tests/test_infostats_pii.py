@@ -132,3 +132,35 @@ class TestDomainDiversity:
             .collect()
         }
         assert out == {"en": 1.0, "fr": 4.0}
+
+
+class TestLexicalRichness:
+    def test_hand_computed(self, spark):
+        from readur_spark.ml.infostats import lexical_richness
+
+        # doc 1: "a a a b" -> counts {a:3, b:1}; N=4 V=2 S2=10 S11=6
+        #   yule  = (10^7 * (10-4)) // 16         = 3_750_000
+        #   simp  = (10^6 * 6) // (4*3)           = 500_000
+        #   ttr   = (10^3 * 2) // 4               = 500
+        # doc 2: "x y z" all distinct -> S2=N -> yule 0, simpson 0
+        # doc 3: single token -> simpson NULL (N-1 = 0 guard)
+        df = _docs(spark, [(1, "a a a b"), (2, "x y z"), (3, "solo")])
+        got = {r["doc_id"]: r for r in lexical_richness(df).collect()}
+        assert got[1]["n_tokens"] == 4 and got[1]["n_distinct"] == 2
+        assert got[1]["yule_k_milli"] == 3_750_000
+        assert got[1]["simpson_ppm"] == 500_000
+        assert got[1]["ttr_milli"] == 500
+        assert got[2]["yule_k_milli"] == 0
+        assert got[2]["simpson_ppm"] == 0
+        assert got[2]["ttr_milli"] == 1000
+        assert got[3]["simpson_ppm"] is None
+        assert got[3]["ttr_milli"] == 1000
+
+    def test_pure_catalyst(self, spark):
+        from readur_spark.ml.infostats import lexical_richness
+
+        plan = (
+            lexical_richness(_docs(spark, [(1, "a b")]))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan
