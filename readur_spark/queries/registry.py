@@ -453,6 +453,7 @@ def _load_all() -> None:
     from readur_spark.ml import clustereval as ml_clustereval  # noqa: F401
     from readur_spark.ml import cdc as ml_cdc  # noqa: F401
     from readur_spark.ml import secrets as ml_secrets  # noqa: F401
+    from readur_spark.ml import snm as ml_snm  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
