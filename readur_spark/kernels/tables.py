@@ -44,7 +44,8 @@ class _TableParser(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "table":
             self._stack.append({"idx": self._n_opened, "rows": [],
-                                "row": None, "cell": None})
+                                "row": None, "cell": None,
+                                "row_th": False, "th_flags": []})
             self._n_opened += 1
             return
         if not self._stack:
@@ -58,6 +59,8 @@ class _TableParser(HTMLParser):
                 t["row"] = []
             self._flush_cell(t)
             t["cell"] = []
+            if tag == "th":
+                t["row_th"] = True
 
     def handle_endtag(self, tag: str) -> None:
         if not self._stack:
@@ -70,9 +73,15 @@ class _TableParser(HTMLParser):
         elif tag == "table":
             self._flush_row(t)
             done = self._stack.pop()
-            rows = [r for r in done["rows"] if any(c for c in r)]
-            if rows:
-                self.tables.append((done["idx"], rows))
+            kept = [
+                (r, th)
+                for r, th in zip(done["rows"], done["th_flags"])
+                if any(c for c in r)
+            ]
+            if kept:
+                rows = [r for r, _ in kept]
+                flags = [th for _, th in kept]
+                self.tables.append((done["idx"], rows, flags))
 
     def handle_data(self, data: str) -> None:
         if self._stack and self._stack[-1]["cell"] is not None:
@@ -90,7 +99,9 @@ class _TableParser(HTMLParser):
         cls._flush_cell(t)
         if t["row"] is not None:
             t["rows"].append(t["row"])
+            t["th_flags"].append(t["row_th"])
             t["row"] = None
+            t["row_th"] = False
 
 
 def _to_markdown(rows: list[list[str]]) -> str:
@@ -117,7 +128,48 @@ def extract_tables_markdown(html: str) -> list[tuple[int, str, int, int]]:
     except Exception:
         pass  # tag-soup beyond HTMLParser's tolerance: keep what parsed
     out = []
-    for idx, rows in sorted(p.tables, key=lambda t: t[0]):
+    for idx, rows, _flags in sorted(p.tables, key=lambda t: t[0]):
         ncols = max(len(r) for r in rows)
         out.append((idx, _to_markdown(rows), len(rows), ncols))
+    return out
+
+
+def extract_tables_relational(
+    html: str,
+) -> list[tuple[int, int, int, str, str, bool]]:
+    """WebTables-style relational tuples: [(table_idx, row_idx,
+    col_idx, col_name, value, has_header)] for every DATA cell of
+    every non-empty <table>, in document-open order.
+
+    Header detection (the WDC Web Tables recipe's structural tier):
+    the first kept row is the header iff it contains a <th> cell; its
+    whitespace-normalized cells become `col_name` (falling back to
+    `col{i}` for ragged columns the header doesn't cover). Tables
+    without a <th> first row emit all rows as data under positional
+    `col{i}` names with has_header=False. row_idx counts DATA rows
+    only (0-based), so downstream relational consumers never see the
+    header as a tuple."""
+    p = _TableParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    out = []
+    for idx, rows, flags in sorted(p.tables, key=lambda t: t[0]):
+        ncols = max(len(r) for r in rows)
+        grid = [r + [""] * (ncols - len(r)) for r in rows]
+        has_header = bool(flags[0])
+        if has_header:
+            header = [
+                grid[0][c] if grid[0][c] else f"col{c}"
+                for c in range(ncols)
+            ]
+            data = grid[1:]
+        else:
+            header = [f"col{c}" for c in range(ncols)]
+            data = grid
+        for r, row in enumerate(data):
+            for c in range(ncols):
+                out.append((idx, r, c, header[c], row[c], has_header))
     return out

@@ -276,6 +276,121 @@ def extract_tables_markdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_markdown_table(_tabled_pages(spark, sf_dir))
 
 
+# ---- WebTables-style relational extraction ---------------------------------
+
+
+TABLE_REL_SCHEMA = (
+    "doc_id long, table_idx int, row_idx int, col_idx int, "
+    "col_name string, value string, has_header boolean"
+)
+
+
+def table_relational(pages: DataFrame) -> DataFrame:
+    """(doc_id, table_idx, row_idx, col_idx, col_name, value,
+    has_header) — every data cell of every <table> as a relational
+    tuple (kernels/tables.py:extract_tables_relational semantics:
+    <th>-first-row header detection, positional col{i} fallback).
+    This is the WDC Web Tables corpus shape — the table-QA /
+    table-to-text training-data feed. One narrow mapInPandas stage."""
+
+    def run(batches):
+        import pandas as pd
+
+        from readur_spark.kernels.tables import extract_tables_relational
+
+        cols = ["doc_id", "table_idx", "row_idx", "col_idx", "col_name",
+                "value", "has_header"]
+        for pdf in batches:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                blob = bytes(html) if html is not None else b""
+                for t, r, c, name, val, hdr in extract_tables_relational(
+                    blob.decode("utf-8", "replace")
+                ):
+                    rows.append(
+                        {"doc_id": doc_id, "table_idx": t, "row_idx": r,
+                         "col_idx": c, "col_name": name, "value": val,
+                         "has_header": hdr}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("doc_id", "html").mapInPandas(
+        run, schema=TABLE_REL_SCHEMA
+    )
+
+
+# constructed grid corpus: per doc, 1 + (doc_id % 2) tables; table t has
+# 2 + ((doc_id+t) % 2) cols and 1 + ((doc_id+t) % 3) data rows; even
+# (doc_id+t) gets a <th> header row (names h{t}_{c}), odd gets none
+# (positional col{c} names). Both engines replay the rule exactly.
+_REL_HTML_EXPR = """
+concat('<html><body>',
+  array_join(transform(sequence(0L, doc_id % 2), t ->
+    concat('<table>',
+      if((doc_id + t) % 2 = 0,
+         concat('<tr>',
+           array_join(transform(sequence(0L, 1 + (doc_id + t) % 2), c ->
+             concat('<th>h', cast(t as string), '_', cast(c as string),
+                    '</th>')), ''),
+           '</tr>'),
+         ''),
+      array_join(transform(sequence(0L, (doc_id + t) % 3), r ->
+        concat('<tr>',
+          array_join(transform(sequence(0L, 1 + (doc_id + t) % 2), c ->
+            concat('<td>v', cast(doc_id as string), '_',
+                   cast(t as string), '_', cast(r as string), '_',
+                   cast(c as string), '</td>')), ''),
+          '</tr>')), ''),
+      '</table>')), ''),
+  '</body></html>')
+"""
+
+
+def _relational_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readur_spark.queries.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode(F.expr(_REL_HTML_EXPR), "utf-8").cast("binary").alias(
+            "html"
+        ),
+    )
+
+
+@register(
+    "table_relational_constructed",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(t.t AS INT) AS table_idx,
+           CAST(r.r AS INT) AS row_idx,
+           CAST(c.c AS INT) AS col_idx,
+           CASE WHEN (d.doc_id + t.t) % 2 = 0
+                THEN 'h' || t.t || '_' || c.c
+                ELSE 'col' || c.c END AS col_name,
+           'v' || d.doc_id || '_' || t.t || '_' || r.r || '_' || c.c
+             AS value,
+           (d.doc_id + t.t) % 2 = 0 AS has_header
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range(0, 2)) AS t) t
+    CROSS JOIN (SELECT unnest(range(0, 3)) AS r) r
+    CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c
+    WHERE t.t <= d.doc_id % 2
+      AND r.r <= (d.doc_id + t.t) % 3
+      AND c.c <= 1 + (d.doc_id + t.t) % 2
+    """,
+)
+def table_relational_constructed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WebTables relational extraction value-hash-checked end-to-end:
+    the REAL parser (th tracking, header election, ragged padding)
+    walks constructed variable-shape tables and the oracle re-derives
+    every expected (table, row, col, name, value) tuple from the
+    construction rule — header and headerless shapes both present."""
+    return table_relational(_relational_pages(spark, sf_dir))
+
+
 # ---- full-page markdown rendering -------------------------------------------
 
 

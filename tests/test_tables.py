@@ -61,3 +61,47 @@ class TestTableKernel:
         h = "<table><tr><td>a &amp; b &lt;c&gt;</td></tr></table>"
         (_, md, _, _), = x(h)
         assert md == "| a & b <c> |\n| --- |"
+
+
+class TestRelational:
+    def test_header_election_and_tuples(self):
+        from readur_spark.kernels.tables import extract_tables_relational
+
+        html = ("<table><tr><th>name</th><th>age</th></tr>"
+                "<tr><td>ada</td><td>36</td></tr>"
+                "<tr><td>alan</td><td>41</td></tr></table>")
+        got = extract_tables_relational(html)
+        assert got == [
+            (0, 0, 0, "name", "ada", True),
+            (0, 0, 1, "age", "36", True),
+            (0, 1, 0, "name", "alan", True),
+            (0, 1, 1, "age", "41", True),
+        ]
+
+    def test_headerless_positional_names(self):
+        from readur_spark.kernels.tables import extract_tables_relational
+
+        html = ("<table><tr><td>a</td><td>b</td></tr>"
+                "<tr><td>c</td><td>d</td></tr></table>")
+        got = extract_tables_relational(html)
+        assert got[0] == (0, 0, 0, "col0", "a", False)
+        assert len(got) == 4 and all(not g[5] for g in got)
+
+    def test_ragged_padding_and_empty_header_fallback(self):
+        from readur_spark.kernels.tables import extract_tables_relational
+
+        # header covers 2 cols but a data row has 3 → col2 falls back
+        html = ("<table><tr><th>x</th><th></th></tr>"
+                "<tr><td>1</td><td>2</td><td>3</td></tr></table>")
+        got = extract_tables_relational(html)
+        names = [g[3] for g in got]
+        assert names == ["x", "col1", "col2"]  # empty th → positional
+        assert [g[4] for g in got] == ["1", "2", "3"]
+
+    def test_markdown_path_unchanged_by_th_tracking(self):
+        from readur_spark.kernels.tables import extract_tables_markdown
+
+        html = ("<table><tr><th>k</th></tr><tr><td>v</td></tr></table>")
+        [(idx, md, nr, nc)] = extract_tables_markdown(html)
+        assert (idx, nr, nc) == (0, 2, 1)
+        assert md.splitlines()[0] == "| k |"
