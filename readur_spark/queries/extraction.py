@@ -391,6 +391,183 @@ def table_relational_constructed(
     return table_relational(_relational_pages(spark, sf_dir))
 
 
+# ---- WebTables column-type inference ---------------------------------------
+
+
+# the WDC typing tier: classify each cell, majority-vote the column.
+# Regexes are anchored and engine-portable (RE2 ⊂ Java): integers,
+# decimals, ISO dates — everything else is a string.
+_INT_RE = "^-?[0-9]+$"
+_DEC_RE = "^-?[0-9]+\\.[0-9]+$"
+_DATE_RE = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+
+
+def column_types(cells: DataFrame) -> DataFrame:
+    """(doc_id, table_idx, col_idx, col_name, n_cells, inferred_type,
+    type_share_pct) — per-column majority type over the relational
+    cell tuples. Cell typing: int / decimal / date / string (empty
+    cells don't vote). Majority = max count, ties broken by the fixed
+    precedence int < decimal < date < string (alphabetical on the
+    label, replayed identically in SQL). type_share_pct is the
+    winner's integer share of voting cells.
+
+    Scale: one projection to type each cell, two slim map-side
+    -combinable aggregations — the (table, col, type) frame is
+    corpus-metadata sized."""
+    typed = cells.withColumn(
+        "cell_type",
+        F.when(F.col("value") == "", None)
+        .when(F.col("value").rlike(_INT_RE), "int")
+        .when(F.col("value").rlike(_DEC_RE), "decimal")
+        .when(F.col("value").rlike(_DATE_RE), "date")
+        .otherwise("string"),
+    )
+    keys = ["doc_id", "table_idx", "col_idx", "col_name"]
+    votes = (
+        typed.filter(F.col("cell_type").isNotNull())
+        .groupBy(*keys, "cell_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # majority with deterministic tie-break: max(struct(n, -prec)) is
+    # replayed in SQL as ORDER BY n DESC, cell_type ASC LIMIT 1 per
+    # group — here via a single max(struct) aggregation (no window).
+    # prec = alphabetical rank of the label, negated so max() takes
+    # the alphabetically FIRST label among tied counts.
+    prec = ("case cell_type when 'date' then 0 when 'decimal' then 1 "
+            "when 'int' then 2 else 3 end")
+    pick = votes.groupBy(*keys).agg(
+        F.sum("n").cast("long").alias("n_cells"),
+        F.max(
+            F.struct(
+                F.col("n"),
+                F.expr(f"-({prec})").alias("neg_prec"),
+                F.col("cell_type"),
+            )
+        ).alias("w"),
+    )
+    return pick.select(
+        *keys,
+        "n_cells",
+        F.col("w.cell_type").alias("inferred_type"),
+        F.expr("cast((100L * w.n) div n_cells as bigint)").alias(
+            "type_share_pct"
+        ),
+    )
+
+
+@register(
+    "table_column_types",
+    oracle="""
+    WITH cells AS (
+      SELECT d.doc_id,
+             CAST(t.t AS INT) AS table_idx,
+             CAST(c.c AS INT) AS col_idx,
+             CASE WHEN (d.doc_id + t.t) % 2 = 0
+                  THEN 'h' || t.t || '_' || c.c
+                  ELSE 'col' || c.c END AS col_name,
+             CASE WHEN (d.doc_id + r.r + c.c) % 4 = 0
+                  THEN CAST((d.doc_id * 7 + r.r) % 1000 AS VARCHAR)
+                  WHEN (d.doc_id + r.r + c.c) % 4 = 1
+                  THEN CAST((d.doc_id % 100) AS VARCHAR) || '.' ||
+                       CAST(r.r AS VARCHAR)
+                  WHEN (d.doc_id + r.r + c.c) % 4 = 2
+                  THEN '20' || lpad(CAST(d.doc_id % 25 AS VARCHAR), 2, '0')
+                       || '-0' || CAST(1 + r.r % 9 AS VARCHAR) || '-1'
+                       || CAST(c.c AS VARCHAR)
+                  ELSE 'w' || c.c END AS value
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range(0, 2)) AS t) t
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS r) r
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c
+      WHERE t.t <= d.doc_id % 2
+        AND r.r <= (d.doc_id + t.t) % 3
+        AND c.c <= 1 + (d.doc_id + t.t) % 2
+    ), typed AS (
+      SELECT doc_id, table_idx, col_idx, col_name,
+             CASE WHEN regexp_matches(value, '^-?[0-9]+$') THEN 'int'
+                  WHEN regexp_matches(value, '^-?[0-9]+\.[0-9]+$')
+                    THEN 'decimal'
+                  WHEN regexp_matches(value,
+                    '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 'date'
+                  ELSE 'string' END AS cell_type
+      FROM cells WHERE value <> ''
+    ), votes AS (
+      SELECT doc_id, table_idx, col_idx, col_name, cell_type,
+             count(*) AS n
+      FROM typed GROUP BY ALL
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY doc_id, table_idx, col_idx, col_name
+               ORDER BY n DESC, cell_type ASC) AS rk,
+             sum(n) OVER (
+               PARTITION BY doc_id, table_idx, col_idx, col_name)
+               AS n_cells
+      FROM votes
+    )
+    SELECT doc_id, table_idx, col_idx, col_name,
+           CAST(n_cells AS BIGINT) AS n_cells,
+           cell_type AS inferred_type,
+           CAST((100 * n) // n_cells AS BIGINT) AS type_share_pct
+    FROM ranked WHERE rk = 1
+    """,
+)
+def table_column_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-type inference over a typed constructed grid — cells
+    rotate through int / decimal / date / word by a modulus rule both
+    engines replay; the Spark side runs the REAL parser + typing +
+    max(struct) majority vote, the oracle re-derives the cells from
+    the rule and votes via a window. Exercises majority, ties, and
+    the share arithmetic."""
+    pages = _typed_relational_pages(spark, sf_dir)
+    return column_types(table_relational(pages))
+
+
+def _typed_relational_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same grid shapes as `_relational_pages`, but cell values rotate
+    through the four type families by (doc_id + r + c) % 4."""
+    from readur_spark.queries.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    value = """
+      case
+        when (doc_id + r + c) % 4 = 0
+          then cast((doc_id * 7 + r) % 1000 as string)
+        when (doc_id + r + c) % 4 = 1
+          then concat(cast(doc_id % 100 as string), '.',
+                      cast(r as string))
+        when (doc_id + r + c) % 4 = 2
+          then concat('20', lpad(cast(doc_id % 25 as string), 2, '0'),
+                      '-0', cast(1 + r % 9 as string), '-1',
+                      cast(c as string))
+        else concat('w', cast(c as string))
+      end
+    """
+    html = f"""
+    concat('<html><body>',
+      array_join(transform(sequence(0L, doc_id % 2), t ->
+        concat('<table>',
+          if((doc_id + t) % 2 = 0,
+             concat('<tr>',
+               array_join(transform(sequence(0L, 1 + (doc_id + t) % 2),
+                 c -> concat('<th>h', cast(t as string), '_',
+                             cast(c as string), '</th>')), ''),
+               '</tr>'),
+             ''),
+          array_join(transform(sequence(0L, (doc_id + t) % 3), r ->
+            concat('<tr>',
+              array_join(transform(sequence(0L, 1 + (doc_id + t) % 2),
+                c -> concat('<td>', {value}, '</td>')), ''),
+              '</tr>')), ''),
+          '</table>')), ''),
+      '</body></html>')
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.expr(html), "utf-8").cast("binary").alias("html"),
+    )
+
+
 # ---- full-page markdown rendering -------------------------------------------
 
 

@@ -105,3 +105,31 @@ class TestRelational:
         [(idx, md, nr, nc)] = extract_tables_markdown(html)
         assert (idx, nr, nc) == (0, 2, 1)
         assert md.splitlines()[0] == "| k |"
+
+
+class TestColumnTypes:
+    def test_majority_and_tiebreak(self, spark):
+        from readur_spark.queries.extraction import column_types
+
+        rows = [
+            # col 0: 2 ints + 1 string -> int, 66%
+            (1, 0, 0, 0, "c0", "12", False),
+            (1, 0, 1, 0, "c0", "-7", False),
+            (1, 0, 2, 0, "c0", "abc", False),
+            # col 1: 1 date + 1 decimal (tie) -> alphabetically first =
+            # 'date', 50%
+            (1, 0, 0, 1, "c1", "2024-01-02", False),
+            (1, 0, 1, 1, "c1", "3.14", False),
+            # col 2: empty cells don't vote
+            (1, 0, 0, 2, "c2", "", False),
+            (1, 0, 1, 2, "c2", "x", False),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, table_idx int, row_idx int, col_idx int, "
+            "col_name string, value string, has_header boolean",
+        )
+        got = {r["col_idx"]: r for r in column_types(df).collect()}
+        assert (got[0]["inferred_type"], got[0]["type_share_pct"]) == ("int", 66)
+        assert (got[1]["inferred_type"], got[1]["type_share_pct"]) == ("date", 50)
+        assert (got[2]["inferred_type"], got[2]["n_cells"]) == ("string", 1)
