@@ -455,6 +455,7 @@ def _load_all() -> None:
     from readur_spark.ml import secrets as ml_secrets  # noqa: F401
     from readur_spark.ml import snm as ml_snm  # noqa: F401
     from readur_spark.ml import contrastive as ml_contrastive  # noqa: F401
+    from readur_spark.ml import denoise as ml_denoise  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
