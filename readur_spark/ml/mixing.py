@@ -29,7 +29,7 @@ both sides of the oracle compute the identical double.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from readur_spark.queries.registry import register
@@ -786,3 +786,176 @@ def mixture_alpha_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction), floors, remainders, and the leftover election all
     replayed in DuckDB."""
     return plan_alpha_mixture(load(spark, sf_dir, "documents"))
+
+
+# ---- UniMax language sampling (r5s11) --------------------------------------
+
+UNIMAX_EPOCH_CAP = 3          # per-language epoch ceiling E
+UNIMAX_BUDGET_DIV = 2         # demo budget B = total tokens div 2
+
+
+def plan_unimax(
+    df: DataFrame,
+    *,
+    budget: Column | None = None,
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+) -> DataFrame:
+    """UniMax language-sampling quotas (Chung et al. 2023): distribute
+    a token budget UNIFORMLY over languages, capping each language at
+    `epoch_cap` epochs of its corpus — the fairness-first alternative
+    to temperature/alpha tilting that never over-repeats a low-
+    resource language.
+
+    Exact-integer closed form of the paper's iterative waterfill:
+    sort languages by capacity cap_l = n_tokens·E ascending; language
+    i (1-based, L langs) is CAPPED iff every j ≤ i satisfies
+    cap_j ≤ (B − prefix_cap(j−1)) div (L − j + 1) (the fair share at
+    its turn); the first uncapped language freezes the share tier:
+    share = (B − prefix_cap(k)) div (L − k) with the Hamilton
+    remainder (+1 to the first `rem` uncapped languages in sort
+    order). Σ alloc == min(B, Σ cap) exactly.
+
+    Scale: ONE grouped corpus pass for token counts; everything after
+    runs on the |langs|-row frame (two windows, no payload).
+    """
+    counts = (
+        df.select(
+            "lang",
+            F.size(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+            ).cast("long").alias("t"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("t").alias("n_tokens"))
+    )
+    total = counts.agg(
+        F.sum("n_tokens").alias("tot"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    b = (
+        budget
+        if budget is not None
+        else F.expr(f"tot div {UNIMAX_BUDGET_DIV}")
+    )
+    base = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens") * epoch_cap).alias("cap"),
+        b.cast("long").alias("budget"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+    )
+    w = Window.orderBy("cap", "lang")
+    ranked = base.select(
+        "*",
+        F.row_number().over(w).alias("i"),
+        (F.sum("cap").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ) - F.col("cap")).alias("pref"),
+    )
+    # capped iff fair share at its turn still exceeds its cap, AND all
+    # cheaper languages are capped (monotone: the predicate itself is
+    # monotone in i because caps are sorted — a min-prefix window
+    # makes the cut explicit and exactly SQL-replayable)
+    flagged = ranked.withColumn(
+        "is_capped_here",
+        F.expr("cap <= (budget - pref) div (n_langs - i + 1)"),
+    ).withColumn(
+        "capped",
+        F.min(F.when(F.col("is_capped_here"), 1).otherwise(0)).over(
+            Window.orderBy("cap", "lang").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        == 1,
+    )
+    agg_capped = flagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)
+        ).alias("cap_sum"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("k"),
+    )
+    out = flagged.crossJoin(F.broadcast(agg_capped)).select(
+        "lang",
+        "n_tokens",
+        "cap",
+        "capped",
+        "i",
+        "k",
+        F.col("budget"),
+        F.expr(
+            "if(n_langs = k, 0L, (budget - cap_sum) div (n_langs - k))"
+        ).alias("share"),
+        F.expr(
+            "if(n_langs = k, 0L, (budget - cap_sum) % (n_langs - k))"
+        ).alias("rem"),
+    )
+    return out.select(
+        "lang",
+        "n_tokens",
+        "cap",
+        "capped",
+        F.expr(
+            "if(capped, cap, share + if(i - k <= rem, 1L, 0L))"
+        ).alias("alloc"),
+    ).withColumn(
+        "epochs_milli", F.expr("(1000L * alloc) div n_tokens")
+    )
+
+
+_UNIMAX_ORACLE = f"""
+WITH counts AS (
+  SELECT lang,
+         CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         count(*) AS n_langs
+  FROM counts
+), base AS (
+  SELECT lang, n_tokens, n_tokens * {UNIMAX_EPOCH_CAP} AS cap,
+         tot // {UNIMAX_BUDGET_DIV} AS budget, n_langs
+  FROM counts CROSS JOIN tot
+), ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY cap, lang) AS i,
+         CAST(coalesce(sum(cap) OVER (ORDER BY cap, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS pref
+  FROM base
+), flagged AS (
+  SELECT *,
+         min(CASE WHEN cap <= (budget - pref) // (n_langs - i + 1)
+                  THEN 1 ELSE 0 END)
+           OVER (ORDER BY cap, lang ROWS UNBOUNDED PRECEDING) = 1
+           AS capped
+  FROM ranked
+), kk AS (
+  SELECT CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0) AS BIGINT)
+           AS cap_sum,
+         CAST(coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS k
+  FROM flagged
+)
+SELECT lang, n_tokens, CAST(cap AS BIGINT) AS cap, capped,
+       CAST(CASE WHEN capped THEN cap
+            ELSE (budget - cap_sum) // (n_langs - k)
+                 + CASE WHEN i - k <= (budget - cap_sum) % (n_langs - k)
+                        THEN 1 ELSE 0 END END AS BIGINT) AS alloc,
+       CAST((1000 * CASE WHEN capped THEN cap
+            ELSE (budget - cap_sum) // (n_langs - k)
+                 + CASE WHEN i - k <= (budget - cap_sum) % (n_langs - k)
+                        THEN 1 ELSE 0 END END) // n_tokens AS BIGINT)
+         AS epochs_milli
+FROM flagged CROSS JOIN kk
+"""
+
+
+@register("mixture_unimax_plan", oracle=_UNIMAX_ORACLE)
+def mixture_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax quotas over the real corpus lang column, value-hashed:
+    DuckDB replays the token rollup, the sorted waterfill cut, the
+    share tier, and the Hamilton remainder."""
+    return plan_unimax(load(spark, sf_dir, "documents"))
