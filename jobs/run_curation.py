@@ -21,11 +21,15 @@ end-to-end:
     → C4/Gopher document gates (ml/webfilters.web_filter_signals)
     → exact dedup winners (first url per sha256)
     → optional PII redaction (ml/webfilters.redact_pii)
+    → [--secrets-gate] drop documents with flagged high-entropy
+      credentials (ml/secrets)
     → deterministic train/valid/test hash split
     → [--leakage-audit] train→eval 4-gram leakage report in the
       summary JSON (ml/leakage)
     → [--doremi-report DIR] DoReMi domain-quota table over the curated
       corpus (ml/doremi)
+    → [--unimax-report DIR] UniMax per-language token quotas over the
+      curated corpus (ml/mixing.plan_unimax; needs --lang-col)
     → partitioned, size-bounded shard write (operators/sinks)
 
 and prints one JSON summary line (per-split yields) — the same report
@@ -121,6 +125,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--doremi-budget", type=int, default=1_000_000,
                    help="token budget the --doremi-report quotas sum "
                         "to exactly")
+    p.add_argument("--secrets-gate", action="store_true",
+                   help="drop documents whose detect-secrets-style "
+                        "entropy scan flags a credential candidate "
+                        "(ml/secrets) — the pre-training scrub gate")
+    p.add_argument("--unimax-report", default=None, metavar="DIR",
+                   help="write the UniMax per-language token-quota "
+                        "table (ml/mixing.plan_unimax) over the "
+                        "curated corpus to DIR as parquet")
+    p.add_argument("--unimax-budget", type=int, default=None,
+                   help="token budget for --unimax-report (default: "
+                        "half the curated corpus's tokens)")
+    p.add_argument("--lang-col", default="lang",
+                   help="language column for --unimax-report (must "
+                        "exist on the input; extraction emits it "
+                        "when the source table carries lang)")
     p.add_argument("--leakage-audit", action="store_true",
                    help="append a per-split train→eval 4-gram leakage "
                         "report (ml/leakage.py) to the summary JSON — "
@@ -389,6 +408,20 @@ def main(argv: list[str] | None = None) -> int:
     out = deduped
     if args.redact_pii:
         out = out.withColumn("text", redact_pii(F.col("text")))
+    n_secret_docs = None
+    if args.secrets_gate:
+        # drop docs with ≥1 flagged high-entropy candidate: the scan
+        # emits a slim (url, n_flagged) frame; the gate is a left-anti
+        # join on it — the payload is never shuffled
+        from readur_spark.ml.secrets import secrets_report
+
+        flagged_docs = (
+            secrets_report(out, text_col="text", id_col="url")
+            .filter(F.col("n_flagged") > 0)
+            .select("url")
+        )
+        n_secret_docs = flagged_docs.count()
+        out = out.join(flagged_docs, "url", "left_anti")
 
     # 4. deterministic split
     split = with_hash_split(out, "url").select(
@@ -472,6 +505,36 @@ def main(argv: list[str] | None = None) -> int:
             plan = doremi_plan(shaped, budget=args.doremi_budget)
             plan.write.mode("overwrite").parquet(args.doremi_report)
             doremi_domains = plan.count()
+        unimax_langs = None
+        if args.unimax_report:
+            if args.lang_col not in split.columns and \
+                    args.lang_col not in docs.columns:
+                print(json.dumps({
+                    "status": "error",
+                    "error": "--unimax-report needs a '%s' column on "
+                             "the input (see --lang-col)" % args.lang_col,
+                }))
+                return 2
+            from pyspark.sql import functions as _F
+
+            from readur_spark.ml.mixing import plan_unimax
+
+            if args.lang_col in split.columns:
+                shaped = split.select(
+                    _F.col(args.lang_col).alias("lang"), "text")
+            else:
+                # lang lives on the raw input: re-join it by url
+                shaped = split.join(
+                    docs.select("url", _F.col(args.lang_col).alias("lang")),
+                    "url",
+                ).select("lang", "text")
+            budget = (
+                _F.lit(args.unimax_budget).cast("long")
+                if args.unimax_budget is not None else None
+            )
+            uplan = plan_unimax(shaped, budget=budget)
+            uplan.write.mode("overwrite").parquet(args.unimax_report)
+            unimax_langs = uplan.count()
         write_training_shards(
             split, args.output,
             partition_cols=["split"], id_col="url",
@@ -496,6 +559,11 @@ def main(argv: list[str] | None = None) -> int:
         if doremi_domains is not None:
             summary["doremi_report"] = args.doremi_report
             summary["doremi_domains"] = doremi_domains
+        if n_secret_docs is not None:
+            summary["secrets_dropped"] = n_secret_docs
+        if unimax_langs is not None:
+            summary["unimax_report"] = args.unimax_report
+            summary["unimax_langs"] = unimax_langs
         print(json.dumps(summary))
         return 0
     finally:

@@ -824,3 +824,49 @@ def test_curation_doremi_and_leakage_flags(tmp_path, pages_parquet):
     cols = set(tbl.column_names)
     assert {"domain", "loss_cbits", "excess_cbits", "score",
             "quota"} <= cols
+
+
+def test_curation_secrets_gate_and_unimax_report(tmp_path):
+    """--secrets-gate drops the doc carrying a flagged hex digest;
+    --unimax-report writes the per-language quota table (lang re-
+    joined from the raw input by url)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    secret = "0123456789abcdef0123456789abcdef"
+    texts, langs = [], []
+    for i in range(8):
+        t = _gate_passing_text(i)
+        if i == 3:
+            t = t + " key " + secret
+        texts.append(t)
+        langs.append("en" if i % 2 == 0 else "fr")
+    inp = str(tmp_path / "sin.parquet")
+    pq.write_table(
+        pa.table({
+            "url": [f"https://h{i}.example/d{i}.txt" for i in range(8)],
+            "extracted_text": texts,
+            "lang": langs,
+        }),
+        inp,
+    )
+    shards = str(tmp_path / "sshards")
+    report = str(tmp_path / "unimax")
+    summary = _curate_plain(
+        inp, shards,
+        ["--min-words", "5", "--secrets-gate",
+         "--unimax-report", report, "--unimax-budget", "200"],
+    )
+    assert summary["status"] == "written"
+    assert summary["secrets_dropped"] == 1
+    assert summary["unimax_langs"] == 2
+    total = sum(v["n_docs"] for v in summary["yields"].values())
+    assert total == 7  # 8 in, 1 dropped by the secrets gate
+    import duckdb
+
+    plan = duckdb.sql(
+        f"select lang, alloc from read_parquet('{report}/*.parquet') "
+        "order by lang"
+    ).fetchall()
+    assert [p[0] for p in plan] == ["en", "fr"]
+    assert sum(p[1] for p in plan) == 200  # budget conserved
