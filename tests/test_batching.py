@@ -9,19 +9,21 @@ def _docs(spark, rows):
 
 class TestPaddingReport:
     def test_bimodal_bucketing_wins(self, spark):
-        # 64 short (8 tokens) + 64 long (512 tokens): naive mixes them
-        # into batches padded to ~512; bucketing separates the modes
-        rows = [(i, " ".join(["s"] * 8)) for i in range(64)] + [
-            (64 + i, " ".join(["l"] * 512)) for i in range(64)
+        # 256 short (8 tokens) + 256 long (512 tokens): naive mixes
+        # them into batches padded to ~512; bucketing separates the
+        # modes (only the one boundary batch per shard still mixes)
+        rows = [(i, " ".join(["s"] * 8)) for i in range(256)] + [
+            (256 + i, " ".join(["l"] * 512)) for i in range(256)
         ]
         got = {r["strategy"]: r for r in padding_report(_docs(spark, rows)).collect()}
         n, b = got["naive"], got["bucketed"]
         # same docs, same token mass
-        assert n["total_tokens"] == b["total_tokens"] == 64 * 8 + 64 * 512
+        assert n["total_tokens"] == b["total_tokens"] == 256 * 8 + 256 * 512
         assert n["padded_tokens"] >= n["total_tokens"]
-        assert b["waste_permille"] < n["waste_permille"]
-        # bucketed batches are nearly homogeneous → tiny waste
-        assert b["waste_permille"] < 100
+        # naive pads ~every batch to 512: waste ≈ (512-260)/512 ≈ 490‰
+        assert n["waste_permille"] > 300
+        # bucketed: ≤1 mixed boundary batch per shard → waste ≪ naive
+        assert b["waste_permille"] < n["waste_permille"] - 200
 
     def test_uniform_lengths_no_waste(self, spark):
         rows = [(i, " ".join(["w"] * 16)) for i in range(4 * BATCH_SIZE)]
