@@ -248,3 +248,162 @@ def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "key_a", "key_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+# ---- video keyframe selection (r5s11) --------------------------------------
+#
+# Scene-cut keyframing — the standard video-corpus decimation step
+# (one representative frame per shot feeds the image-text tier instead
+# of every frame): consecutive-frame dHash Hamming distance spikes at
+# a cut and stays near 0 inside a shot. Constructed ground truth: each
+# document is a VIDEO of F = 6 + doc_id % 3 frames; frame k belongs to
+# scene k div 3; a scene's 9×8 image is md5(video#scene#r#c) per cell
+# (a fresh random image per scene → cross-cut Hamming ≈ 32), and
+# within a scene frame k jitters cell (0,0) by +16·(k mod 3) — that
+# cell feeds exactly ONE comparison bit, so within-shot Hamming ≤ 1.
+# Keyframe rule: frame 0, or Hamming to the previous frame ≥ KF_T.
+
+KF_T = 10          # cut threshold (within-shot ≤1, cross-shot ≈32)
+KF_SCENE_LEN = 3   # frames per scene in the construction
+
+
+def _kf_px(video: int, scene: int, k: int, r: int, c: int) -> int:
+    import hashlib
+
+    v = int(
+        hashlib.md5(f"{video}#{scene}#{r}#{c}".encode()).hexdigest()[:2], 16
+    )
+    if (r, c) == (0, 0):
+        v = (v + 16 * (k % KF_SCENE_LEN)) % 256
+    return v
+
+
+def constructed_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(video_id, frame_idx, html) — real 9×8 grayscale PNGs under the
+    scene/jitter rule above, one row per frame."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from readur_spark.kernels.image import encode_png_gray
+
+        for pdf in batches:
+            vids: list[int] = []
+            ks: list[int] = []
+            blobs: list[bytes] = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                for k in range(6 + did % 3):
+                    scene = k // KF_SCENE_LEN
+                    img = np.array(
+                        [
+                            [_kf_px(did, scene, k, r, c)
+                             for c in range(DHASH_COLS)]
+                            for r in range(DHASH_ROWS)
+                        ],
+                        dtype=np.uint8,
+                    )
+                    vids.append(did)
+                    ks.append(k)
+                    blobs.append(encode_png_gray(img))
+            yield pd.DataFrame(
+                {"video_id": vids, "frame_idx": ks, "html": blobs}
+            )
+
+    return docs.mapInPandas(
+        run, schema="video_id long, frame_idx int, html binary"
+    )
+
+
+def keyframe_select(frames_sig: DataFrame) -> DataFrame:
+    """(video_id, frame_idx, hamming_prev, is_keyframe) from a
+    (video_id, frame_idx, dhash) signature frame: one window lag per
+    video, xor + bit_count, threshold at KF_T (frame 0 always keeps).
+    Scale: the signature frame is 8 bytes/frame; the lag is a
+    per-video sort of that slim frame — the decoded pixels never
+    shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    lagged = frames_sig.withColumn("prev", F.lag("dhash").over(w))
+    return lagged.select(
+        "video_id",
+        "frame_idx",
+        F.expr("cast(bit_count(dhash ^ prev) as int)").alias(
+            "hamming_prev"
+        ),
+        F.expr(
+            f"prev is null or bit_count(dhash ^ prev) >= {KF_T}"
+        ).alias("is_keyframe"),
+    )
+
+
+_KF_PX_SQL = """(
+  CAST(concat('0x', substr(md5(
+        CAST(doc_id AS VARCHAR) || '#' ||
+        CAST(k // 3 AS VARCHAR) || '#' ||
+        CAST({r} AS VARCHAR) || '#' || CAST({c} AS VARCHAR)), 1, 2))
+     AS INT)
+  + CASE WHEN {r} = 0 AND {c} = 0 THEN 16 * (k % 3) ELSE 0 END
+) % 256"""
+
+_KF_DHASH_SQL = f"""
+      SELECT doc_id AS video_id, CAST(k AS INT) AS frame_idx,
+             CAST((
+               SELECT sum(CASE WHEN {_KF_PX_SQL.format(r='r.r', c='c.c')}
+                               < {_KF_PX_SQL.format(r='r.r', c='(c.c + 1)')}
+                               THEN CASE WHEN r.r*8 + c.c >= 63
+                                    THEN -9223372036854775808
+                                    ELSE (1::BIGINT << (r.r*8 + c.c)) END
+                               ELSE 0 END)
+               FROM UNNEST(range(0, 8)) AS r(r),
+                    UNNEST(range(0, 8)) AS c(c)
+             ) AS BIGINT) AS dhash
+      FROM (SELECT doc_id, unnest(range(6 + doc_id % 3)) AS k
+            FROM documents)
+"""
+
+
+@register(
+    "video_keyframe_select",
+    oracle=f"""
+    WITH h AS ({_KF_DHASH_SQL}), lagged AS (
+      SELECT video_id, frame_idx, dhash,
+             lag(dhash) OVER (PARTITION BY video_id ORDER BY frame_idx)
+               AS prev
+      FROM h
+    )
+    SELECT video_id, frame_idx,
+           CAST(bit_count(xor(dhash, prev)) AS INT) AS hamming_prev,
+           (prev IS NULL OR bit_count(xor(dhash, prev)) >= {KF_T})
+             AS is_keyframe
+    FROM lagged
+    """,
+)
+def video_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut keyframe selection value-hash-checked end-to-end: real
+    PNG encode → decode → dHash per frame, then the lag/threshold
+    sweep — with the DuckDB twin re-deriving every frame's 64 bits
+    from the construction rule and replaying the lag and the cut
+    threshold."""
+    frames = constructed_video_frames(spark, sf_dir)
+    # dhash_table types its key as string: feed it a video/frame
+    # composite key and split it back after the Arrow pass
+    return keyframe_select(
+        dhash_table(
+            frames.withColumn(
+                "vf",
+                F.concat_ws(
+                    "/",
+                    F.col("video_id").cast("string"),
+                    F.col("frame_idx").cast("string"),
+                ),
+            ),
+            key_col="vf",
+            payload_col="html",
+        )
+        .select(
+            F.split(F.col("vf"), "/")[0].cast("long").alias("video_id"),
+            F.split(F.col("vf"), "/")[1].cast("int").alias("frame_idx"),
+            "dhash",
+        )
+    )

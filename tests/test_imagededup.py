@@ -124,3 +124,55 @@ class TestSparkPaths:
         }
         assert got == brute
         assert ("u/base.png", "u/shift.png", 0) in got
+
+
+class TestKeyframes:
+    def test_lag_threshold_semantics(self, spark):
+        from readur_spark.ml.imagededup import keyframe_select
+
+        # video 1: frame 1 differs from 0 by 2 bits (shot-internal),
+        # frame 2 by 33 bits (cut). video 2: single frame.
+        rows = [
+            (1, 0, 0b111),
+            (1, 1, 0b101),                 # hamming 1
+            (1, 2, (1 << 33) - 1),         # hamming vs prev ≥ KF_T
+            (2, 0, 42),
+        ]
+        df = spark.createDataFrame(
+            rows, "video_id long, frame_idx int, dhash long"
+        )
+        got = {(r["video_id"], r["frame_idx"]): r
+               for r in keyframe_select(df).collect()}
+        assert got[(1, 0)]["is_keyframe"] and got[(1, 0)]["hamming_prev"] is None
+        assert not got[(1, 1)]["is_keyframe"]
+        assert got[(1, 1)]["hamming_prev"] == 1
+        assert got[(1, 2)]["is_keyframe"]
+        assert got[(2, 0)]["is_keyframe"]
+
+    def test_constructed_keyframes_are_scene_starts(self, spark):
+        from readur_spark.ml.imagededup import (
+            KF_SCENE_LEN,
+            constructed_video_frames,
+            dhash_table,
+            keyframe_select,
+        )
+        from pyspark.sql import functions as F
+
+        frames = constructed_video_frames(
+            spark, "/root/testdata/sf0.001"
+        ).filter(F.col("video_id") < 12)
+        sig = dhash_table(
+            frames.withColumn(
+                "vf",
+                F.concat_ws("/", F.col("video_id").cast("string"),
+                            F.col("frame_idx").cast("string")),
+            ),
+            key_col="vf", payload_col="html",
+        ).select(
+            F.split("vf", "/")[0].cast("long").alias("video_id"),
+            F.split("vf", "/")[1].cast("int").alias("frame_idx"),
+            "dhash",
+        )
+        out = keyframe_select(sig).collect()
+        for r in out:
+            assert r["is_keyframe"] == (r["frame_idx"] % KF_SCENE_LEN == 0)
