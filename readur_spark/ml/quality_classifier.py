@@ -532,3 +532,77 @@ def quality_threshold_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(covered).cast("long").alias("threshold_ccllr"),
         F.min(kept).cast("long").alias("n_kept"),
     )
+
+
+# ---- reliability table (score calibration, r5s11) --------------------------
+
+RELIA_BIN_W = 25     # centi-bits/token per bin
+RELIA_BIN_LO = -8    # clamp range → 16 bins
+RELIA_BIN_HI = 7
+
+
+def reliability_table(scored_labeled: DataFrame) -> DataFrame:
+    """(bin, n_docs, n_pos, pos_permille) — the reliability-diagram
+    table over LLR score bins: empirical positive rate per clamped
+    mean_cllr bin. A well-calibrated (even just monotone) scorer shows
+    pos_permille rising with bin; a flat table means the score carries
+    no label signal at that operating point. Exact integers
+    throughout; one slim aggregation over the (doc, label, score)
+    frame."""
+    # mean_cllr can be negative and Spark's `div` truncates while
+    # DuckDB's `//` floors — shift into the non-negative domain first
+    # (|mean_cllr| ≤ 100·max|llr| ≪ 10000) so both engines floor.
+    binned = scored_labeled.withColumn(
+        "bin",
+        F.expr(
+            f"greatest({RELIA_BIN_LO}L, least({RELIA_BIN_HI}L, "
+            f"((mean_cllr + 10000L) div {RELIA_BIN_W}) - "
+            f"{10000 // RELIA_BIN_W}L))"
+        ),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("label").cast("long").alias("n_pos"),
+    ).select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        F.expr("(1000L * n_pos) div n_docs").alias("pos_permille"),
+    )
+
+
+_RELIA_ORACLE = f"""
+WITH nb AS (
+{_NB_ORACLE}
+), binned AS (
+  SELECT greatest({RELIA_BIN_LO}, least({RELIA_BIN_HI},
+           ((mean_cllr + 10000) // {RELIA_BIN_W}) - {10000 // RELIA_BIN_W}))
+           AS bin,
+         label
+  FROM nb
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       count(*) AS n_docs,
+       CAST(sum(label) AS BIGINT) AS n_pos,
+       CAST((1000 * sum(label)) // count(*) AS BIGINT) AS pos_permille
+FROM binned GROUP BY bin
+"""
+
+
+@register("nb_reliability_table", oracle=_RELIA_ORACLE)
+def nb_reliability_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the gate-distilled NB scorer: the FULL NB
+    oracle (labels, counts, capped model, integer-log2 scores) replays
+    as a CTE and the per-bin positive rates are value-hashed on top —
+    the calibration diagnostic every production quality gate ships
+    with its classifier."""
+    docs = load(spark, sf_dir, "documents")
+    labeled = _gate_labels(docs)
+    toks = labeled.select(
+        "label", F.explode(tokenize_alpha(F.col("text"))).alias("token")
+    )
+    model, prior_bits = train_nb_llr(toks)
+    scored = score_nb(labeled, model, prior_bits).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    return reliability_table(scored)

@@ -160,3 +160,46 @@ class TestDomainTopK:
         rows = out.collect()
         assert 0 < len(rows) < 500
         assert max(r["rank"] for r in rows) == TOPK_PER_DOMAIN
+
+
+class TestReliability:
+    def test_monotone_on_separable_corpus(self, spark):
+        from readur_spark.ml.quality_classifier import (
+            reliability_table,
+            score_nb,
+            train_nb_llr,
+        )
+
+        rows = []
+        for i in range(20):
+            rows.append((i, "clean prose sentence with genuine words here", 1))
+        for i in range(20, 40):
+            rows.append((i, "zz qq xx vv kk jj ww yy", 0))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+        toks = docs.select(
+            "label", F.explode(tokenize_alpha(F.col("text"))).alias("token")
+        )
+        model, prior = train_nb_llr(toks)
+        scored = score_nb(docs, model, prior).join(
+            docs.select("doc_id", "label"), "doc_id"
+        )
+        tbl = sorted(reliability_table(scored).collect(),
+                     key=lambda r: r["bin"])
+        # separable corpus → positives and negatives land in distinct
+        # bins, positive rate rises from 0 to 1000 permille
+        assert tbl[0]["pos_permille"] == 0
+        assert tbl[-1]["pos_permille"] == 1000
+        rates = [r["pos_permille"] for r in tbl]
+        assert rates == sorted(rates)
+        assert sum(r["n_docs"] for r in tbl) == 40
+
+    def test_negative_bin_floor_semantics(self, spark):
+        from readur_spark.ml.quality_classifier import reliability_table
+
+        # mean_cllr -30 must floor to bin -2 (not truncate to -1)
+        df = spark.createDataFrame(
+            [(1, -30, 0), (2, 30, 1)],
+            "doc_id long, mean_cllr long, label int",
+        )
+        got = {r["bin"]: r for r in reliability_table(df).collect()}
+        assert set(got) == {-2, 1}
