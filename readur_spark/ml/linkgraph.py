@@ -50,7 +50,7 @@ from urllib.parse import urljoin, urlparse
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from readur_spark.queries.registry import register
@@ -1131,3 +1131,134 @@ def _register_spam_mass() -> None:
 
 
 _register_spam_mass()
+
+
+# ---- anchor-text retrieval pairs (weak supervision, r5s11) -----------------
+
+ANCHOR_TOPK = 3
+
+
+def anchor_query_pairs(profile: DataFrame) -> DataFrame:
+    """(dst_host, term, n, df_hosts, idf_bits, weight, rank) — weak-
+    supervision retrieval pairs mined from anchor text (the published
+    recipe: anchor text approximates the queries that retrieve the
+    target page; e.g. Zhang et al. 2020 use anchor-document pairs to
+    pretrain dense retrievers). From the (dst_host, term, n) anchor
+    profile:
+
+      df_hosts  = distinct hosts whose inlinks carry the term
+      idf_bits  = floor(log2(N_hosts div df_hosts))   (int_log2 idiom)
+      weight    = n · idf_bits  — corpus-wide terms ('read', 'the')
+                  get idf 0 and drop out of the ranking signal
+      rank      = per-host order by (weight desc, term asc), top-K kept
+
+    Scale: the profile frame is |hosts|·|terms| (slim); df is one
+    grouped count over it; the window partitions by host. No payload."""
+    df_hosts = profile.groupBy("term").agg(
+        F.countDistinct("dst_host").cast("long").alias("df_hosts")
+    )
+    n_hosts = profile.select("dst_host").distinct().count()
+    scored = profile.join(F.broadcast(df_hosts), "term").select(
+        "dst_host",
+        "term",
+        "n",
+        "df_hosts",
+        F.expr(
+            f"length(bin({n_hosts}L div df_hosts)) - 1"
+        ).cast("long").alias("idf_bits"),
+    ).withColumn("weight", F.expr("n * idf_bits"))
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("weight"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANCHOR_TOPK)
+    )
+
+
+@register(
+    "anchor_query_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT 'hub-' || lang || '-' || CAST(doc_id % 3 AS VARCHAR)
+               || '.example' AS dst_host,
+             lang
+      FROM documents
+    ),
+    terms AS (
+      SELECT dst_host, t.term
+      FROM base,
+           UNNEST(['read', 'the', lower(lang), 'guide', 'now'])
+             AS t(term)
+    ),
+    profile AS (
+      SELECT dst_host, term, count(*) AS n
+      FROM terms GROUP BY dst_host, term
+    ),
+    dfh AS (
+      SELECT term, CAST(count(DISTINCT dst_host) AS BIGINT) AS df_hosts
+      FROM profile GROUP BY term
+    ),
+    nh AS (SELECT count(DISTINCT dst_host) AS n_hosts FROM profile),
+    scored AS (
+      SELECT p.dst_host, p.term, p.n, d.df_hosts,
+             CAST(length(bin((SELECT n_hosts FROM nh) // d.df_hosts)) - 1
+                  AS BIGINT) AS idf_bits
+      FROM profile p JOIN dfh d USING (term)
+    ),
+    ranked AS (
+      SELECT *, n * idf_bits AS weight,
+             row_number() OVER (PARTITION BY dst_host
+                                ORDER BY n * idf_bits DESC, term ASC)
+               AS rank
+      FROM scored
+    )
+    SELECT dst_host, term, n, df_hosts, idf_bits, weight,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {ANCHOR_TOPK}
+    """,
+)
+def anchor_query_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-mined retrieval pairs value-hashed end-to-end: the REAL
+    anchor kernel parses constructed pages whose hubs are LANGUAGE-
+    PARTITIONED (hub-{lang}-{doc_id%3}: a language's anchor term
+    reaches only its own 3 hubs, so idf separates it from the
+    corpus-wide 'read the … guide now' filler), and the oracle
+    re-derives the profile from the construction rule, then replays
+    df, int-log2 idf, weights, and the per-host top-K ranking —
+    each hub's rank-1 pair is its language term, the mined "query"."""
+    profile = anchor_term_profile(
+        _lang_anchored_pages(spark, sf_dir)
+    ).select("dst_host", "term", "n")
+    out = anchor_query_pairs(profile)
+    return out.select(
+        "dst_host", "term", "n", "df_hosts", "idf_bits", "weight",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _lang_anchored_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_anchored_pages` with language-partitioned hubs: page doc_id
+    links to hub-{lang}-{doc_id%3}.example with the same nested-markup
+    anchor text ('read <b>the LANG guide</b>  now') plus the empty
+    image anchor the kernel must drop."""
+    docs = load(spark, sf_dir, "documents")
+    hub = F.concat(
+        F.lit("hub-"), F.col("lang"), F.lit("-"),
+        (F.col("doc_id") % 3).cast("string"), F.lit(".example"),
+    )
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example/doc"), F.col("doc_id").cast("string"),
+                   F.lit(".html"))
+    html = F.concat(
+        F.lit('<html><body><a href="https://'), hub,
+        F.lit('/g">read <b>the '), F.col("lang"),
+        F.lit(" guide</b>\n  now</a>"),
+        F.lit('<a href="https://'), hub,
+        F.lit('/i"><img src="x.png"></a>'),
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.encode(html, "utf-8").cast("binary").alias("html"),
+    )

@@ -188,3 +188,30 @@ class TestAnchorText:
         assert got[("t.example", "here")] == 1
         assert got[("a.example", "local")] == 1  # relative -> page host
         assert ("img.example", "x") not in got
+
+
+class TestAnchorQueryPairs:
+    def test_idf_ranks_discriminative_terms(self, spark):
+        from readur_spark.ml.linkgraph import anchor_query_pairs
+
+        # 4 hosts; 'common' hits all (idf 0); 'rare' hits one (idf 2)
+        rows = []
+        for h in range(4):
+            rows.append((f"h{h}", "common", 9))
+        rows.append(("h0", "rare", 1))
+        df = spark.createDataFrame(rows, "dst_host string, term string, n long")
+        got = anchor_query_pairs(df).collect()
+        h0 = sorted([r for r in got if r["dst_host"] == "h0"],
+                    key=lambda r: r["rank"])
+        # weight: rare = 1·floor(log2(4//1))=2 beats common = 9·0
+        assert h0[0]["term"] == "rare" and h0[0]["weight"] == 2
+        assert h0[0]["idf_bits"] == 2 and h0[0]["df_hosts"] == 1
+        assert h0[1]["term"] == "common" and h0[1]["weight"] == 0
+
+    def test_topk_cap(self, spark):
+        from readur_spark.ml.linkgraph import ANCHOR_TOPK, anchor_query_pairs
+
+        rows = [("h0", f"t{i}", 1) for i in range(10)]
+        df = spark.createDataFrame(rows, "dst_host string, term string, n long")
+        got = anchor_query_pairs(df).collect()
+        assert len(got) == ANCHOR_TOPK
