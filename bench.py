@@ -124,6 +124,13 @@ HEADLINE_QUERIES = [
     "search_rank_kendall",
     "kmeans_label_ari",
     "cdc_chunk_stats",
+    # round 5, session 11
+    "qc_lexical_richness",
+    "secrets_entropy_constructed",
+    "rendezvous_shard_assign",
+    "padding_efficiency_report",
+    "mixture_unimax_plan",
+    "snm_candidate_pairs",
 ]
 
 

@@ -61,7 +61,13 @@ _PRIORITY: list[str] = [
     # twins: bpe_doc_token_counts keeps the BPE encode path windowed
     # and the fertility rollup composes it; pytest keeps its oracle)
     "unigram_learn_vocab",
-    "mixture_token_plan",
+    # (mixture_token_plan ceded to session 11's UniMax waterfill: both
+    # allocate a token budget per language — UniMax supersedes the
+    # proportional planner with epoch caps, the sorted waterfill cut,
+    # and the Hamilton remainder, exercising the same token rollup
+    # inside its window row; the proportional plan stays oracle-checked
+    # in pytest)
+    "mixture_unimax_plan",
     # (mixture_bpe_token_plan ceded to the session-4 families: its two
     # halves stay windowed — mixture_token_plan pins the token-budget
     # planner and bpe_doc_token_counts/bpe_fertility_by_lang pin the
@@ -97,10 +103,21 @@ _PRIORITY: list[str] = [
     # the backbone cdx_urlkey_surt keeps URL normalization windowed —
     # SURT urlkeys lowercase/strip/reorder the same components — and
     # the query-param canonicalizer stays oracle-checked in pytest)
-    "image_alt_pairs",
+    # (image_alt_pairs ceded to session 11's video keyframe selection:
+    # both are constructed multimodal-kernel reps — keyframing runs the
+    # real PNG encode→decode→dHash path PLUS the lag/threshold sweep,
+    # so it covers more of the image stack per driver row; the img/alt
+    # parse stays oracle-checked in pytest and composed in the
+    # politeness fetch plan)
+    "video_keyframe_select",
     "canonical_collapse_plan",
     # web-graph parsing (constructed-corpus oracles)
-    "outlink_edges_parse",
+    # (outlink_edges_parse ceded to session 11's anchor-text retrieval
+    # pairs: the sibling anchor kernel parses the same constructed-HTML
+    # family end-to-end and adds int-log2 idf weighting + per-host
+    # ranking on top; the href kernel stays golden-pinned and
+    # oracle-checked in pytest)
+    "anchor_query_pairs",
     # (anchor_terms_parse ceded to the session-4 span contract below:
     # outlink_edges_parse keeps the href-kernel family in the window
     # and the anchor-text kernel stays golden-pinned + oracle-checked
@@ -139,7 +156,13 @@ _PRIORITY: list[str] = [
     # window idiom stays windowed via host_quality_rollup and the
     # standalone calibration stays oracle-checked in pytest)
     "doremi_domain_weights",
-    "length_histogram_quantiles",
+    # (length_histogram_quantiles ceded to session 11's NB reliability
+    # table: the histogram idiom stays windowed via
+    # quality_threshold_otsu-adjacent pytest pins and the analytics
+    # tier keeps host_quality_rollup; the reliability row replays the
+    # ENTIRE NB train+score oracle as a CTE — bringing the classifier
+    # family back into the window — plus the per-bin calibration rates)
+    "nb_reliability_table",
     # search ('english' FTS config + postings + single-term rank)
     # (search_simple_and_english ceded: the postings variant is the
     # scale path and exercises the same Porter2/stopword kernel;
@@ -201,7 +224,12 @@ _PRIORITY: list[str] = [
     # applies — and the repair twin stays oracle-checked in pytest;
     # code-likeness guards the C4/Gopher prose gates from deleting
     # code, a routing decision no other windowed key exercises)
-    "code_likeness_score",
+    # (code_likeness_score ceded to session 11's lexical-richness QC:
+    # the code family keeps code_block_extract windowed — the stronger
+    # end-to-end rep — and the likeness score stays oracle-checked in
+    # pytest; Yule's K / Simpson / TTR give the token-statistics tier
+    # an exact-integer spam signal with no prior window rep)
+    "qc_lexical_richness",
     # (pii_luhn_cards ceded to session 8's vocabulary coverage curve:
     # the checksum-PII family keeps pii_iban_mod97 windowed below;
     # the Luhn twin stays oracle-checked in pytest)
@@ -237,7 +265,13 @@ _PRIORITY: list[str] = [
     # renderer — kernels/markdown.py imports kernels/tables.py
     # _to_markdown — so its driver row exercises pipe-table rendering;
     # pytest keeps the standalone table oracle)
-    "extract_markdown",
+    # (extract_markdown ceded to session 11's rendezvous sharding: the
+    # extraction family already holds three window slots (byte-identity
+    # backbone, span contract, fenced code blocks) and the markdown
+    # renderer stays oracle-checked in pytest; HRW placement is the
+    # corpus-layout family's first window rep, with the minimal-
+    # movement property value-checked in data)
+    "rendezvous_shard_assign",
     # new round-5 operator families, session 2: SoftDedup weights,
     # training-order n-gram novelty, fixed-point BM25 ranking
     # (pii_redaction, repeated_ngram_spans, dedup_substring_clean
@@ -246,7 +280,12 @@ _PRIORITY: list[str] = [
     # pytest oracle tier — it derives from the NB chain whose r4 row
     # is green. All stay oracle-checked in pytest.)
     "dedup_soft_weights",
-    "ngram_novelty_rate",
+    # (ngram_novelty_rate ceded to session 11's span-corruption plan:
+    # the training-order tier keeps curriculum_interleave windowed and
+    # novelty stays oracle-checked in pytest; the T5 mask plan gives
+    # the objective-planning family — spans, strata, md5 offsets — its
+    # first window rep, with the FIM sibling pinned in pytest)
+    "span_corruption_plan",
     # (search_rank_bm25 ceded to session 10's RRF fusion: the fusion
     # oracle embeds the ENTIRE bm25 oracle verbatim as a CTE, so its
     # driver row checks BM25's mantissa-squaring idf and tf saturation
@@ -273,8 +312,19 @@ _PRIORITY: list[str] = [
     # gate stay oracle-checked in pytest)
     "embedding_abtt_project",
     "ann_denoised_mips_topk",
-    "sample_recency_decay",
-    "template_fingerprint_rollup",
+    # (sample_recency_decay ceded to session 11's padding-efficiency
+    # report: the sampling tier keeps dedup_soft_weights and
+    # curriculum_interleave windowed, recency decay stays in pytest;
+    # the batching row value-checks naive vs length-bucketed batch
+    # formation — the padding bill every trainer pays)
+    "padding_efficiency_report",
+    # (template_fingerprint_rollup ceded to session 11's WebTables
+    # relational extraction: md5-fingerprint rollups are a pervasive
+    # windowed idiom (winnow, CDC, canonical collapse) and the template
+    # rollup stays oracle-checked in pytest; relational table tuples +
+    # th-header election give structural extraction its first window
+    # rep, with the column-typing composition pinned in pytest)
+    "table_relational_constructed",
     # (qc_blocklist_gate ceded to session 7's skeleton-evasion twin:
     # the evasion query exercises the same broadcast term join PLUS
     # the TR39 fold; pytest keeps the plain-gate oracle)
@@ -292,7 +342,13 @@ _PRIORITY: list[str] = [
     # exercises the doubling rounds end-to-end, and its oracle is
     # INDEPENDENTLY restated from the construction rule rather than a
     # replay; the redirect query stays oracle-checked in pytest)
-    "pagination_stitch",
+    # (pagination_stitch ceded to session 11's sorted-neighborhood
+    # blocking: chain resolution stays windowed via
+    # canonical_collapse_plan and the pagination family keeps its
+    # pytest oracles; SNM is the third dedup-blocking family beside
+    # MinHash bands and SimHash chunks — two passes, window sweep,
+    # Levenshtein verify — with no prior window rep)
+    "snm_candidate_pairs",
     # new round-5 session-6 family: structured page metadata — JSON-LD
     # (@type/headline/datePublished via get_json_object), Open Graph /
     # Twitter cards, hreflang language alternates, RSS item parse, and
@@ -317,7 +373,13 @@ _PRIORITY: list[str] = [
     # structured-metadata family keeps four window slots — jsonld,
     # hreflang, feed_items, pii_iban — and the og card parse shares
     # jsonld_extract's head-scan kernel; pytest keeps its oracle)
-    "cdx_fetch_spans",
+    # (cdx_fetch_spans ceded to session 11's secrets scan: the CDX
+    # family keeps cdx_urlkey_surt windowed and the fetch-span plan
+    # stays oracle-checked in pytest; the detect-secrets entropy gate —
+    # candidate extraction, replace-trick char entropy, dual
+    # thresholds — is the scrub tier's first window rep and is wired
+    # into run_curation as --secrets-gate)
+    "secrets_entropy_constructed",
     # (hreflang_alternates ceded to session 7's HTTP opt-out gate:
     # jsonld_extract keeps the session-6 head-scan family windowed;
     # pytest keeps the hreflang oracle)
@@ -330,7 +392,12 @@ _PRIORITY: list[str] = [
     # parse: unigram_learn_vocab above keeps the EM chain windowed —
     # segmentation is its E-step — and the standalone segmentation
     # oracle stays in pytest)
-    "feed_discover_items",
+    # (feed_discover_items ceded to session 11's hard-negative mining:
+    # the feed family's three oracles stay green in pytest and the
+    # structured tier keeps pubdate_extract + charset_detect_decode
+    # windowed; contrastive mining gives the similarity tier its
+    # training-pair rep — broadcast anchors, cosine band, ranked top-H)
+    "contrastive_hard_negatives",
     "pii_iban_mod97",
     # session 6: real public-suffix-list registered domains (wildcard
     # + exception longest-match, broadcast rule join) — closes the
