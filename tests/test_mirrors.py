@@ -13,7 +13,7 @@ class TestMirrors:
             # hA and hB: full mirror (3 shared blobs each)
             [("hA", f"blob{i}") for i in range(3)]
             + [("hB", f"blob{i}") for i in range(3)]
-            # hC: shares 1 of its 4 docs with hA → 250 permille
+            # hC: shares 1 blob with hA → 1000·1/min(3,4) = 333
             + [("hC", "blob0")]
             + [("hC", f"own{i}") for i in range(3)]
             # hD: fully unique
@@ -25,7 +25,7 @@ class TestMirrors:
         assert ab["shared"] == 3 and ab["mirror_permille"] == 1000
         assert ab["is_mirror"]
         ac = got[("hA", "hC")]
-        assert ac["shared"] == 1 and ac["mirror_permille"] == 250
+        assert ac["shared"] == 1 and ac["mirror_permille"] == 333
         assert not ac["is_mirror"]
         assert not any("hD" in k for k in got)
 
