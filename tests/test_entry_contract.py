@@ -78,19 +78,27 @@ class TestPriorityWindow:
         backbone = {
             "extract_text_passthrough",
             "cdx_urlkey_surt",
-            "cdx_fetch_spans",
+            # session 11: secrets_entropy_constructed took
+            # cdx_fetch_spans' slot (the CDX family keeps the urlkey
+            # backbone row; the scrub gate is run_curation-wired)
+            "secrets_entropy_constructed",
             "dedup_soft_weights",
-            "ngram_novelty_rate",
+            # session 11: span_corruption_plan took ngram_novelty_rate's
+            # slot (curriculum_interleave keeps the training-order pin)
+            "span_corruption_plan",
             # session 10: search_rrf_fusion replaces search_rank_bm25
             # — its oracle embeds the full bm25 oracle verbatim as a
             # CTE, so the ranking-family pin rides the fusion row
             "search_rrf_fusion",
             "langid_chartrigram_nb",
-            "extract_markdown",
+            # session 11: rendezvous_shard_assign took extract_markdown's
+            # slot (the extraction family keeps three other window rows)
+            "rendezvous_shard_assign",
             "sentence_dedup_clean",
-            # session 8: pagination_stitch composes resolve_redirects'
-            # pointer doubling, so it carries the redirect-chain pin
-            "pagination_stitch",
+            # session 11: snm_candidate_pairs took pagination_stitch's
+            # slot (canonical_collapse_plan keeps chain resolution
+            # windowed; SNM is the third dedup-blocking family)
+            "snm_candidate_pairs",
         }
         assert backbone <= first50, backbone - first50
 
