@@ -373,7 +373,7 @@ def _leg_clean(s: dict) -> bool:
     )
 
 
-def _run_ladder(remaining, max_passes: int = 3) -> tuple[list, dict, dict]:
+def _run_ladder(remaining, max_passes: int = 4) -> tuple[list, dict, dict]:
     """Quality-gated parallelism ladder (VERDICT r4 item 3: the ≥0.8
     1→4 evidence must live in the committed artifact, not in prose).
 
@@ -459,7 +459,7 @@ def main() -> None:
     # can individually crawl; the bench MUST still print its one JSON
     # line, so remaining legs are skipped once the budget runs out.
     t_start = time.monotonic()
-    budget = float(os.environ.get("SPARK_GRAFT_TIME_BUDGET", "1500"))
+    budget = float(os.environ.get("SPARK_GRAFT_TIME_BUDGET", "1800"))
 
     def remaining() -> float:
         return budget - (time.monotonic() - t_start)
@@ -509,10 +509,19 @@ def main() -> None:
 
     if do_scaling and cpus >= 4:
         lo = max(cpus // 4, 1)
+        # The gated 1/2/4 ladder is the north-rule's ≥0.8 evidence — run
+        # it FIRST, while the wall budget is whole, so a congested
+        # window truncates the supplementary lo/hi pair instead of the
+        # graded criterion (session-11 reorder: the previous layout
+        # spent ~2/3 of the budget on lo/hi + raw calibration and the
+        # ladder's retry passes got squeezed out).
+        ladder, ladder_pairs, ladder_gate = [], {}, {}
+        if cpus >= 32:
+            ladder, ladder_pairs, ladder_gate = _run_ladder(remaining)
         raw_lo_1 = _calibrate_raw(lo)
         raw_hi_1 = _calibrate_raw(cpus)
         # 64 replicas (128k pages) halves per-leg cost vs the r3 128 so
-        # the lo/hi pairs + ladder FIT inside the 1500 s budget — r4's
+        # the lo/hi pairs + ladder FIT inside the wall budget — r4's
         # first full-budget run burned it all on 256k-page legs and the
         # JSON shipped with no scaling section at all
         lo_res, hi_res = _scaling_measurements(
@@ -535,9 +544,6 @@ def main() -> None:
         # (or passes/budget run out) — the r4 gap was that the ≥0.8
         # evidence lived in BASELINE.md prose while the JSON caught a
         # congested window.
-        ladder, ladder_pairs, ladder_gate = [], {}, {}
-        if cpus >= 32:
-            ladder, ladder_pairs, ladder_gate = _run_ladder(remaining)
         if lo_res and hi_res and lo_res.get("docs_per_sec") and hi_res.get("docs_per_sec"):
             thr_lo, thr_hi = lo_res["docs_per_sec"], hi_res["docs_per_sec"]
             raws_lo = [x for x in (raw_lo_1, raw_lo_2) if x]
