@@ -58,3 +58,35 @@ class TestOtsu:
         df = spark.createDataFrame(rows, "doc_id long, b long")
         [r] = otsu_threshold(df, F.col("b")).collect()
         assert 5 <= r["threshold"] < 60
+
+
+class TestShardBalance:
+    def test_hand_computed_gini(self, spark):
+        from readur_spark.ml.hrw import shard_balance
+
+        # sizes 1,1,1,1 → gini 0; sizes 0-free skew case 1,3 →
+        # num = 1·1 + 3·3 = 10; G = (10 - 2·4)/(2·4) = 0.25
+        a = spark.createDataFrame(
+            [(i, i % 4) for i in range(8)], "doc_id long, shard int"
+        )
+        [r] = shard_balance(a).collect()
+        assert r["gini_ppm"] == 0 and r["skew_permille"] == 0
+
+        b = spark.createDataFrame(
+            [(0, 0), (1, 1), (2, 1), (3, 1)], "doc_id long, shard int"
+        )
+        [r2] = shard_balance(b).collect()
+        assert r2["gini_ppm"] == 250_000
+        assert r2["skew_permille"] == 666  # 1000·(3-1)//3
+
+    def test_extreme_concentration(self, spark):
+        from readur_spark.ml.hrw import shard_balance
+
+        # all docs on one of two shards → G = (n-1)/n with n=2 → 0.5
+        df = spark.createDataFrame(
+            [(i, 0) for i in range(10)] + [(99, 1)],
+            "doc_id long, shard int",
+        )
+        [r] = shard_balance(df).collect()
+        # sizes 1,10: num = 1 + 30 = 31; G = (31-22)/22 = 0.409…
+        assert r["gini_ppm"] == 409_090
