@@ -46,7 +46,7 @@ Scale design (10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from readur_spark.ml.quality_lm import int_log2, tokenize_alpha
@@ -606,3 +606,146 @@ def nb_reliability_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled.select("doc_id", "label"), "doc_id"
     )
     return reliability_table(scored)
+
+
+# ---- isotonic calibration (exact minimax PAV, r5s11) -----------------------
+
+
+def isotonic_calibration(relia: DataFrame) -> DataFrame:
+    """(bin, n_docs, n_pos, pos_permille, iso_permille) — the isotonic
+    (monotone non-decreasing) calibration of the reliability table,
+    via the exact minimax identity for PAV (Robertson et al., "Order
+    Restricted Statistical Inference"):
+
+        iso(i) = max_{j≤i} min_{k≥i} pool(j, k),
+        pool(j, k) = Σ n_pos[j..k] / Σ n_docs[j..k]
+
+    — the closed form of pool-adjacent-violators, needing no
+    sequential merging, so it runs as two window ranks over the
+    (i, j, k) triple frame.  Pool fractions are ORDERED by their
+    IEEE-double value (identical in both engines) with deterministic
+    index tie-breaks; the published iso_permille is the exact integer
+    floor of the chosen pool fraction.  O(B³) triples — B is a
+     16-bucket constant, so the frame is ≤ ~700 rows regardless of
+    corpus size (everything corpus-sized already collapsed into the
+    reliability table's one aggregation)."""
+    bins = relia.select("bin", "n_docs", "n_pos")
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bins.select(
+        "bin",
+        F.sum("n_docs").over(w).alias("pn"),
+        F.sum("n_pos").over(w).alias("pp"),
+    )
+    # pools (j, k): prefix differences via a self-join on ordered
+    # bins; the inclusive-prefix difference pp[k] − pp[j] excludes
+    # bin j itself, so add bin j's own counts back
+    lo = pref.join(
+        bins.withColumnRenamed("bin", "_b"),
+        pref["bin"] == F.col("_b"),
+    ).select(
+        F.col("bin").alias("j"),
+        F.col("pn").alias("pn_j"),
+        F.col("pp").alias("pp_j"),
+        F.col("n_pos").alias("pos_j"),
+        F.col("n_docs").alias("n_j"),
+    )
+    hi = pref.select(
+        F.col("bin").alias("k"),
+        F.col("pn").alias("pn_k"),
+        F.col("pp").alias("pp_k"),
+    )
+    pools = (
+        lo.crossJoin(hi)
+        .filter(F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            (F.col("pp_k") - F.col("pp_j") + F.col("pos_j")).alias(
+                "pos_jk"
+            ),
+            (F.col("pn_k") - F.col("pn_j") + F.col("n_j")).alias("n_jk"),
+        )
+    )
+    idx = bins.select(F.col("bin").alias("i"))
+    trip = idx.crossJoin(pools).filter(
+        (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i"))
+    )
+    frac = (F.col("pos_jk").cast("double") / F.col("n_jk").cast("double"))
+    inner_w = Window.partitionBy("i", "j").orderBy(
+        frac.asc(), F.col("k").asc()
+    )
+    inner = trip.withColumn("rn", F.row_number().over(inner_w)).filter(
+        F.col("rn") == 1
+    )
+    outer_w = Window.partitionBy("i").orderBy(frac.desc(), F.col("j").asc())
+    chosen = inner.withColumn("rm", F.row_number().over(outer_w)).filter(
+        F.col("rm") == 1
+    )
+    return (
+        chosen.select(
+            F.col("i").alias("bin"),
+            F.expr("(1000L * pos_jk) div n_jk").alias("iso_permille"),
+        )
+        .join(relia, "bin")
+        .select(
+            "bin", "n_docs", "n_pos", "pos_permille", "iso_permille"
+        )
+    )
+
+
+_ISO_ORACLE = f"""
+WITH relia AS (
+{_RELIA_ORACLE}
+), pref AS (
+  SELECT bin,
+         sum(n_docs) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS pn,
+         sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS pp,
+         n_docs, n_pos
+  FROM relia
+), pools AS (
+  SELECT l.bin AS j, h.bin AS k,
+         CAST(h.pp - l.pp + l.n_pos AS BIGINT) AS pos_jk,
+         CAST(h.pn - l.pn + l.n_docs AS BIGINT) AS n_jk
+  FROM pref l CROSS JOIN pref h
+  WHERE l.bin <= h.bin
+), trip AS (
+  SELECT i.bin AS i, p.j, p.k, p.pos_jk, p.n_jk
+  FROM (SELECT bin FROM relia) i CROSS JOIN pools p
+  WHERE p.j <= i.bin AND p.k >= i.bin
+), inner_min AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY i, j
+    ORDER BY CAST(pos_jk AS DOUBLE) / CAST(n_jk AS DOUBLE) ASC, k ASC)
+    AS rn
+  FROM trip
+), outer_max AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY i
+    ORDER BY CAST(pos_jk AS DOUBLE) / CAST(n_jk AS DOUBLE) DESC, j ASC)
+    AS rm
+  FROM inner_min WHERE rn = 1
+)
+SELECT r.bin, r.n_docs, r.n_pos, r.pos_permille,
+       CAST((1000 * o.pos_jk) // o.n_jk AS BIGINT) AS iso_permille
+FROM outer_max o JOIN relia r ON o.i = r.bin
+WHERE o.rm = 1
+"""
+
+
+@register("nb_isotonic_calibration", oracle=_ISO_ORACLE)
+def nb_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the NB scorer's reliability table — the
+    FULL NB oracle and the reliability rollup replay as CTEs, then
+    DuckDB re-derives every (j,k) pool and both minimax ranks. The
+    published iso_permille column is monotone non-decreasing in the
+    score bin by construction."""
+    docs = load(spark, sf_dir, "documents")
+    labeled = _gate_labels(docs)
+    toks = labeled.select(
+        "label", F.explode(tokenize_alpha(F.col("text"))).alias("token")
+    )
+    model, prior_bits = train_nb_llr(toks)
+    scored = score_nb(labeled, model, prior_bits).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    return isotonic_calibration(reliability_table(scored))

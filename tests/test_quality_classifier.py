@@ -203,3 +203,42 @@ class TestReliability:
         )
         got = {r["bin"]: r for r in reliability_table(df).collect()}
         assert set(got) == {-2, 1}
+
+
+class TestIsotonic:
+    def test_pav_pools_violators(self, spark):
+        from readur_spark.ml.quality_classifier import isotonic_calibration
+
+        # rates 0 / 500 / 200 / 800 with equal bin mass: PAV pools the
+        # 500/200 violation into (5+2)/(10+10) = 350‰
+        rows = [(-1, 10, 0, 0), (0, 10, 5, 500),
+                (1, 10, 2, 200), (2, 10, 8, 800)]
+        df = spark.createDataFrame(
+            rows, "bin long, n_docs long, n_pos long, pos_permille long"
+        )
+        got = {r["bin"]: r["iso_permille"]
+               for r in isotonic_calibration(df).collect()}
+        assert got == {-1: 0, 0: 350, 1: 350, 2: 800}
+
+    def test_already_monotone_is_identity(self, spark):
+        from readur_spark.ml.quality_classifier import isotonic_calibration
+
+        rows = [(0, 10, 1, 100), (1, 10, 5, 500), (2, 10, 9, 900)]
+        df = spark.createDataFrame(
+            rows, "bin long, n_docs long, n_pos long, pos_permille long"
+        )
+        got = {r["bin"]: r["iso_permille"]
+               for r in isotonic_calibration(df).collect()}
+        assert got == {0: 100, 1: 500, 2: 900}
+
+    def test_unequal_masses(self, spark):
+        from readur_spark.ml.quality_classifier import isotonic_calibration
+
+        # violation with unequal mass: (30·0.9 + 10·0.1)/(40) = 700‰
+        rows = [(0, 30, 27, 900), (1, 10, 1, 100)]
+        df = spark.createDataFrame(
+            rows, "bin long, n_docs long, n_pos long, pos_permille long"
+        )
+        got = {r["bin"]: r["iso_permille"]
+               for r in isotonic_calibration(df).collect()}
+        assert got == {0: 700, 1: 700}
