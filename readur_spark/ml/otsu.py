@@ -112,3 +112,108 @@ def quality_threshold_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.length("text") / BUCKET_CHARS), F.lit(N_BUCKETS - 1)
     )
     return otsu_threshold(docs, bucket)
+
+
+# ---- split-conformal threshold (r5s11) -------------------------------------
+
+CONF_ALPHA_PCT = 10  # target miscoverage: keep ≥90% of good docs
+
+
+def conformal_threshold(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """One row (n_cal, q_rank, threshold_score, kept_good_permille) —
+    the split-conformal acceptance threshold (Vovk et al.; the
+    distribution-free coverage recipe): over the CALIBRATION set of
+    known-good documents (label = 1), take nonconformity = −score and
+    choose the ⌈(n+1)·(1−α)⌉-th smallest nonconformity. Gating new
+    documents at score ≥ threshold_score then keeps ≥ 1−α of good
+    documents (finite-sample guarantee, no distributional assumption).
+
+    Exact integers: the quantile is an ORDER-STATISTIC (rank
+    ⌈(n+1)·90/100⌉ via integer arithmetic), not an interpolated
+    percentile — both engines pick the identical calibration row
+    (ties broken by score then implicit row identity collapses:
+    rank selection is on the sorted multiset, so equal scores give
+    equal thresholds).
+
+    Scale: one filter + one global sort of the slim (score) frame to
+    a single rank probe — at 10^12 scale the same order statistic
+    comes off the existing histogram/quantile tier; the conformal
+    arithmetic is unchanged."""
+    cal = scored.filter(F.col(label_col) == 1).select(
+        F.col(score_col).alias("s")
+    )
+    n = cal.count()
+    q_rank = min(n, -(-(n + 1) * (100 - CONF_ALPHA_PCT) // 100))
+    w = Window.orderBy(F.asc("nc"))
+    ranked = cal.select((-F.col("s")).alias("nc")).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    chosen = ranked.filter(F.col("rk") == q_rank)
+    kept = cal.join(
+        chosen.select(F.col("nc").alias("_t")), F.lit(True), "cross"
+    ).agg(
+        F.sum(F.when(-F.col("s") <= F.col("_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept")
+    )
+    return (
+        chosen.crossJoin(F.broadcast(kept))
+        .select(
+            F.lit(n).cast("long").alias("n_cal"),
+            F.lit(q_rank).cast("long").alias("q_rank"),
+            (-F.col("nc")).alias("threshold_score"),
+            F.expr(f"(1000L * n_kept) div {max(n, 1)}L").alias(
+                "kept_good_permille"
+            ),
+        )
+    )
+
+
+@register(
+    "conformal_quality_threshold",
+    oracle=f"""
+    WITH cal AS (
+      SELECT -CAST(least(length(text) // {BUCKET_CHARS},
+                         {N_BUCKETS - 1}) AS BIGINT) AS nc,
+             CAST(least(length(text) // {BUCKET_CHARS},
+                        {N_BUCKETS - 1}) AS BIGINT) AS s
+      FROM documents WHERE lang = 'en'
+    ), n AS (SELECT count(*) AS n_cal FROM cal),
+    ranked AS (
+      SELECT nc, row_number() OVER (ORDER BY nc ASC) AS rk FROM cal
+    ), chosen AS (
+      SELECT nc FROM ranked, n
+      WHERE rk = least(n_cal, ((n_cal + 1) * 90 + 99) // 100)
+    )
+    SELECT n.n_cal,
+           least(n.n_cal, ((n.n_cal + 1) * 90 + 99) // 100)
+             AS q_rank,
+           -c.nc AS threshold_score,
+           CAST((1000 * (SELECT count(*) FROM cal WHERE nc <= c.nc))
+                // n.n_cal AS BIGINT) AS kept_good_permille
+    FROM chosen c, n
+    """,
+)
+def conformal_quality_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal acceptance threshold over the English slice
+    (calibration = label 1), scored by the length-bucket statistic the
+    Otsu tier uses — the order-statistic rank, the chosen threshold,
+    and the empirical coverage all value-hashed. ⌈(n+1)·0.9⌉ is
+    integer ceil-division in BOTH engines (((n+1)·90 + 99) div 100) —
+    no float ceil, whose representation error flips exact multiples."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.least(
+            F.floor(F.length("text") / BUCKET_CHARS),
+            F.lit(N_BUCKETS - 1),
+        ).cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    return conformal_threshold(scored)

@@ -90,3 +90,27 @@ class TestShardBalance:
         [r] = shard_balance(df).collect()
         # sizes 1,10: num = 1 + 30 = 31; G = (31-22)/22 = 0.409…
         assert r["gini_ppm"] == 409_090
+
+
+class TestConformal:
+    def test_order_statistic_and_coverage(self, spark):
+        from readur_spark.ml.otsu import conformal_threshold
+
+        # 9 good docs, scores 1..9: q_rank = ceil(10·0.9) = 9 →
+        # threshold = lowest score (nonconformity 9th smallest = -1)
+        rows = [(i, 1) for i in range(1, 10)] + [(0, 0)]
+        df = spark.createDataFrame(rows, "score long, label int")
+        [r] = conformal_threshold(df).collect()
+        assert r["n_cal"] == 9 and r["q_rank"] == 9
+        assert r["threshold_score"] == 1
+        assert r["kept_good_permille"] == 1000
+
+    def test_exact_multiple_boundary(self, spark):
+        from readur_spark.ml.otsu import conformal_threshold
+
+        # n = 19 → (n+1)·0.9 = 18 exactly: integer ceil-div must give
+        # 18, not the float-ceil 19 that 18.000000000000004 produces
+        rows = [(i, 1) for i in range(19)]
+        df = spark.createDataFrame(rows, "score long, label int")
+        [r] = conformal_threshold(df).collect()
+        assert r["q_rank"] == 18
