@@ -929,3 +929,186 @@ def ann_ivf_quantized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands, qv, index.scale,
         id_col=index.id_col, vec_col=index.vec_col, k=10, rerank_factor=4,
     )
+
+
+# ---- LSH recall observable (r5s11) -----------------------------------------
+#
+# tests/test_lsh_recall.py pins recall ≥ 0.9 as a bound; this query
+# makes the recall MEASUREMENT itself a value-hashed artifact: per
+# anchor, the bucketed candidate top-k is compared against brute-force
+# ground truth and the per-anchor hit count is published. The DuckDB
+# twin recomputes every bucket (literal plane matrices), both top-k
+# rankings, and the intersection — so the driver row certifies the
+# exact recall number, not just "above a bound".
+
+_RECALL_MOD = 100   # vec_id % 100 == 0 → the anchor sample
+_RECALL_K = 10
+
+
+def lsh_recall_table(
+    vectors: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = _RECALL_K,
+    n_planes: int = _ANN_LSH_PLANES,
+    seed: int = _ANN_LSH_SEED,
+    n_tables: int = _ANN_LSH_TABLES,
+    anchor_mod: int = _RECALL_MOD,
+) -> DataFrame:
+    """(anchor_id, n_brute, n_lsh, hits, recall_permille) per anchor.
+    One Arrow pass computes every vector's bucket array (queries
+    included); candidates are bucket-collision pairs; both rankings
+    are windows over the slim (anchor, cand, sim) frame."""
+    from pyspark.sql import Window
+
+    buckets = lsh_bucket_ids_multi(
+        vectors, dim, n_planes, seed, n_tables,
+        id_col=id_col, vec_col=vec_col,
+    )
+    anchors = (
+        vectors.filter(F.col(id_col) % anchor_mod == 0)
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("av"),
+        )
+        .join(
+            buckets.select(
+                F.col(id_col).alias("anchor_id"),
+                F.col("buckets").alias("abuckets"),
+            ),
+            "anchor_id",
+        )
+    )
+    scored = (
+        vectors.join(buckets, id_col)
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col(id_col) != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("cand_id"),
+            cosine(F.col(vec_col), F.col("av")).alias("_s"),
+            F.expr(
+                "exists(zip_with(buckets, abuckets, (a, b) -> a = b), "
+                "x -> x)"
+            ).alias("_hit_bucket"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("_s"), F.asc("cand_id")
+    )
+    brute = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("anchor_id", "cand_id")
+    )
+    lsh = (
+        scored.filter(F.col("_hit_bucket"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("anchor_id", F.col("cand_id").alias("lsh_id"))
+    )
+    hits = (
+        brute.join(
+            lsh,
+            (brute["anchor_id"] == lsh["anchor_id"])
+            & (brute["cand_id"] == lsh["lsh_id"]),
+            "left",
+        )
+        .groupBy(brute["anchor_id"].alias("anchor_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_brute"),
+            F.sum(F.when(F.col("lsh_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("hits"),
+        )
+    )
+    n_lsh = lsh.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lsh")
+    )
+    return hits.join(n_lsh, "anchor_id", "left").select(
+        "anchor_id",
+        "n_brute",
+        F.coalesce(F.col("n_lsh"), F.lit(0).cast("long")).alias("n_lsh"),
+        "hits",
+        F.expr("(1000L * hits) div n_brute").alias("recall_permille"),
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    conds = []
+    for t in range(_ANN_LSH_TABLES):
+        planes = random_hyperplanes(
+            _NEARDUP_DIM, _ANN_LSH_PLANES, _ANN_LSH_SEED + t
+        )
+        conds.append(
+            "%s = %s"
+            % (_bucket_sql("e.v", planes), _bucket_sql("a.av", planes))
+        )
+    any_table = " OR ".join(conds)
+    return f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av
+      FROM embeddings WHERE vec_id % {_RECALL_MOD} = 0
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), scored AS (
+      SELECT a.anchor_id, e.vec_id AS cand_id,
+             list_cosine_similarity(e.v, a.av) AS s,
+             ({any_table}) AS hit_bucket
+      FROM e CROSS JOIN a
+      WHERE e.vec_id <> a.anchor_id
+    ), brute AS (
+      SELECT anchor_id, cand_id FROM (
+        SELECT anchor_id, cand_id,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY s DESC, cand_id) AS rk
+        FROM scored
+      ) WHERE rk <= {_RECALL_K}
+    ), lsh AS (
+      SELECT anchor_id, cand_id FROM (
+        SELECT anchor_id, cand_id,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY s DESC, cand_id) AS rk
+        FROM scored WHERE hit_bucket
+      ) WHERE rk <= {_RECALL_K}
+    ), h AS (
+      SELECT b.anchor_id,
+             CAST(count(*) AS BIGINT) AS n_brute,
+             CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits
+      FROM brute b LEFT JOIN lsh l
+        ON b.anchor_id = l.anchor_id AND b.cand_id = l.cand_id
+      GROUP BY b.anchor_id
+    ), nl AS (
+      SELECT anchor_id, CAST(count(*) AS BIGINT) AS n_lsh
+      FROM lsh GROUP BY anchor_id
+    )
+    SELECT h.anchor_id, h.n_brute,
+           coalesce(nl.n_lsh, 0) AS n_lsh, h.hits,
+           CAST((1000 * h.hits) // h.n_brute AS BIGINT)
+             AS recall_permille
+    FROM h LEFT JOIN nl USING (anchor_id)
+    """
+
+
+@register("ann_lsh_recall", oracle=_lsh_recall_oracle())
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor LSH recall@10 vs brute force, value-hashed: DuckDB
+    recomputes every bucket from the literal plane matrices, both
+    rankings, and the intersection counts.
+
+    Fixture note: the synthetic embeddings are ISOTROPIC noise — the
+    worst case for LSH, where a "nearest" neighbor sits near 90° and
+    the collision probability is the baseline (1 − θ/π)^p per table
+    (~3 % at p=6, ×4 tables ≈ 11 %) — so single-digit recall here is
+    the correct measurement, not a bug. On clustered data the same
+    pipeline reads recall ≈ 1000‰ (pinned in
+    tests/test_similarity_recall.py::TestLshRecallTable), and
+    tests/test_lsh_recall.py holds the ≥ 0.9 bound on the clustered
+    fixture. The value of THIS query is that the driver artifact
+    carries the exact recall measurement machinery end-to-end."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return lsh_recall_table(emb, dim=dim)
