@@ -30,6 +30,9 @@ end-to-end:
       corpus (ml/doremi)
     → [--unimax-report DIR] UniMax per-language token quotas over the
       curated corpus (ml/mixing.plan_unimax; needs --lang-col)
+    → [--mirror-report] host mirror pairs (ml/mirrors) in the summary
+      JSON — detected on the PRE-dedup corpus, where the shared
+      hashes still exist (exact dedup later collapses them)
     → partitioned, size-bounded shard write (operators/sinks)
 
 and prints one JSON summary line (per-split yields) — the same report
@@ -140,6 +143,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="language column for --unimax-report (must "
                         "exist on the input; extraction emits it "
                         "when the source table carries lang)")
+    p.add_argument("--mirror-report", action="store_true",
+                   help="append host mirror pairs (shared exact-hash "
+                        "containment per host pair, ml/mirrors) to "
+                        "the summary JSON; measured before exact "
+                        "dedup, which would erase the evidence")
     p.add_argument("--leakage-audit", action="store_true",
                    help="append a per-split train→eval 4-gram leakage "
                         "report (ml/leakage.py) to the summary JSON — "
@@ -401,6 +409,23 @@ def main(argv: list[str] | None = None) -> int:
 
     # 2. exact dedup winners: min url per content hash (slim agg, the
     # same winner rule as the ingest dedup subtree)
+    mirror_pairs = None
+    if args.mirror_report:
+        from readur_spark.ml.mirrors import host_mirror_pairs
+        from readur_spark.ml.urlfilters import url_host
+
+        shaped = gated.select(
+            url_host(F.col("url")).alias("source"), F.col("text")
+        )
+        mirror_pairs = [
+            {"host_a": r["host_a"], "host_b": r["host_b"],
+             "shared": r["shared"],
+             "mirror_permille": r["mirror_permille"],
+             "is_mirror": r["is_mirror"]}
+            for r in host_mirror_pairs(shaped)
+            .orderBy(F.desc("mirror_permille"), "host_a", "host_b")
+            .limit(50).collect()
+        ]
     winners = gated.groupBy("sha256").agg(F.min("url").alias("url"))
     deduped = gated.join(winners, ["sha256", "url"], "left_semi")
 
@@ -561,6 +586,8 @@ def main(argv: list[str] | None = None) -> int:
             summary["doremi_domains"] = doremi_domains
         if n_secret_docs is not None:
             summary["secrets_dropped"] = n_secret_docs
+        if mirror_pairs is not None:
+            summary["mirror_pairs"] = mirror_pairs
         if unimax_langs is not None:
             summary["unimax_report"] = args.unimax_report
             summary["unimax_langs"] = unimax_langs

@@ -870,3 +870,36 @@ def test_curation_secrets_gate_and_unimax_report(tmp_path):
     ).fetchall()
     assert [p[0] for p in plan] == ["en", "fr"]
     assert sum(p[1] for p in plan) == 200  # budget conserved
+
+
+def test_curation_mirror_report(tmp_path):
+    """--mirror-report surfaces host pairs sharing exact content
+    (measured pre-dedup; the shipped corpus is still deduped)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    urls, texts = [], []
+    for i in range(6):
+        # mirror.example and copy.example carry identical docs
+        urls.append(f"https://mirror.example/d{i}.txt")
+        texts.append(_gate_passing_text(i) + f" tail{i}")
+        urls.append(f"https://copy.example/d{i}.txt")
+        texts.append(_gate_passing_text(i) + f" tail{i}")
+    urls.append("https://solo.example/d9.txt")
+    texts.append(_gate_passing_text(9) + " unique tail")
+    inp = str(tmp_path / "min.parquet")
+    pq.write_table(
+        pa.table({"url": urls, "extracted_text": texts}), inp
+    )
+    shards = str(tmp_path / "mshards")
+    summary = _curate_plain(inp, shards, ["--min-words", "5",
+                                          "--mirror-report"])
+    assert summary["status"] == "written"
+    pairs = summary["mirror_pairs"]
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert {p["host_a"], p["host_b"]} == {"mirror.example", "copy.example"}
+    assert p["mirror_permille"] == 1000 and p["is_mirror"]
+    # exact dedup still collapsed the copies in the shipped corpus
+    total = sum(v["n_docs"] for v in summary["yields"].values())
+    assert total == 7
