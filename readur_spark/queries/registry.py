@@ -529,6 +529,7 @@ def _load_all() -> None:
     from readur_spark.ml import evalprep as ml_evalprep  # noqa: F401
     from readur_spark.ml import negsample as ml_negsample  # noqa: F401
     from readur_spark.ml import mirrors as ml_mirrors  # noqa: F401
+    from readur_spark.ml import datasheet as ml_datasheet  # noqa: F401
     from readur_spark.queries import crawl, extraction, labels  # noqa: F401
 
     _register_window_manifest()
