@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from readur_spark.queries.registry import register
@@ -945,4 +945,97 @@ def search_snippets_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen,
         schema="doc_id long, snippet string, start_offset int, end_offset int,"
         " hl_start int, hl_end int",
+    )
+
+
+# ---- cascade retrieval → rerank (r5s11) ------------------------------------
+
+CASCADE_C = 100  # stage-1 candidate budget
+CASCADE_K = 10   # stage-2 published results
+
+
+@register(
+    "search_cascade_rerank",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+               AS rank_tf,
+             text
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+            > 0
+    ), cand AS (
+      SELECT doc_id, rank_tf, text,
+             row_number() OVER (ORDER BY rank_tf DESC, doc_id) AS tf_pos
+      FROM tf
+    ), pool AS (
+      SELECT * FROM cand WHERE tf_pos <= {CASCADE_C}
+    ), m AS (
+      SELECT doc_id, rank_tf, tf_pos,
+             least(len(list_filter(string_split(text, ' '),
+                                   x -> x = 'spark')), 256) AS n
+      FROM pool
+    ), h AS (
+      SELECT doc_id, sum(1.0 / (j * j)) AS h2
+      FROM (SELECT doc_id, unnest(range(1, n + 1)) AS j FROM m)
+      GROUP BY doc_id
+    ), scored AS (
+      SELECT m.doc_id, m.rank_tf, CAST(m.tf_pos AS INT) AS tf_pos,
+             round(0.1 * h.h2 / 1.64493406685, 6) AS rank_ts
+      FROM m JOIN h USING (doc_id)
+    )
+    SELECT doc_id, rank_tf, tf_pos, rank_ts,
+           CAST(row_number() OVER (ORDER BY rank_ts DESC, doc_id)
+                AS INT) AS final_pos
+    FROM scored
+    QUALIFY final_pos <= {CASCADE_K}
+    """,
+)
+def search_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage cascade ranking — the scale pattern every production
+    search stack runs (cheap retrieval bounds the expensive scorer's
+    work): stage 1 retrieves the top-{CASCADE_C} by raw term
+    frequency (codegen HOF, no positions materialized); stage 2
+    reranks ONLY that candidate pool with the real ts_rank harmonic
+    formula and publishes the top-{CASCADE_K}. The oracle replays the
+    tf ranking, the candidate cut, the harmonic rerank, and both
+    position assignments.
+
+    Scale: stage 1 is a filter + TakeOrdered (no positions, no
+    shuffle of text); stage 2's per-doc cost is paid for C docs, not
+    the corpus — C is a constant, so the expensive tier's work is
+    O(C) regardless of corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    tf = F.size(
+        F.filter(tokens(F.col("text")), lambda x: x == F.lit("spark"))
+    )
+    stage1 = (
+        docs.select("doc_id", tf.alias("rank_tf"), "text")
+        .filter(F.col("rank_tf") > 0)
+    )
+    # stage-1 cut via TakeOrdered (distributed top-C; the ONLY global
+    # window runs on the ≤C-row pool, never on the corpus)
+    pool = stage1.orderBy(F.desc("rank_tf"), F.asc("doc_id")).limit(
+        CASCADE_C
+    )
+    w1 = Window.orderBy(F.desc("rank_tf"), F.asc("doc_id"))
+    pool = pool.withColumn("tf_pos", F.row_number().over(w1))
+    # harmonic ts_rank (single-term OR formula), pure Catalyst
+    h2 = F.expr(
+        "aggregate(sequence(1, cast(least(rank_tf, 256) as int)), "
+        "cast(0 as double), (a, j) -> a + 1.0 / (j * j))"
+    )
+    scored = pool.select(
+        "doc_id",
+        "rank_tf",
+        F.col("tf_pos").cast("int").alias("tf_pos"),
+        F.round(F.lit(0.1) * h2 / F.lit(1.64493406685), 6).alias(
+            "rank_ts"
+        ),
+    )
+    w2 = Window.orderBy(F.desc("rank_ts"), F.asc("doc_id"))
+    return (
+        scored.withColumn("final_pos", F.row_number().over(w2).cast("int"))
+        .filter(F.col("final_pos") <= CASCADE_K)
     )

@@ -54,3 +54,19 @@ class TestSession3Plans:
             plan = df._jdf.queryExecution().executedPlan().toString()
             n_py = plan.count("MapInPandas")
             assert n_py == 1, (key, n_py, plan)
+
+
+class TestCascadePlan:
+    def test_stage1_is_take_ordered(self, spark):
+        import __spark_entry__ as e
+
+        plan = (
+            e.queries()["search_cascade_rerank"](
+                spark, "/root/testdata/sf0.001"
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the corpus-sized frame reaches a TakeOrdered, not a global
+        # single-partition window; no Python anywhere
+        assert "TakeOrdered" in plan
+        assert "EvalPython" not in plan
