@@ -33,6 +33,8 @@ end-to-end:
     → [--mirror-report] host mirror pairs (ml/mirrors) in the summary
       JSON — detected on the PRE-dedup corpus, where the shared
       hashes still exist (exact dedup later collapses them)
+    → [--datasheet] one-row corpus composition card (ml/datasheet)
+      over the SHIPPED corpus in the summary JSON
     → partitioned, size-bounded shard write (operators/sinks)
 
 and prints one JSON summary line (per-split yields) — the same report
@@ -148,6 +150,10 @@ def main(argv: list[str] | None = None) -> int:
                         "containment per host pair, ml/mirrors) to "
                         "the summary JSON; measured before exact "
                         "dedup, which would erase the evidence")
+    p.add_argument("--datasheet", action="store_true",
+                   help="append the one-row corpus composition card "
+                        "(ml/datasheet) over the shipped corpus to "
+                        "the summary JSON")
     p.add_argument("--leakage-audit", action="store_true",
                    help="append a per-split train→eval 4-gram leakage "
                         "report (ml/leakage.py) to the summary JSON — "
@@ -588,6 +594,17 @@ def main(argv: list[str] | None = None) -> int:
             summary["secrets_dropped"] = n_secret_docs
         if mirror_pairs is not None:
             summary["mirror_pairs"] = mirror_pairs
+        if args.datasheet:
+            from readur_spark.ml.datasheet import corpus_datasheet
+            from readur_spark.ml.urlfilters import url_host
+
+            card_in = split.select(
+                F.col("text"),
+                F.lit("und").alias("lang"),
+                url_host(F.col("url")).alias("source"),
+            )
+            [card] = corpus_datasheet(card_in).collect()
+            summary["datasheet"] = {k: card[k] for k in card.asDict()}
         if unimax_langs is not None:
             summary["unimax_report"] = args.unimax_report
             summary["unimax_langs"] = unimax_langs

@@ -903,3 +903,25 @@ def test_curation_mirror_report(tmp_path):
     # exact dedup still collapsed the copies in the shipped corpus
     total = sum(v["n_docs"] for v in summary["yields"].values())
     assert total == 7
+
+
+def test_curation_datasheet(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    inp = str(tmp_path / "din.parquet")
+    pq.write_table(
+        pa.table({
+            "url": [f"https://h{i % 2}.example/d{i}.txt" for i in range(6)],
+            "extracted_text": [_gate_passing_text(i) + f" t{i}"
+                               for i in range(6)],
+        }),
+        inp,
+    )
+    shards = str(tmp_path / "dshards")
+    summary = _curate_plain(inp, shards, ["--min-words", "5", "--datasheet"])
+    card = summary["datasheet"]
+    assert card["n_docs"] == 6
+    assert card["n_sources"] == 2
+    assert card["dup_permille"] == 0
+    assert card["n_tokens"] > 0
