@@ -131,6 +131,8 @@ HEADLINE_QUERIES = [
     "padding_efficiency_report",
     "mixture_unimax_plan",
     "snm_candidate_pairs",
+    "corpus_datasheet",
+    "search_cascade_rerank",
 ]
 
 
