@@ -326,3 +326,94 @@ def idn_homograph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("host")
     ).distinct()
     return homograph_pairs(hosts)
+
+
+# ---- crawl yield by URL depth (r5s11) --------------------------------------
+#
+# Frontier-tuning diagnostic: extraction yield falls off with URL path
+# depth on most sites (deep pages are calendars, facets, pagination
+# tails), so crawlers cap or de-prioritize depth. This publishes the
+# evidence table. The synthetic corpus's URLs are flat, so the path is
+# CONSTRUCTED deterministically — doc_id % 5 segments (seg0/seg1/…),
+# replayed by both engines — while the yield bit is the real corpus's
+# own word-count gate.
+
+YIELD_MIN_WORDS = 50
+
+
+def depth_yield_table(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """(depth, n_docs, n_kept, yield_permille) — kept = clears the
+    word-count floor. depth = path segments of the url. One projection
+    + one map-side-combinable rollup."""
+    path = F.regexp_replace(F.col(url_col), r"^https?://[^/]+", "")
+    depth = (
+        F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+        .cast("long")
+        .alias("depth")
+    )
+    kept = (
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        )
+        >= YIELD_MIN_WORDS
+    )
+    base = docs.select(depth, kept.alias("kept"))
+    return base.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    ).select(
+        "depth",
+        "n_docs",
+        "n_kept",
+        F.expr("(1000L * n_kept) div n_docs").alias("yield_permille"),
+    )
+
+
+@register(
+    "crawl_depth_yield",
+    oracle=f"""
+    WITH docs AS (
+      SELECT 'https://' || source || '.example' ||
+             CASE WHEN doc_id % 5 = 0 THEN '/'
+                  ELSE list_aggregate(
+                         list_transform(range(0, doc_id % 5),
+                                        i -> '/seg' || i),
+                         'string_agg', '') || '/'
+             END || 'doc' || doc_id || '.html' AS url,
+             text
+      FROM documents
+    ), base AS (
+      SELECT CAST(len(list_filter(
+               string_split(regexp_replace(url, '^https?://[^/]+', ''),
+                            '/'),
+               s -> s <> '')) AS BIGINT) AS depth,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t <> '')) >= {YIELD_MIN_WORDS} AS kept
+      FROM docs
+    )
+    SELECT depth, count(*) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST((1000 * sum(CASE WHEN kept THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS yield_permille
+    FROM base GROUP BY depth
+    """,
+)
+def crawl_depth_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yield-by-depth over constructed paths (doc_id % 5 segments),
+    value-hashed: DuckDB replays the path construction, the depth
+    parse, the real word-count gate, and the rollup."""
+    docs = load(spark, sf_dir, "documents")
+    seg = F.expr(
+        "if(doc_id % 5 = 0, '/', "
+        "array_join(transform(sequence(0, cast(doc_id % 5 as int) - 1), "
+        "i -> concat('/seg', cast(i as string))), '') || '/')"
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example"), seg,
+        F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".html"),
+    )
+    shaped = docs.select(url.alias("url"), "text")
+    return depth_yield_table(shaped)

@@ -151,3 +151,19 @@ class TestDomainCap:
             [(f"https://h{i}.org/x",) for i in range(7)], "url string"
         )
         assert domain_cap_sample(df, 10).count() == 7
+
+
+class TestDepthYield:
+    def test_depth_parse_and_gate(self, spark):
+        from readur_spark.ml.urlfilters import depth_yield_table
+
+        rows = [
+            ("https://h.example/doc1.html", " ".join(["w"] * 60)),
+            ("https://h.example/a/b/doc2.html", "short"),
+            ("https://h.example/a/b/doc3.html", " ".join(["w"] * 60)),
+        ]
+        df = spark.createDataFrame(rows, "url string, text string")
+        got = {r["depth"]: r for r in depth_yield_table(df).collect()}
+        assert got[1]["n_docs"] == 1 and got[1]["yield_permille"] == 1000
+        assert got[3]["n_docs"] == 2 and got[3]["n_kept"] == 1
+        assert got[3]["yield_permille"] == 500
